@@ -1,0 +1,15 @@
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.pipelines.pagerank import pagerank
+from centrality_gpu_ray.pipelines.components import connected_components
+from centrality_gpu_ray.pipelines.labelprop import label_propagation
+from centrality_gpu_ray.pipelines.triangles import triangle_counts
+from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+
+__all__ = [
+    "Graph",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_counts",
+    "betweenness_centrality",
+]

@@ -1,0 +1,163 @@
+"""Exact betweenness centrality — the conformance tier (SURVEY.md §7.2.8).
+
+The reference's entire decomposition cascade (pendant pruning → BiCC →
+reach weighting → ear decomposition, ``modified_apsp.cpp:232-373``)
+exists to shrink the set of sources needing a full Brandes pass on one
+GPU. The Ray-Data-native answer is simpler: the *source dimension* is
+embarrassingly parallel, so we run plain Brandes — an actor pool over
+source batches, each actor holding the whole CSR read zero-copy from a
+single broadcast (the analogue of the graph arrays resident on the GPU,
+``kernels_free.cu:44-74``) — and merge per-source dependency vectors
+with one ``groupby("v").sum()`` (the ``atomicAdd`` at
+``kernels_free.cu:423-426``).
+
+Scores are summed over **ordered** pairs, i.e. ``2 × networkx
+betweenness_centrality(G, normalized=False)`` ("To Match with baders
+results", ``modified_apsp.cpp:209``); goldens in FIXTURES.md §3.1.
+
+Per-source work is O(m) vectorized numpy (level-synchronous BFS +
+level-bucketed sigma/delta sweeps over the DAG edges) — no Python loop
+over vertices. Whole-graph broadcast caps this tier at graphs whose
+CSR fits a worker (~1e8 edges); that is the documented trade: exact BC
+at 100 TB scale is not the flagship (PageRank is), it is the
+conformance bridge to the reference.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.graph import Graph
+
+
+def build_csr(s: np.ndarray, d: np.ndarray, n: int):
+    """Symmetric CSR (R offsets, C dests) from canonical edges — the
+    counting-sort build of ``graph_ear_decompos.h:63-85`` as cumsum."""
+    u = np.concatenate([s, d])
+    v = np.concatenate([d, s])
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    counts = np.bincount(u, minlength=n)
+    R = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=R[1:])
+    return R, v.astype(np.int64)
+
+
+def _single_source_dependencies(R: np.ndarray, C: np.ndarray,
+                                S_arr: np.ndarray, D_arr: np.ndarray,
+                                n: int, src: int) -> np.ndarray:
+    """Brandes dependency vector delta for one source (ordered-pair
+    convention: caller adds delta directly, no halving)."""
+    d = np.full(n, -1, dtype=np.int64)
+    d[src] = 0
+    frontier = np.array([src], dtype=np.int64)
+    level = 0
+    while frontier.size:
+        # gather all neighbors of the frontier via CSR slices
+        starts, ends = R[frontier], R[frontier + 1]
+        total = int((ends - starts).sum())
+        if total == 0:
+            break
+        idx = np.repeat(starts, ends - starts) + _ragged_arange(ends - starts)
+        nbrs = C[idx]
+        new = np.unique(nbrs[d[nbrs] == -1])
+        if new.size == 0:
+            break
+        level += 1
+        d[new] = level
+        frontier = new
+
+    # DAG edges: symmetric edge (u, v) with d[v] == d[u] + 1
+    du, dv = d[S_arr], d[D_arr]
+    fwd = (du >= 0) & (dv == du + 1)
+    bwd = (dv >= 0) & (du == dv + 1)
+    eu = np.concatenate([S_arr[fwd], D_arr[bwd]])
+    ev = np.concatenate([D_arr[fwd], S_arr[bwd]])
+    deu = d[eu]
+
+    sigma = np.zeros(n, dtype=np.float64)
+    sigma[src] = 1.0
+    order = np.argsort(deu, kind="stable")
+    eu_s, ev_s, deu_s = eu[order], ev[order], deu[order]
+    bounds = np.searchsorted(deu_s, np.arange(level + 1))
+    bounds = np.append(bounds, eu_s.size)
+    for lvl in range(level):
+        lo, hi = bounds[lvl], bounds[lvl + 1]
+        np.add.at(sigma, ev_s[lo:hi], sigma[eu_s[lo:hi]])
+
+    delta = np.zeros(n, dtype=np.float64)
+    for lvl in range(level - 1, -1, -1):
+        lo, hi = bounds[lvl], bounds[lvl + 1]
+        uu, vv = eu_s[lo:hi], ev_s[lo:hi]
+        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (1.0 + delta[vv]))
+    delta[src] = 0.0
+    return delta
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(counts)
+    out[0] = 0
+    out[ends[:-1]] = 1 - counts[:-1]
+    return np.cumsum(out)
+
+
+class _BrandesActor:
+    """Actor-pool stage: holds the broadcast CSR; each batch is a set of
+    sources; emits that batch's summed (v, delta) rows (pre-aggregated —
+    one dense accumulate per batch, sparse rows out)."""
+
+    def __init__(self, graph_ref):
+        import ray
+
+        R, C, S_arr, D_arr, n = ray.get(graph_ref)
+        self.R, self.C, self.S, self.D, self.n = R, C, S_arr, D_arr, n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        acc = np.zeros(self.n, dtype=np.float64)
+        for src in batch.column("source").to_numpy():
+            acc += _single_source_dependencies(self.R, self.C, self.S, self.D,
+                                               self.n, int(src))
+        nz = np.flatnonzero(acc)
+        return pa.table({"v": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(acc[nz])})
+
+
+def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
+                           concurrency: int = 4, sources_per_batch: int = 32,
+                           metrics: dict | None = None) -> pa.Table:
+    """Exact ordered-pair BC → ``(node, bc)``."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cfg = config or graph.config
+    t0 = time.perf_counter()
+    n = graph.num_vertices
+    s, d, _ = graph.local_arrays()
+    R, C = build_csr(s, d, n)
+    graph_ref = ray.put((R, C, s, d, n))
+
+    sources = ray.data.from_arrow(
+        pa.table({"source": pa.array(np.arange(n, dtype=np.int64))}))
+    parts = sources.map_batches(
+        _BrandesActor, batch_format="pyarrow", batch_size=sources_per_batch,
+        concurrency=concurrency,
+        fn_constructor_args=(graph_ref,))
+    combined = parts.groupby("v").aggregate(Sum("c", alias_name="c"))
+    bc = np.zeros(n, dtype=np.float64)
+    for batch in combined.iter_batches(batch_size=None, batch_format="pyarrow"):
+        bc[batch.column("v").to_numpy()] = batch.column("c").to_numpy()
+    elapsed = time.perf_counter() - t0
+    if metrics is not None:
+        metrics.update({"sec": elapsed, "sources": n})
+    return pa.table({
+        "node": pa.array(graph.node_ids, type=pa.int64()),
+        "bc": pa.array(bc),
+    })

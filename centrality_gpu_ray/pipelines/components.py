@@ -1,0 +1,111 @@
+"""Connected components by min-label propagation to fixpoint.
+
+Replaces the reference's hard requirement of a connected input — it
+DFS-checks connectivity and ``exit(0)``s otherwise
+(``graph_ear_decompos.h:141-149``) — and serves the decomposition role
+its Tarjan BiCC grouping played (SURVEY.md §2.4 I3): group all further
+per-component work with a ``groupby("component")``.
+
+Semantics: ``component(v) = min(original node id in v's component)``
+(deterministic; dense ids are sorted by original id so min-dense-idx and
+min-original-id agree). Superstep: every vertex takes the min of its
+own and all neighbors' labels; converged when nothing changes. Integer
+min is exact and associative — the salted two-level aggregate and any
+partitioning give identical results.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.exchange import aggregate_messages
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.state.checkpoint import CheckpointManager
+
+
+class _MinMsgs:
+    def __init__(self, lab_ref):
+        self._lab_ref = lab_ref
+        self._lab = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._lab is None:
+            self._lab = ray.get(self._lab_ref)
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        v = np.concatenate([d, s])
+        c = np.concatenate([self._lab[s], self._lab[d]])
+        # per-batch partial min per key
+        order = np.lexsort((c, v))
+        v_s, c_s = v[order], c[order]
+        first = np.ones(v_s.size, dtype=bool)
+        first[1:] = v_s[1:] != v_s[:-1]
+        return pa.table({"v": pa.array(v_s[first]), "c": pa.array(c_s[first])})
+
+
+def connected_components(graph: Graph, config: EngineConfig | None = None,
+                         metrics: dict | None = None) -> pa.Table:
+    """Returns ``(node, component)`` with component = min node id."""
+    import ray
+
+    cfg = config or graph.config
+    n = graph.num_vertices
+    labels = np.arange(n, dtype=np.int64)
+    ckpt = CheckpointManager(cfg.checkpoint_dir, "components", cfg.checkpoint_every,
+                             cfg.num_partitions)
+    step = 0
+    resumed = ckpt.resume()
+    if resumed is not None:
+        step, _, state = resumed
+        idx = np.searchsorted(graph.node_ids, state.column("node").to_numpy())
+        labels[idx] = np.searchsorted(graph.node_ids,
+                                      state.column("component").to_numpy())
+        step += 1
+
+    t0 = time.perf_counter()
+    changed = True
+    while changed and step < cfg.max_supersteps:
+        if graph.mode == "local":
+            s, d, _ = graph.local_arrays()
+            new = labels.copy()
+            np.minimum.at(new, d, labels[s])
+            np.minimum.at(new, s, labels[d])
+        else:
+            lab_ref = ray.put(labels)
+            msgs = graph.edges.map_batches(_MinMsgs(lab_ref), batch_format="pyarrow",
+                                           batch_size=cfg.batch_size)
+            combined = aggregate_messages(msgs, agg="min",
+                                          salt_buckets=cfg.salt_buckets)
+            new = labels.copy()
+            for batch in combined.iter_batches(batch_size=None, batch_format="pyarrow"):
+                vv = batch.column("v").to_numpy()
+                cc = batch.column("c").to_numpy()
+                np.minimum.at(new, vv, cc)
+        changed = bool(np.any(new != labels))
+        labels = new
+        ckpt.maybe_write(step, _result(graph, labels), changed=changed,
+                         mode=graph.mode)
+        step += 1
+    elapsed = time.perf_counter() - t0
+
+    if metrics is not None:
+        metrics.update({
+            "supersteps": step,
+            "sec": elapsed,
+            "num_components": int(np.unique(labels).size),
+            "mode": graph.mode,
+        })
+    return _result(graph, labels)
+
+
+def _result(graph: Graph, labels: np.ndarray) -> pa.Table:
+    return pa.table({
+        "node": pa.array(graph.node_ids, type=pa.int64()),
+        "component": pa.array(graph.node_ids[labels], type=pa.int64()),
+    })

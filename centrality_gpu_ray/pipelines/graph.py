@@ -1,0 +1,167 @@
+"""Graph handle: the static, reusable edge structure behind supersteps.
+
+The reference copies its CSR arrays (R, C, F) to the GPU once and runs
+every source's BFS against that resident copy (``kernels_free.cu:44-74``).
+The Ray-Data analogue: normalize the edge table once (self-loop filter →
+canonical dedup → symmetrize), **materialize** it as zero-copy Arrow
+blocks in the object store, and run every superstep as a
+``map_batches`` over those pinned blocks — the big, static thing never
+moves again; only the small per-vertex state does.
+
+Two execution modes (chosen by ``mode`` or edge count):
+
+* ``"local"`` — the whole (deduped) edge table fits the driver: pull it
+  once as numpy and run supersteps as vectorized ``np.add.at`` /
+  ``bincount`` kernels. This is the explicit small-graph collapse the
+  reference also has (``PARALLEL_CUTOFF``, ``bcc_bfs.cpp:24,371-472``):
+  below ~1e6 edges a distributed shuffle costs more than the compute.
+* ``"distributed"`` — edges stay blocks in the object store; per-vertex
+  state (rank/label vectors, dense ``0..n-1`` ids) is broadcast via one
+  ``ray.put`` per superstep (one copy per *node* on a real cluster, read
+  zero-copy by every task); messages are pre-aggregated per batch and
+  combined by a (optionally salted, two-level) ``groupby``.
+
+The dense-vector state path covers graphs up to
+``EngineConfig.dense_vertex_limit`` vertices (float64 vector ≤ ~40 MB at
+the default). Beyond that the state itself must be sharded — that path
+keeps state as a Dataset keyed by vertex and replaces the broadcast with
+a co-partitioned join; see ``pipelines/pagerank.py`` docstring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig, DEFAULT_CONFIG
+from centrality_gpu_ray.stages.edges import dedup_edges
+
+LOCAL_EDGE_CUTOFF = 2_000_000  # deduped undirected edges
+
+
+class Graph:
+    """Normalized, dense-relabelled, materialized graph.
+
+    Vertices get dense ids ``0..n-1`` = rank of their original int64 id
+    in sorted order (deterministic, partition-count independent —
+    replaces the first-seen-order relabel of ``modified_apsp.cpp:273-363``
+    which is not). ``node_ids[i]`` maps back.
+    """
+
+    def __init__(self, edges_ds, config: EngineConfig | None = None,
+                 normalized: bool = False, mode: str = "auto"):
+        import ray
+
+        self.config = config or DEFAULT_CONFIG
+        if not normalized:
+            # dedup_edges canonicalizes (src < dst), drops self-loops and
+            # sums duplicate weights — one shuffle keyed on the edge.
+            edges_ds = dedup_edges(edges_ds)
+        # One canonical row per undirected edge (src < dst); symmetric
+        # views are derived per-batch so we store/shuffle m rows, not 2m.
+        canon = edges_ds.map_batches(_to_canonical, batch_format="pyarrow")
+        self._canon_ds = canon.materialize()
+
+        ids = self._canon_ds.unique("src") + self._canon_ds.unique("dst")
+        self.node_ids = np.unique(np.asarray(ids, dtype=np.int64))
+        self.num_vertices = int(self.node_ids.size)
+        if self.num_vertices > self.config.dense_vertex_limit:
+            raise NotImplementedError(
+                "sharded-state path for > dense_vertex_limit vertices is not "
+                "wired yet; raise config.dense_vertex_limit if the driver has RAM")
+
+        ids_ref = ray.put(self.node_ids)
+        self.edges = self._canon_ds.map_batches(
+            _Remap(ids_ref), batch_format="pyarrow",
+            batch_size=self.config.batch_size).materialize()
+        self.num_edges = self.edges.count()
+
+        if mode == "auto":
+            mode = "local" if self.num_edges <= LOCAL_EDGE_CUTOFF else "distributed"
+        self.mode = mode
+
+        self._local = None
+        self._out_degree = None
+
+    # -- local fast path -------------------------------------------------
+    def local_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(s, d, w) canonical dense-id edge arrays on the driver."""
+        if self._local is None:
+            tbls = [b for b in self.edges.iter_batches(batch_size=None, batch_format="pyarrow")]
+            t = pa.concat_tables(tbls)
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            # canonical order for bit-deterministic local kernels
+            order = np.lexsort((d, s))
+            self._local = (s[order], d[order], w[order])
+        return self._local
+
+    @property
+    def out_degree(self) -> np.ndarray:
+        """Symmetric-graph degree vector (dense ids)."""
+        if self._out_degree is None:
+            if self.mode == "local":
+                s, d, _ = self.local_arrays()
+                self._out_degree = (
+                    np.bincount(s, minlength=self.num_vertices)
+                    + np.bincount(d, minlength=self.num_vertices)
+                ).astype(np.int64)
+            else:
+                deg = np.zeros(self.num_vertices, dtype=np.int64)
+                for part in self.edges.map_batches(
+                        _degree_partial, batch_format="pyarrow").iter_batches(
+                        batch_size=None, batch_format="pyarrow"):
+                    np.add.at(deg, part.column("v").to_numpy(),
+                              part.column("c").to_numpy())
+                self._out_degree = deg
+        return self._out_degree
+
+    def scores_table(self, values: np.ndarray, col: str) -> pa.Table:
+        """Dense result vector → (node, col) table in original ids."""
+        return pa.table({
+            "node": pa.array(self.node_ids, type=pa.int64()),
+            col: pa.array(values),
+        })
+
+
+def _to_canonical(batch: pa.Table) -> pa.Table:
+    cols = {"src": batch["src"], "dst": batch["dst"]}
+    cols["weight"] = (batch["weight"] if "weight" in batch.column_names
+                      else pa.array(np.ones(len(batch), dtype=np.int64)))
+    import pyarrow.compute as pc
+
+    t = pa.table(cols)
+    keep = pc.less(t["src"], t["dst"])
+    return t.filter(keep)
+
+
+class _Remap:
+    """Stateful map_batches callable: original ids → dense 0..n-1 via a
+    broadcast sorted-id array (read zero-copy from the object store once
+    per actor/task, not re-shipped per batch)."""
+
+    def __init__(self, ids_ref):
+        self._ids_ref = ids_ref
+        self._ids = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._ids is None:
+            self._ids = ray.get(self._ids_ref)
+        s = np.searchsorted(self._ids, batch.column("src").to_numpy())
+        d = np.searchsorted(self._ids, batch.column("dst").to_numpy())
+        w = (batch.column("weight").to_numpy() if "weight" in batch.column_names
+             else np.ones(len(batch), dtype=np.int64))
+        return pa.table({
+            "s": pa.array(s.astype(np.int64)),
+            "d": pa.array(d.astype(np.int64)),
+            "w": pa.array(w.astype(np.int64)),
+        })
+
+
+def _degree_partial(batch: pa.Table) -> pa.Table:
+    v = np.concatenate([batch.column("s").to_numpy(), batch.column("d").to_numpy()])
+    uniq, cnt = np.unique(v, return_counts=True)
+    return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})

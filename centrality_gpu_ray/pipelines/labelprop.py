@@ -1,0 +1,147 @@
+"""Community detection by synchronous label propagation (mode-LP).
+
+Same superstep skeleton as PageRank/CC, but the per-vertex combine is a
+**mode** (most frequent neighbor label, weighted by edge weight), which
+is not a simple associative reduce: it needs per-(vertex, label) count
+merging first (SURVEY.md §7.5.2 — "mode needs a count-merge, not a
+row-merge"). So the exchange is: per-batch partial counts
+``(v, label, c)`` → ``groupby(["v","label"]).sum`` → argmax per vertex
+with a deterministic tie-break (max count, then smallest label), which
+makes runs reproducible across partitionings (SURVEY.md §7.5.3).
+
+A vertex keeps its current label when that label ties the best count
+(stabilizes convergence); a hard ``max_supersteps`` cap bounds the
+known oscillation of synchronous LP on bipartite structures.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.state.checkpoint import CheckpointManager
+
+
+def _pick_labels(v: np.ndarray, lab: np.ndarray, cnt: np.ndarray,
+                 current: np.ndarray) -> np.ndarray:
+    """Vectorized argmax-with-tie-break over (v, label, count) rows.
+
+    Order rows by (v, -count, label); the first row per v wins — except
+    the current label also wins on a tied count (checked after)."""
+    n = current.size
+    order = np.lexsort((lab, -cnt, v))
+    v_s, lab_s, cnt_s = v[order], lab[order], cnt[order]
+    first = np.ones(v_s.size, dtype=bool)
+    first[1:] = v_s[1:] != v_s[:-1]
+    best_v, best_lab, best_cnt = v_s[first], lab_s[first], cnt_s[first]
+
+    new = current.copy()
+    new[best_v] = best_lab
+    # keep current label on ties: find rows matching (v, current[v]) with
+    # count == best count of v
+    best_of = np.zeros(n, dtype=cnt.dtype)
+    best_of[best_v] = best_cnt
+    cur_rows = lab_s == current[v_s]
+    tied = cur_rows & (cnt_s == best_of[v_s])
+    new[v_s[tied]] = current[v_s[tied]]
+    return new
+
+
+class _CountMsgs:
+    def __init__(self, lab_ref, weighted: bool):
+        self._lab_ref = lab_ref
+        self._lab = None
+        self._weighted = weighted
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._lab is None:
+            self._lab = ray.get(self._lab_ref)
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        w = (batch.column("w").to_numpy().astype(np.int64)
+             if self._weighted else np.ones(s.size, dtype=np.int64))
+        v = np.concatenate([d, s])
+        lab = np.concatenate([self._lab[s], self._lab[d]])
+        ww = np.concatenate([w, w])
+        # partial count per (v, label) — np.unique over stacked pairs
+        pairs = np.stack([v, lab], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        cnt = np.bincount(inv, weights=ww).astype(np.int64)
+        return pa.table({"v": pa.array(uniq[:, 0]), "label": pa.array(uniq[:, 1]),
+                         "c": pa.array(cnt)})
+
+
+def label_propagation(graph: Graph, config: EngineConfig | None = None,
+                      weighted: bool = True, max_supersteps: int = 20,
+                      metrics: dict | None = None) -> pa.Table:
+    """Returns ``(node, label)``; labels are original node ids."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cfg = config or graph.config
+    n = graph.num_vertices
+    labels = np.arange(n, dtype=np.int64)
+    ckpt = CheckpointManager(cfg.checkpoint_dir, "labelprop", cfg.checkpoint_every,
+                             cfg.num_partitions)
+    step = 0
+    resumed = ckpt.resume()
+    if resumed is not None:
+        step, _, state = resumed
+        idx = np.searchsorted(graph.node_ids, state.column("node").to_numpy())
+        labels[idx] = np.searchsorted(graph.node_ids, state.column("label").to_numpy())
+        step += 1
+
+    t0 = time.perf_counter()
+    changed = True
+    while changed and step < max_supersteps:
+        if graph.mode == "local":
+            s, d, w = graph.local_arrays()
+            ww = w.astype(np.int64) if weighted else np.ones(s.size, dtype=np.int64)
+            v = np.concatenate([d, s])
+            lab = np.concatenate([labels[s], labels[d]])
+            cc = np.concatenate([ww, ww])
+            pairs = np.stack([v, lab], axis=1)
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            cnt = np.bincount(inv, weights=cc).astype(np.int64)
+            new = _pick_labels(uniq[:, 0], uniq[:, 1], cnt, labels)
+        else:
+            lab_ref = ray.put(labels)
+            msgs = graph.edges.map_batches(_CountMsgs(lab_ref, weighted),
+                                           batch_format="pyarrow",
+                                           batch_size=cfg.batch_size)
+            counts = msgs.groupby(["v", "label"]).aggregate(Sum("c", alias_name="c"))
+            rows = [b for b in counts.iter_batches(batch_size=None,
+                                                   batch_format="pyarrow")]
+            t = pa.concat_tables(rows) if rows else None
+            if t is None or t.num_rows == 0:
+                break
+            new = _pick_labels(t.column("v").to_numpy(), t.column("label").to_numpy(),
+                               t.column("c").to_numpy(), labels)
+        changed = bool(np.any(new != labels))
+        labels = new
+        ckpt.maybe_write(step, _result(graph, labels), changed=changed,
+                         mode=graph.mode)
+        step += 1
+    elapsed = time.perf_counter() - t0
+
+    if metrics is not None:
+        metrics.update({
+            "supersteps": step,
+            "sec": elapsed,
+            "num_labels": int(np.unique(labels).size),
+            "mode": graph.mode,
+        })
+    return _result(graph, labels)
+
+
+def _result(graph: Graph, labels: np.ndarray) -> pa.Table:
+    return pa.table({
+        "node": pa.array(graph.node_ids, type=pa.int64()),
+        "label": pa.array(graph.node_ids[labels], type=pa.int64()),
+    })

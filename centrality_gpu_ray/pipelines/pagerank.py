@@ -1,0 +1,160 @@
+"""PageRank — the flagship superstep pipeline (SURVEY.md §7.2.4).
+
+Semantics (FIXTURES.md §3.2): undirected graph treated as symmetric
+directed, out-degree = degree, damping ``alpha`` (default 0.85),
+uniform init ``1/n``, stop when the L1 rank delta < ``tolerance``.
+Dangling vertices (possible on weighted/directed inputs) donate their
+mass uniformly. Float64 throughout (SURVEY.md §7.5.5).
+
+Execution:
+
+* ``local`` mode — one numpy kernel per superstep over the driver-held
+  canonical edge arrays (``np.add.at`` scatter). Bit-deterministic.
+* ``distributed`` mode — per superstep: ``ray.put`` the (small) dense
+  contribution vector ``alpha * rank / deg`` once; ``map_batches`` over
+  the pinned canonical edge blocks emits per-batch pre-aggregated
+  ``(v, partial_sum)`` messages; a salted two-level ``groupby("v")``
+  sum (``pipelines/exchange.py``) merges them; the driver scatters the
+  result back into the dense vector and adds teleport + dangling mass.
+  Per superstep exactly one broadcast + one (pre-aggregated) shuffle —
+  the static edge table never moves.
+
+Scale notes: the dense rank vector costs 8 B/vertex (1e9 vertices =
+8 GB — one object-store copy per *node*, zero-copy reads). Beyond
+``dense_vertex_limit``, state must be sharded: ranks live as a Dataset
+hash-partitioned by vertex, the gather becomes a co-partitioned
+``Dataset.join`` on ``src`` instead of a broadcast, and the scatter is
+unchanged. That path trades one extra shuffle per superstep for
+unbounded vertex counts; it is intentionally not the default because
+for the corpus graph (repos+dirs+commits ≪ rows) the broadcast path is
+strictly faster.
+
+Checkpoint/resume: every ``checkpoint_every``-th superstep writes the
+rank vector + lineage manifest (``state/checkpoint.py``); a rerun with
+the same ``checkpoint_dir`` resumes from the newest manifest and
+produces bit-identical final scores (tested).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.exchange import aggregate_messages, dense_from_pairs
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.state.checkpoint import CheckpointManager
+
+
+class _Contribs:
+    """map_batches callable: edge block → pre-aggregated (v, c) partial
+    contributions, reading the broadcast contribution vector zero-copy."""
+
+    def __init__(self, w_ref):
+        self._w_ref = w_ref
+        self._w = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._w is None:
+            self._w = ray.get(self._w_ref)
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        v = np.concatenate([d, s])            # messages flow both ways
+        c = np.concatenate([self._w[s], self._w[d]])
+        uniq, inv = np.unique(v, return_inverse=True)
+        sums = np.bincount(inv, weights=c)
+        return pa.table({"v": pa.array(uniq), "c": pa.array(sums)})
+
+
+def _superstep_local(graph: Graph, rank: np.ndarray, alpha: float,
+                     inv_deg: np.ndarray, dangling: np.ndarray) -> np.ndarray:
+    s, d, _ = graph.local_arrays()
+    n = graph.num_vertices
+    w = rank * inv_deg
+    new = np.zeros(n, dtype=np.float64)
+    np.add.at(new, d, w[s])
+    np.add.at(new, s, w[d])
+    dangling_mass = rank[dangling].sum() if dangling.size else 0.0
+    return (1.0 - alpha) / n + alpha * (new + dangling_mass / n)
+
+
+def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
+                           inv_deg: np.ndarray, dangling: np.ndarray,
+                           cfg: EngineConfig) -> np.ndarray:
+    import ray
+
+    w_ref = ray.put(rank * inv_deg)
+    msgs = graph.edges.map_batches(_Contribs(w_ref), batch_format="pyarrow",
+                                   batch_size=cfg.batch_size)
+    combined = aggregate_messages(msgs, agg="sum", salt_buckets=cfg.salt_buckets)
+    n = graph.num_vertices
+    gathered = dense_from_pairs(combined, n, init=0.0)
+    dangling_mass = rank[dangling].sum() if dangling.size else 0.0
+    return (1.0 - alpha) / n + alpha * (gathered + dangling_mass / n)
+
+
+def pagerank(graph: Graph, config: EngineConfig | None = None,
+             metrics: dict | None = None) -> pa.Table:
+    """Run PageRank to convergence; returns ``(node, pagerank)``."""
+    cfg = config or graph.config
+    n = graph.num_vertices
+    deg = graph.out_degree
+    dangling = np.flatnonzero(deg == 0)
+    inv_deg = np.zeros(n, dtype=np.float64)
+    nz = deg > 0
+    inv_deg[nz] = 1.0 / deg[nz]
+
+    ckpt = CheckpointManager(cfg.checkpoint_dir, "pagerank", cfg.checkpoint_every,
+                             cfg.num_partitions)
+    start_step, rank = 0, np.full(n, 1.0 / n, dtype=np.float64)
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start_step, manifest, state = resumed
+        restored = dense_from_pairs_from_state(state, graph)
+        if restored is not None:
+            rank = restored
+            start_step += 1
+
+    t0 = time.perf_counter()
+    step = start_step
+    delta = np.inf
+    while step < cfg.max_supersteps and delta > cfg.tolerance:
+        if graph.mode == "local":
+            new = _superstep_local(graph, rank, cfg.damping, inv_deg, dangling)
+        else:
+            new = _superstep_distributed(graph, rank, cfg.damping, inv_deg,
+                                         dangling, cfg)
+        delta = float(np.abs(new - rank).sum())
+        rank = new
+        ckpt.maybe_write(step, graph.scores_table(rank, "pagerank"),
+                         l1_delta=delta, mode=graph.mode)
+        step += 1
+    elapsed = time.perf_counter() - t0
+
+    if metrics is not None:
+        supersteps = step - start_step
+        metrics.update({
+            "supersteps": supersteps,
+            "l1_delta": delta,
+            "sec": elapsed,
+            "edges_processed": 2 * graph.num_edges * supersteps,
+            "edges_per_sec": (2 * graph.num_edges * supersteps) / max(elapsed, 1e-9),
+            "mode": graph.mode,
+        })
+    return graph.scores_table(rank, "pagerank")
+
+
+def dense_from_pairs_from_state(state: pa.Table, graph: Graph) -> np.ndarray | None:
+    """Checkpointed (node, pagerank) table → dense vector in graph order."""
+    nodes = state.column("node").to_numpy()
+    vals = state.column(state.column_names[1]).to_numpy()
+    idx = np.searchsorted(graph.node_ids, nodes)
+    if idx.size != graph.num_vertices or not np.array_equal(graph.node_ids[idx], nodes):
+        return None
+    out = np.zeros(graph.num_vertices, dtype=np.float64)
+    out[idx] = vals
+    return out
