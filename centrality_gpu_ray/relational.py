@@ -1,0 +1,176 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables.
+
+The graph engine's operator inventory (SURVEY.md §2) maps sources,
+filters, projections, groupby-aggregates, joins, sorts, top-k and
+histogram sinks onto Ray Data. This module exercises that same surface
+on the standard tables so the driver's DuckDB oracle can value-check
+each primitive end-to-end (rows, schema, values). Every aggregate
+column is explicitly aliased to match the oracle SQL in
+``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate with computed revenue column.
+
+    Columns pruned at the read; revenue computed vectorized per Arrow
+    batch; per-batch partial aggregation happens inside Ray's hash
+    aggregate."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    out = (ds.map_batches(add_revenue, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("revenue", alias_name="sum_revenue"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="count_order")))
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def revenue_by_mktsegment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → groupby segment.
+
+    customer is the small side: broadcast via ``ray.put`` once and map
+    each orders batch against it — no shuffle join (ray_guide 'Joins')."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(cust.sort_values("c_custkey"))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_batch(t: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cust_ref)
+        m = t.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+        return m[["c_mktsegment", "o_totalprice"]]
+
+    joined = orders.map_batches(join_batch, batch_format="pandas")
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_revenue"),
+        Count(alias_name="num_orders"))
+    return out.sort("c_mktsegment")
+
+
+def top_parts_by_quantity(sf_dir: str, k: int = 25):
+    """Top-k with deterministic tie-break (O8): sort (−qty, key) + limit."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    agg = ds.groupby("l_partkey").aggregate(Sum("l_quantity", alias_name="total_qty"))
+    return agg.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(k)
+
+
+def events_by_type(sf_dir: str):
+    """events groupby with multiple aggregates (stream-shaped table)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))
+    return out.sort("event_type")
+
+
+def events_hourly_windows(sf_dir: str):
+    """Tumbling 1-hour event-time windows as a grouped aggregate
+    (ray_guide 'Streaming-shaped workloads'): window start =
+    floor(ts to hour); no watermark semantics needed for batch."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t["ts"], unit="hour")
+        return t.append_column("window_start", w).drop_columns(["ts"])
+
+    out = (ds.map_batches(add_window, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+    return out.sort(["window_start", "event_type"])
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: sort-within-group + gap split
+    (groupby(user).map_groups over ts-sorted groups)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff().dt.total_seconds().fillna(0) > gap_minutes * 60
+        g["session_seq"] = gaps.cumsum().astype(np.int64)
+        out = g.groupby("session_seq").agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "count"))
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return out.sort(["user_id", "session_start"])
+
+
+def lineitem_filter_project(sf_dir: str):
+    """Filter + projection pushdown demo: returned high-value lines."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["l_returnflag"], "R"),
+                       pc.greater(t["l_extendedprice"], 45000.0))
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow") \
+        .sort(["l_orderkey", "l_linenumber"])
+
+
+def order_priority_histogram(sf_dir: str):
+    """Two cascaded groupbys (the A3 histogram-of-counts pattern)."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    per_cust = orders.groupby(["o_custkey", "o_orderpriority"]).aggregate(
+        Count(alias_name="n"))
+    hist = per_cust.groupby("n").aggregate(Count(alias_name="num_groups"))
+    return hist.sort("n")
+
+
+def supplier_nation_join(sf_dir: str):
+    """3-way dimension join fully broadcast (all sides tiny)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim_ref = ray.put(dim[["n_nationkey", "n_name", "r_name"]])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def join_batch(t: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(dim_ref)
+        return t.merge(d, left_on="s_nationkey", right_on="n_nationkey")[
+            ["s_suppkey", "n_name", "r_name"]]
+
+    out = supp.map_batches(join_batch, batch_format="pandas")
+    return out.sort("s_suppkey")

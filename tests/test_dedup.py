@@ -1,0 +1,113 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from centrality_gpu_ray.functions.dedup import (
+    MinHasher, embedding_near_dup, exact_dedup, lsh_candidate_pairs,
+    minhash_dedup, minhash_signatures, ngram_jaccard_pairs, simhash_dedup,
+    simhash_signatures)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest while the sun sets slowly behind hills ")
+
+
+def _doc_table():
+    """10 docs: 0≡1 exact dup; 2≈3 near-dup (one word changed); 4≈0 near
+    (two words changed); 5-9 distinct."""
+    docs = [
+        BASE * 3,
+        BASE * 3,
+        BASE * 3 + "extra tail words here",
+        (BASE * 3 + "extra tail words here").replace("quick", "rapid", 1),
+        (BASE * 3).replace("lazy", "sleepy").replace("sun", "moon"),
+        "completely different text about graph engines and ray data pipelines",
+        "another unrelated document discussing arrow record batches at scale",
+        "short one",
+        "yet another independent piece of text with its own distinct words",
+        "final document mentioning parquet files and shuffle strategies",
+    ]
+    return pa.table({
+        "doc_id": pa.array(np.arange(10, dtype=np.int64)),
+        "text": pa.array(docs),
+    })
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    return ray.data.from_arrow(_doc_table())
+
+
+def test_exact_dedup(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas().sort_values("doc_id")
+    assert 0 in out["doc_id"].values and 1 not in out["doc_id"].values
+    assert len(out) == 9
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128)
+    s1 = mh.signature(BASE * 3)
+    s2 = mh.signature((BASE * 3).replace("lazy", "sleepy"))
+    s3 = mh.signature("completely different text entirely unrelated")
+    near = (s1 == s2).mean()
+    far = (s1 == s3).mean()
+    assert near > 0.7
+    assert far < 0.2
+
+
+def test_lsh_finds_near_dups(docs_ds):
+    sigs = minhash_signatures(docs_ds)
+    pairs = lsh_candidate_pairs(sigs).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+    assert (0, 1) in got
+    assert (2, 3) in got
+
+
+def test_ngram_jaccard_verify(docs_ds):
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 0], type=pa.int64()),
+        "b": pa.array([1, 5], type=pa.int64()),
+    }))
+    out = ngram_jaccard_pairs(docs_ds, pairs).to_pandas().sort_values("b")
+    assert out.iloc[0]["jaccard"] == pytest.approx(1.0)
+    assert out.iloc[1]["jaccard"] < 0.05
+
+
+def test_minhash_dedup_end_to_end(docs_ds):
+    out = minhash_dedup(docs_ds, threshold=0.5).to_pandas().sort_values("doc_id")
+    assert len(out) == 10
+    # 0,1,4 cluster together (0≡1, 4 near 0); 2,3 cluster; keepers are min ids
+    assert out.loc[out.doc_id == 1, "cluster"].iloc[0] == 0
+    assert out.loc[out.doc_id == 3, "cluster"].iloc[0] == \
+        out.loc[out.doc_id == 2, "cluster"].iloc[0]
+    assert bool(out.loc[out.doc_id == 0, "keep"].iloc[0])
+    assert not bool(out.loc[out.doc_id == 1, "keep"].iloc[0])
+    # distinct docs survive alone
+    for d in (5, 6, 7, 8, 9):
+        assert bool(out.loc[out.doc_id == d, "keep"].iloc[0])
+
+
+def test_simhash_near_dups(docs_ds):
+    sigs = simhash_signatures(docs_ds).to_pandas().sort_values("doc_id")
+    h = sigs["simhash"].to_numpy().view(np.uint64)
+    assert h[0] == h[1]  # identical docs → identical simhash
+    pairs = simhash_dedup(docs_ds, max_hamming=3).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].values.tolist()))
+    assert (0, 1) in got
+    assert all(a != b for a, b in got)
+
+
+def test_embedding_near_dup():
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((50, 16))
+    M[7] = M[3] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    t = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              type=pa.list_(pa.float32())),
+    })
+    out = embedding_near_dup(ray.data.from_arrow(t), threshold=0.99).to_pandas()
+    assert {(3, 7)} == set(map(tuple, out[["a", "b"]].values.tolist()))

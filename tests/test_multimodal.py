@@ -1,0 +1,53 @@
+"""Multimodal plumbing: binary columns through actor-pool stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from centrality_gpu_ray.functions.multimodal import (
+    DecodeMedia, decode_media, extract_features, sample_frames, synth_media_table)
+
+
+@pytest.fixture(scope="module")
+def media():
+    return ray.data.from_arrow(synth_media_table(num_rows=48))
+
+
+def test_decode_roundtrips_header(media):
+    out = decode_media(media).to_pandas()
+    assert out["decoded"].all()
+    assert (out["dec_width"] == out["width"]).all()
+    assert (out["dec_height"] == out["height"]).all()
+    assert (out["dec_frames"] == out["num_frames"]).all()
+
+
+def test_decode_strict_raises_on_real_payload():
+    t = pa.table({
+        "media_id": pa.array([0], type=pa.int64()),
+        "modality": pa.array(["image"]),
+        "payload": pa.array([b"\x89PNG\r\n...not-fake..."], type=pa.binary()),
+    })
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(strict=True)(t)
+
+
+def test_feature_extraction_shape(media):
+    out = extract_features(media).to_pandas()
+    assert len(out) == 48
+    feats = np.stack(out["feature"].to_numpy())
+    assert feats.shape == (48, 8)
+    assert np.isfinite(feats).all()
+    # deterministic
+    out2 = extract_features(media).to_pandas()
+    assert np.array_equal(feats, np.stack(out2["feature"].to_numpy()))
+
+
+def test_frame_sampling(media):
+    out = sample_frames(media, every_k=4).to_pandas()
+    src = media.to_pandas()
+    vids = src[src.modality == "video"]
+    expect = int(sum(-(-f // 4) for f in vids["num_frames"]))
+    assert len(out) == expect
+    assert (out["frame_index"] % 4 == 0).all()
+    assert set(out["media_id"]) == set(vids["media_id"])

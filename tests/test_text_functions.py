@@ -1,0 +1,71 @@
+"""Text analysis operators over the documents table."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from centrality_gpu_ray.functions.text import (
+    TextAnalyzer, fingerprints, language_id, quality_scores, token_stats)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def test_token_stats_matches_python(docs):
+    out = token_stats(docs).to_pandas().sort_values("doc_id")
+    raw = docs.to_pandas().sort_values("doc_id")
+    expect = raw["text"].fillna("").str.strip().map(lambda t: len(t.split()) if t else 0)
+    assert out["n_tokens"].tolist() == expect.tolist()
+    assert (out["n_chars"] == raw["text"].str.len()).all()
+    assert (out["n_bpeish_tokens"] >= out["n_tokens"]).all()
+
+
+def test_quality_scores_bounded(docs):
+    out = quality_scores(docs).to_pandas()
+    for col in ["len_score", "punct_ratio", "stopword_ratio", "alpha_ratio", "quality"]:
+        assert (out[col] >= 0).all(), col
+    assert (out["quality"] <= 1.0 + 1e-9).all()
+    assert out["quality"].nunique() > 1
+
+
+def test_language_id_on_known_samples():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "the cat and the dog sat in a corner of the house that is it",
+            "der Hund und die Katze das ist nicht ein Problem zu haben mit",
+            "le chat et la maison est un endroit que je ne connais pas",
+            "xqz zzz qqq",  # no function words → und
+        ]),
+    })
+    out = language_id(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["pred_lang"].tolist() == ["en", "de", "fr", "und"]
+    assert (out["confidence"] >= 0).all()
+
+
+def test_fingerprints_deterministic_whitespace_robust():
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["hello world foo", "hello   world\tfoo", "hello world bar"]),
+    })
+    out = fingerprints(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    fp = out["fingerprint"].tolist()
+    assert fp[0] == fp[1]  # whitespace-insensitive
+    assert fp[0] != fp[2]
+    out2 = fingerprints(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["fingerprint"].tolist() == out2["fingerprint"].tolist()
+
+
+def test_analyzer_smoke_direct():
+    # actor __init__ errors surface late in pools — smoke the class directly
+    a = TextAnalyzer()
+    df = pd.DataFrame({"doc_id": [1], "text": ["Hello, world! 42"]})
+    assert a.token_stats(df)["n_tokens"].iloc[0] == 3
+    assert a.token_stats(df)["n_bpeish_tokens"].iloc[0] == 5  # Hello , world ! 42
