@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship corpus→edges→PageRank pipeline;
+``queries()`` exposes every implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data operators); ``oracle_sql()`` gives
+DuckDB-equivalent ANSI SQL for every SQL-expressible query (identical
+column names/types; money aggregates are integer-scaled on both sides
+so value hashes are bit-exact regardless of float summation order).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +16,296 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Corpus (input_hint shape, synthesized deterministically) → sha256
+    ingest → co-occurrence edges → PageRank scores."""
+    from centrality_gpu_ray.pipelines.graph import Graph
+    from centrality_gpu_ray.pipelines.pagerank import pagerank
+    from centrality_gpu_ray.sources.corpus import corpus_dataset
+    from centrality_gpu_ray.stages.edges import derive_corpus_edges
+    from centrality_gpu_ray.stages.ingest import with_content_sha256
+
+    corpus = corpus_dataset(num_rows=2_000, seed=42)
+    with_content_sha256(corpus).materialize()  # ingest invariant stage
+    edges = derive_corpus_edges(corpus)
+    graph = Graph(edges, normalized=True)
+    return pagerank(graph).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import numpy as np
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from centrality_gpu_ray import graph_queries as gq
+    from centrality_gpu_ray import relational as rel
+    from centrality_gpu_ray.functions import dedup as dd
+    from centrality_gpu_ray.functions import similarity as sim
+    from centrality_gpu_ray.functions import text as tx
+
+    def _docs(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    def _emb(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                     columns=["vec_id", "embedding"])
+
+    def _query_matrix(sf_dir):
+        df = _emb(sf_dir).to_pandas()
+        df = df[df.vec_id < 5].sort_values("vec_id")
+        return df["vec_id"].to_numpy(), np.stack(df["embedding"].to_numpy())
+
+    def ann_topk(sf_dir):
+        qids, Q = _query_matrix(sf_dir)
+        out = sim.ann_brute_force(_emb(sf_dir), Q, k=10, query_ids=qids)
+        return out.select_columns(["query_id", "vec_id", "rank"])
+
+    def ann_lsh_topk(sf_dir):
+        qids, Q = _query_matrix(sf_dir)
+        out = sim.ann_lsh(_emb(sf_dir), Q, k=10, tables=12, bits=6)
+        return out.select_columns(["query_id", "vec_id", "rank"])
+
+    def doc_dedup_exact_ids(sf_dir):
+        return dd.exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+    def doc_token_stats(sf_dir):
+        return tx.token_stats(_docs(sf_dir)).select_columns(
+            ["doc_id", "n_chars", "n_tokens"])
+
+    def doc_lang_counts(sf_dir):
+        import ray.data
+        from ray.data.aggregate import Count
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["lang"])
+        return ds.groupby("lang").aggregate(Count(alias_name="n")).sort("lang")
+
+    def emb_near_dup_ids(sf_dir):
+        import pyarrow as pa
+
+        out = dd.embedding_near_dup(_emb(sf_dir), threshold=0.99)
+        # collect as Arrow so an empty result keeps its schema (Ray's
+        # to_pandas() on a 0-row Dataset drops columns)
+        parts = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("cosine", pa.float64())])
+        t = pa.concat_tables(parts) if parts else schema.empty_table()
+        return t.select(["a", "b"])
+
+    def corpus_pagerank(sf_dir):
+        return entry()
+
+    def minhash_dedup_docs(sf_dir):
+        return dd.minhash_dedup(_docs(sf_dir), threshold=0.5)
+
+    def simhash_pairs(sf_dir):
+        return dd.simhash_dedup(_docs(sf_dir), max_hamming=3)
+
+    return {
+        # graph engine (lineitem-derived tri-partite graph)
+        "graph_edges": gq.lineitem_edges,
+        "graph_degrees": gq.lineitem_degrees,
+        "graph_degree_histogram": gq.lineitem_degree_histogram,
+        "graph_top_degree": gq.lineitem_top_degree,
+        "graph_triangles_total": gq.lineitem_triangles_total,
+        "graph_triangles_pervertex": gq.lineitem_triangles_pervertex,
+        "graph_pagerank": gq.lineitem_pagerank,
+        "graph_components": gq.lineitem_components,
+        "graph_labelprop": gq.lineitem_labelprop,
+        "graph_betweenness_nation": gq.nation_betweenness,
+        "corpus_pagerank": corpus_pagerank,
+        # relational operator surface
+        "q1_pricing": rel.q1_pricing_summary,
+        "revenue_by_mktsegment": rel.revenue_by_mktsegment,
+        "top_parts_by_quantity": rel.top_parts_by_quantity,
+        "events_by_type": rel.events_by_type,
+        "events_hourly": rel.events_hourly_windows,
+        "user_sessions": rel.user_sessions,
+        "lineitem_filter_project": rel.lineitem_filter_project,
+        "order_priority_histogram": rel.order_priority_histogram,
+        "supplier_nation_join": rel.supplier_nation_join,
+        # documents / training-data operators
+        "doc_dedup_exact_ids": doc_dedup_exact_ids,
+        "doc_token_stats": doc_token_stats,
+        "doc_lang_counts": doc_lang_counts,
+        "doc_quality": lambda sf: tx.quality_scores(_docs(sf)),
+        "doc_language_id": lambda sf: tx.language_id(_docs(sf)),
+        "doc_fingerprints": lambda sf: tx.fingerprints(_docs(sf)),
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_pairs": simhash_pairs,
+        # embeddings
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_near_dup_ids": emb_near_dup_ids,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table)
+# ---------------------------------------------------------------------------
+
+_GRAPH_EDGES_CTE = """
+WITH raw AS (
+    SELECT l_partkey AS u, l_suppkey + 1000000 AS v FROM lineitem
+    UNION ALL
+    SELECT l_partkey, l_orderkey + 2000000 FROM lineitem
+    UNION ALL
+    SELECT l_suppkey + 1000000, l_orderkey + 2000000 FROM lineitem
+),
+edges AS (
+    SELECT CAST(LEAST(u, v) AS BIGINT) AS src,
+           CAST(GREATEST(u, v) AS BIGINT) AS dst,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM raw WHERE u <> v GROUP BY 1, 2
+),
+sym AS (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_edges": _GRAPH_EDGES_CTE + "SELECT src, dst, weight FROM edges",
+        "graph_degrees": _GRAPH_EDGES_CTE + "SELECT node, degree FROM deg",
+        "graph_degree_histogram": _GRAPH_EDGES_CTE + """
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS num_nodes
+            FROM deg GROUP BY degree""",
+        "graph_top_degree": _GRAPH_EDGES_CTE + """
+            SELECT node, degree FROM deg
+            ORDER BY degree DESC, node LIMIT 20""",
+        "graph_triangles_total": _GRAPH_EDGES_CTE + """
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst""",
+        "graph_triangles_pervertex": _GRAPH_EDGES_CTE + """
+            , tri AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM edges e1
+                JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            credits AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ),
+            pv AS (SELECT node, COUNT(*) AS t FROM credits GROUP BY node)
+            SELECT d.node, CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles
+            FROM deg d LEFT JOIN pv ON d.node = pv.node""",
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS sum_revenue_c2,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sum_disc_pct,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY 1, 2""",
+        "revenue_by_mktsegment": """
+            SELECT c_mktsegment,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS num_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1""",
+        "top_parts_by_quantity": """
+            SELECT l_partkey, SUM(l_quantity) AS total_qty
+            FROM lineitem GROUP BY 1
+            ORDER BY total_qty DESC, l_partkey LIMIT 25""",
+        "events_by_type": """
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_m,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 1""",
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_m
+            FROM events GROUP BY 1, 2""",
+        "user_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM o
+            )
+            SELECT user_id, MIN(ts) AS session_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_seq""",
+        "lineitem_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+            FROM lineitem
+            WHERE l_returnflag = 'R' AND l_extendedprice > 45000.0""",
+        "order_priority_histogram": """
+            WITH per_cust AS (
+                SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS num_groups
+            FROM per_cust GROUP BY n""",
+        "supplier_nation_join": """
+            SELECT s_suppkey, n_name, r_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey""",
+        "doc_dedup_exact_ids": """
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+            FROM documents GROUP BY text""",
+        "doc_token_stats": """
+            SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
+                        END AS BIGINT) AS n_tokens
+            FROM documents""",
+        "doc_lang_counts": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang""",
+        "embedding_near_dup_ids": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99""",
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10""",
+    }

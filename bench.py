@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Headline: PageRank supersteps to 1e-6 L1 convergence over the
+lineitem-derived co-occurrence edge table at $GRAFT_SF_DIR (default
+sf0.1), run in **distributed** mode (broadcast rank vector + per-batch
+pre-aggregated salted groupby scatter per superstep) — the same
+execution path a multi-node cluster would use. Reports
+edges-processed/sec = 2·m·supersteps / sec (both message directions).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the headline twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both
+throughputs + efficiency (the sandbox stand-in for the N vs 4N
+cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from centrality_gpu_ray import graph_queries as gq
+    from centrality_gpu_ray import relational as rel
+    from centrality_gpu_ray.config import EngineConfig
+    from centrality_gpu_ray.pipelines.pagerank import pagerank
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # warm the page cache so we measure compute+shuffle, not first read
+    timed("warm_read", lambda: gq.lineitem_edges(sf_dir).count())
+
+    # graph build (normalize + dedup + materialize + relabel), then the
+    # headline: distributed PageRank to 1e-6
+    cfg = EngineConfig(tolerance=1e-6, salt_buckets=8)
+    g = timed("graph_build", lambda: gq.lineitem_graph(sf_dir, mode="distributed",
+                                                       config=cfg))
+    pr_metrics: dict = {}
+    t0 = time.perf_counter()
+    pagerank(g, cfg, metrics=pr_metrics)
+    headline = time.perf_counter() - t0
+    queries["pagerank_distributed"] = round(headline, 3)
+
+    # local-mode PageRank for comparison (the small-graph collapse path)
+    g_loc = gq.lineitem_graph(sf_dir, mode="local", config=cfg)
+    timed("pagerank_local", lambda: pagerank(g_loc, cfg))
+
+    timed("connected_components", lambda: __import__(
+        "centrality_gpu_ray.pipelines.components", fromlist=["connected_components"]
+    ).connected_components(g_loc))
+    tri_metrics: dict = {}
+    timed("triangles", lambda: __import__(
+        "centrality_gpu_ray.pipelines.triangles", fromlist=["triangle_counts"]
+    ).triangle_counts(g_loc, metrics=tri_metrics))
+    timed("q1_pricing", lambda: rel.q1_pricing_summary(sf_dir).to_pandas())
+    timed("degrees", lambda: gq.lineitem_degrees(sf_dir).to_pandas())
+
+    def _docs_ops():
+        import ray.data
+
+        from centrality_gpu_ray.functions.dedup import minhash_signatures
+        from centrality_gpu_ray.functions.text import token_stats
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+        token_stats(docs, concurrency=max(2, num_cpus // 4)).count()
+        minhash_signatures(docs, concurrency=max(2, num_cpus // 4)).count()
+
+    timed("doc_token_minhash", _docs_ops)
+
+    return {
+        "metric": "pagerank_supersteps_to_1e-6_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf),
+        "num_cpus": num_cpus,
+        "num_edges": g.num_edges,
+        "num_vertices": g.num_vertices,
+        "supersteps": pr_metrics.get("supersteps"),
+        "edges_per_sec": round(pr_metrics.get("edges_per_sec", 0.0)),
+        "total_triangles": tri_metrics.get("total_triangles"),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "edges_per_sec_8": r_lo.get("edges_per_sec"),
+        "edges_per_sec_32": r_hi.get("edges_per_sec"),
+        "speedup": round(t_lo / t_hi, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi.get("sf"),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

@@ -347,7 +347,7 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
     M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, M))
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
+    def block(batch: pd.DataFrame) -> pa.Table:
         all_ids, allM = ray.get(ref)
         q = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -356,8 +356,12 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
         a = batch[id_col].to_numpy()[qi]
         b = all_ids[vj]
         keep = a < b  # canonical, drops self-pairs
-        return pd.DataFrame({"a": a[keep], "b": b[keep],
-                             "cosine": sims[qi, vj][keep]})
+        # typed Arrow out so empty batches keep their schema
+        return pa.table({
+            "a": pa.array(a[keep], type=pa.int64()),
+            "b": pa.array(b[keep], type=pa.int64()),
+            "cosine": pa.array(sims[qi, vj][keep], type=pa.float64()),
+        })
 
     return emb_ds.select_columns([id_col, vec_col]).map_batches(
         block, batch_format="pandas", batch_size=512)

@@ -1,0 +1,124 @@
+"""Level-synchronous BFS — the superstep template operator (I1/I2).
+
+The reference's direction-optimizing BFS (``bcc_bfs_do_bfs``
+``bcc_bfs.cpp:300-604``: Beamer α/β switch at 542-567, per-thread
+frontier buffers merged by thread 0, ``PARALLEL_CUTOFF`` serial
+fallback) maps to: driver superstep loop; per superstep either a
+**frontier-driven gather** (map_batches over edge blocks against the
+broadcast frontier bitmap → min-level messages → groupby-min) or, when
+the frontier is a large fraction of the graph, a full-edge scan is the
+same operation — the α/β switch is subsumed because the gather always
+scans edge blocks vectorized and masks by frontier membership, which is
+the bottom-up formulation. The serial fallback is the engine's
+``local`` mode (whole edge table on the driver).
+
+Returns ``(node, level, parent)``; unreachable vertices get level −1,
+parent −1. Parent selection is deterministic: min-id neighbor among
+those at level−1 (the reference takes OpenMP scan order, which is not).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.graph import Graph
+
+
+class _BfsMsgs:
+    """Edge block → (v, candidate parent) for v adjacent to the frontier."""
+
+    def __init__(self, state_ref):
+        self._state_ref = state_ref
+        self._state = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._state is None:
+            self._state = ray.get(self._state_ref)
+        in_frontier, visited = self._state
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        v = np.concatenate([d[in_frontier[s]], s[in_frontier[d]]])
+        p = np.concatenate([s[in_frontier[s]], d[in_frontier[d]]])
+        keep = ~visited[v]
+        v, p = v[keep], p[keep]
+        # per-batch partial min-parent per v
+        order = np.lexsort((p, v))
+        v_s, p_s = v[order], p[order]
+        first = np.ones(v_s.size, dtype=bool)
+        first[1:] = v_s[1:] != v_s[:-1]
+        return pa.table({"v": pa.array(v_s[first]), "c": pa.array(p_s[first])})
+
+
+def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
+        metrics: dict | None = None) -> pa.Table:
+    """BFS from `source` (an *original* node id)."""
+    import ray
+
+    from centrality_gpu_ray.pipelines.exchange import aggregate_messages
+
+    cfg = config or graph.config
+    n = graph.num_vertices
+    src_idx = int(np.searchsorted(graph.node_ids, source))
+    if src_idx >= n or graph.node_ids[src_idx] != source:
+        raise ValueError(f"source {source} not in graph")
+
+    level = np.full(n, -1, dtype=np.int64)
+    parent = np.full(n, -1, dtype=np.int64)
+    level[src_idx] = 0
+    frontier = np.array([src_idx], dtype=np.int64)
+    t0 = time.perf_counter()
+    depth = 0
+    while frontier.size:
+        depth += 1
+        if graph.mode == "local":
+            s, d, _ = graph.local_arrays()
+            in_f = np.zeros(n, dtype=bool)
+            in_f[frontier] = True
+            v = np.concatenate([d[in_f[s]], s[in_f[d]]])
+            p = np.concatenate([s[in_f[s]], d[in_f[d]]])
+            keep = level[v] == -1
+            v, p = v[keep], p[keep]
+            if v.size == 0:
+                break
+            order = np.lexsort((p, v))
+            v, p = v[order], p[order]
+            first = np.ones(v.size, dtype=bool)
+            first[1:] = v[1:] != v[:-1]
+            new, new_par = v[first], p[first]
+        else:
+            in_f = np.zeros(n, dtype=bool)
+            in_f[frontier] = True
+            state_ref = ray.put((in_f, level >= 0))
+            msgs = graph.edges.map_batches(_BfsMsgs(state_ref),
+                                           batch_format="pyarrow",
+                                           batch_size=cfg.batch_size)
+            combined = aggregate_messages(msgs, agg="min",
+                                          salt_buckets=cfg.salt_buckets)
+            parts = list(combined.iter_batches(batch_size=None,
+                                               batch_format="pyarrow"))
+            if not parts:
+                break
+            t = pa.concat_tables(parts)
+            new = t.column("v").to_numpy()
+            new_par = t.column("c").to_numpy()
+            if new.size == 0:
+                break
+        level[new] = depth
+        parent[new] = new_par
+        frontier = np.sort(new)
+
+    if metrics is not None:
+        metrics.update({"sec": time.perf_counter() - t0, "depth": depth - 1,
+                        "reached": int((level >= 0).sum()), "mode": graph.mode})
+    par_orig = np.where(parent >= 0, graph.node_ids[np.maximum(parent, 0)], -1)
+    return pa.table({
+        "node": pa.array(graph.node_ids, type=pa.int64()),
+        "level": pa.array(level),
+        "parent": pa.array(par_orig.astype(np.int64)),
+    })

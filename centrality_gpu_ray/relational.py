@@ -28,22 +28,35 @@ def q1_pricing_summary(sf_dir: str):
 
     Columns pruned at the read; revenue computed vectorized per Arrow
     batch; per-batch partial aggregation happens inside Ray's hash
-    aggregate."""
-    from ray.data.aggregate import Count, Mean, Sum
+    aggregate. Money is scaled to exact int64 "cents" before summing so
+    the result is bit-identical to the SQL oracle regardless of float
+    summation order (price_c = round(price·100), disc_pct =
+    round(disc·100), revenue_c2 = price_c·(100−disc_pct), exact in
+    cents²·10⁻²)."""
+    from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount"])
 
-    def add_revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+    def add_exact_money(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": qty,
+            "revenue_c2": rev,
+            "disc_pct": disc_pct,
+        })
 
-    out = (ds.map_batches(add_revenue, batch_format="pyarrow")
+    out = (ds.map_batches(add_exact_money, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("revenue", alias_name="sum_revenue"),
-                      Mean("l_discount", alias_name="avg_disc"),
+           .aggregate(Sum("qty", alias_name="sum_qty"),
+                      Sum("revenue_c2", alias_name="sum_revenue_c2"),
+                      Sum("disc_pct", alias_name="sum_disc_pct"),
                       Count(alias_name="count_order")))
     return out.sort(["l_returnflag", "l_linestatus"])
 
@@ -63,11 +76,12 @@ def revenue_by_mktsegment(sf_dir: str):
     def join_batch(t: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cust_ref)
         m = t.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
-        return m[["c_mktsegment", "o_totalprice"]]
+        m["total_c"] = np.round(m["o_totalprice"] * 100).astype(np.int64)
+        return m[["c_mktsegment", "total_c"]]
 
     joined = orders.map_batches(join_batch, batch_format="pandas")
     out = joined.groupby("c_mktsegment").aggregate(
-        Sum("o_totalprice", alias_name="total_revenue"),
+        Sum("total_c", alias_name="total_revenue_c"),
         Count(alias_name="num_orders"))
     return out.sort("c_mktsegment")
 
@@ -83,14 +97,20 @@ def top_parts_by_quantity(sf_dir: str, k: int = 25):
 
 def events_by_type(sf_dir: str):
     """events groupby with multiple aggregates (stream-shaped table)."""
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    from ray.data.aggregate import Count, Max, Min, Sum
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
-    out = ds.groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"),
-        Min("value", alias_name="min_value"),
-        Max("value", alias_name="max_value"))
+
+    def add_milli(t: pa.Table) -> pa.Table:
+        v_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return t.append_column("value_m", v_m)
+
+    out = (ds.map_batches(add_milli, batch_format="pyarrow")
+           .groupby("event_type").aggregate(
+               Count(alias_name="n"),
+               Sum("value_m", alias_name="sum_value_m"),
+               Min("value", alias_name="min_value"),
+               Max("value", alias_name="max_value")))
     return out.sort("event_type")
 
 
@@ -104,11 +124,13 @@ def events_hourly_windows(sf_dir: str):
 
     def add_window(t: pa.Table) -> pa.Table:
         w = pc.floor_temporal(t["ts"], unit="hour")
-        return t.append_column("window_start", w).drop_columns(["ts"])
+        v_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return pa.table({"window_start": w, "event_type": t["event_type"],
+                         "value_m": v_m})
 
     out = (ds.map_batches(add_window, batch_format="pyarrow")
            .groupby(["window_start", "event_type"])
-           .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value")))
+           .aggregate(Count(alias_name="n"), Sum("value_m", alias_name="sum_value_m")))
     return out.sort(["window_start", "event_type"])
 
 

@@ -1,0 +1,91 @@
+"""Result sinks (S3/S5/S6): partitioned, resumable Parquet output.
+
+The reference prints scores to stdout (``printoutput``
+``modified_apsp.cpp:223-231``) and writes histogram/debug text files.
+Here every result lands as **key-range-partitioned Parquet** — one file
+per node-id range plus a manifest — so a rerun can skip completed
+partitions and downstream jobs can prune by range (the "resumable
+output" requirement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def write_scores(table: pa.Table, out_dir: str, key_col: str = "node",
+                 num_partitions: int = 8, job_meta: dict | None = None) -> dict:
+    """Write `table` as range-partitioned parquet + manifest.
+
+    Partition i holds rows with ``hash-free range partitioning``:
+    key in [bounds[i], bounds[i+1]). Idempotent: each partition file is
+    written tmp→rename; partitions already present and recorded in an
+    existing manifest are skipped.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    keys = table.column(key_col).to_numpy()
+    order = np.argsort(keys, kind="stable")
+    table = table.take(pa.array(order))
+    keys = keys[order]
+    n = table.num_rows
+    bounds_idx = [round(i * n / num_partitions) for i in range(num_partitions + 1)]
+
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    done: set[int] = set()
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            done = {p["partition"] for p in json.load(f).get("partitions", [])}
+
+    parts = []
+    for i in range(num_partitions):
+        lo, hi = bounds_idx[i], bounds_idx[i + 1]
+        fname = f"part-{i:05d}.parquet"
+        final = os.path.join(out_dir, fname)
+        entry = {
+            "partition": i, "file": fname, "rows": hi - lo,
+            "key_min": int(keys[lo]) if hi > lo else None,
+            "key_max": int(keys[hi - 1]) if hi > lo else None,
+        }
+        if i not in done or not os.path.exists(final):
+            tmp = final + ".tmp"
+            pq.write_table(table.slice(lo, hi - lo), tmp)
+            os.replace(tmp, final)
+        parts.append(entry)
+
+    manifest = {"key_col": key_col, "rows": n, "partitions": parts,
+                "written_at": time.time(), **(job_meta or {})}
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, manifest_path)
+    return manifest
+
+
+def read_scores(out_dir: str) -> pa.Table:
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    return pa.concat_tables([
+        pq.read_table(os.path.join(out_dir, p["file"]))
+        for p in manifest["partitions"] if p["rows"]
+    ])
+
+
+def component_size_histogram(components_table: pa.Table) -> pa.Table:
+    """(size, num_components) desc — the reference's BCC size histogram
+    writer (``print_bicc_hist_to_file`` ``bicc.cpp:53-79``) as two
+    grouped counts."""
+    import pandas as pd
+
+    df = components_table.to_pandas()
+    sizes = df.groupby("component").size()
+    hist = sizes.value_counts().sort_index(ascending=False)
+    return pa.table({
+        "size": pa.array(hist.index.to_numpy().astype(np.int64)),
+        "num_components": pa.array(hist.to_numpy().astype(np.int64)),
+    })
