@@ -75,11 +75,11 @@ def run_bench() -> dict:
 
     timed("connected_components", lambda: __import__(
         "centrality_gpu_ray.pipelines.components", fromlist=["connected_components"]
-    ).connected_components(g_loc))
+    ).connected_components(g, cfg))
     tri_metrics: dict = {}
     timed("triangles", lambda: __import__(
         "centrality_gpu_ray.pipelines.triangles", fromlist=["triangle_counts"]
-    ).triangle_counts(g_loc, metrics=tri_metrics))
+    ).triangle_counts(g, cfg, metrics=tri_metrics))
     timed("q1_pricing", lambda: rel.q1_pricing_summary(sf_dir).to_pandas())
     timed("degrees", lambda: gq.lineitem_degrees(sf_dir).to_pandas())
 

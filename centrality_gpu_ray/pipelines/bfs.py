@@ -94,21 +94,31 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
         else:
             in_f = np.zeros(n, dtype=bool)
             in_f[frontier] = True
-            state_ref = ray.put((in_f, level >= 0))
-            msgs = graph.edges.map_batches(_BfsMsgs(state_ref),
-                                           batch_format="pyarrow",
-                                           batch_size=cfg.batch_size)
-            combined = aggregate_messages(msgs, agg="min",
+            if cfg.combine == "shuffle":
+                state_ref = ray.put((in_f, level >= 0))
+                msgs = graph.edges.map_batches(_BfsMsgs(state_ref),
+                                               batch_format="pyarrow",
+                                               batch_size=cfg.batch_size)
+                msgs = aggregate_messages(msgs, agg="min",
                                           salt_buckets=cfg.salt_buckets)
-            parts = list(combined.iter_batches(batch_size=None,
+                parts = list(msgs.iter_batches(batch_size=None,
                                                batch_format="pyarrow"))
-            if not parts:
+                if not parts:
+                    break
+                t = pa.concat_tables(parts)
+                v_all = t.column("v").to_numpy()
+                p_all = t.column("c").to_numpy()
+            else:
+                v_all, p_all = graph.pool.gather_bfs(ray.put(in_f),
+                                                     ray.put(level >= 0))
+            if v_all.size == 0:
                 break
-            t = pa.concat_tables(parts)
-            new = t.column("v").to_numpy()
-            new_par = t.column("c").to_numpy()
-            if new.size == 0:
-                break
+            # combine per-block partial minima: min parent per v
+            order = np.lexsort((p_all, v_all))
+            v_all, p_all = v_all[order], p_all[order]
+            first = np.ones(v_all.size, dtype=bool)
+            first[1:] = v_all[1:] != v_all[:-1]
+            new, new_par = v_all[first], p_all[first]
         level[new] = depth
         parent[new] = new_par
         frontier = np.sort(new)

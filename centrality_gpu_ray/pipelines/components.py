@@ -78,15 +78,20 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
             np.minimum.at(new, s, labels[d])
         else:
             lab_ref = ray.put(labels)
-            msgs = graph.edges.map_batches(_MinMsgs(lab_ref), batch_format="pyarrow",
-                                           batch_size=cfg.batch_size)
-            combined = aggregate_messages(msgs, agg="min",
+            if cfg.combine == "shuffle":
+                msgs = graph.edges.map_batches(_MinMsgs(lab_ref),
+                                               batch_format="pyarrow",
+                                               batch_size=cfg.batch_size)
+                msgs = aggregate_messages(msgs, agg="min",
                                           salt_buckets=cfg.salt_buckets)
-            new = labels.copy()
-            for batch in combined.iter_batches(batch_size=None, batch_format="pyarrow"):
-                vv = batch.column("v").to_numpy()
-                cc = batch.column("c").to_numpy()
-                np.minimum.at(new, vv, cc)
+                new = labels.copy()
+                for batch in msgs.iter_batches(batch_size=None,
+                                               batch_format="pyarrow"):
+                    vv = batch.column("v").to_numpy()
+                    cc = batch.column("c").to_numpy()
+                    np.minimum.at(new, vv, cc)
+            else:
+                new = graph.pool.gather_min(lab_ref, n, labels)
         changed = bool(np.any(new != labels))
         labels = new
         ckpt.maybe_write(step, _result(graph, labels), changed=changed,

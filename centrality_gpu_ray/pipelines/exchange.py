@@ -58,3 +58,41 @@ def dense_from_pairs(pairs_ds, num_vertices: int, init: float | int = 0.0,
     for batch in pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         out[batch.column("v").to_numpy()] = batch.column("c").to_numpy()
     return out
+
+
+def driver_combine_sum(msgs_ds, num_vertices: int) -> np.ndarray:
+    """Dense-state fast path: combine per-block partial (v, c) messages
+    on the driver instead of a groupby shuffle.
+
+    Each map-side block emitted at most one row per distinct key, so the
+    total partial-row volume is ≤ #blocks × #keys-touched — for a
+    dense-vector-sized state this is driver-feasible by construction,
+    and it removes the per-superstep all-to-all entirely (the shuffle
+    path in :func:`aggregate_messages` remains the sharded-state route).
+
+    Float sums are made **order-deterministic** despite arbitrary block
+    arrival order: all partial rows are sorted by (v, c) before the
+    segmented add, so resumed/re-partitioned runs give bit-identical
+    vectors (SURVEY.md §7.5.5).
+    """
+    vs, cs = [], []
+    for batch in msgs_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        vs.append(batch.column("v").to_numpy())
+        cs.append(batch.column("c").to_numpy())
+    out = np.zeros(num_vertices, dtype=np.float64)
+    if not vs:
+        return out
+    v = np.concatenate(vs)
+    c = np.concatenate(cs)
+    order = np.lexsort((c, v))
+    np.add.at(out, v[order], c[order])
+    return out
+
+
+def driver_combine_min(msgs_ds, num_vertices: int, init: int) -> np.ndarray:
+    """Min counterpart (integer labels — inherently order-free)."""
+    out = np.full(num_vertices, init, dtype=np.int64)
+    for batch in msgs_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        np.minimum.at(out, batch.column("v").to_numpy(),
+                      batch.column("c").to_numpy())
+    return out

@@ -62,8 +62,16 @@ class Graph:
         canon = edges_ds.map_batches(_to_canonical, batch_format="pyarrow")
         self._canon_ds = canon.materialize()
 
-        ids = self._canon_ds.unique("src") + self._canon_ds.unique("dst")
-        self.node_ids = np.unique(np.asarray(ids, dtype=np.int64))
+        # distinct vertex ids: per-block partial unique (one map pass,
+        # no shuffle), merged by np.unique on the driver — Dataset.unique
+        # would be two full Python-speed aggregates
+        id_parts = []
+        for b in self._canon_ds.map_batches(
+                _unique_vertices, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            id_parts.append(b.column("v").to_numpy())
+        self.node_ids = (np.unique(np.concatenate(id_parts)) if id_parts
+                         else np.empty(0, dtype=np.int64))
         self.num_vertices = int(self.node_ids.size)
         if self.num_vertices > self.config.dense_vertex_limit:
             raise NotImplementedError(
@@ -71,9 +79,13 @@ class Graph:
                 "wired yet; raise config.dense_vertex_limit if the driver has RAM")
 
         ids_ref = ray.put(self.node_ids)
+        # sort by (s, d) before pinning: range-partitioned blocks give the
+        # per-block partial aggregation locality (few distinct message
+        # keys per block), which is what keeps superstep shuffle/combine
+        # volume ≪ edge volume
         self.edges = self._canon_ds.map_batches(
             _Remap(ids_ref), batch_format="pyarrow",
-            batch_size=self.config.batch_size).materialize()
+            batch_size=self.config.batch_size).sort(["s", "d"]).materialize()
         self.num_edges = self.edges.count()
 
         if mode == "auto":
@@ -82,6 +94,17 @@ class Graph:
 
         self._local = None
         self._out_degree = None
+        self._pool = None
+
+    @property
+    def pool(self):
+        """Lazy edge-shard actor pool (distributed-mode superstep engine;
+        see ``pipelines/shards.py``)."""
+        if self._pool is None:
+            from centrality_gpu_ray.pipelines.shards import ShardPool
+
+            self._pool = ShardPool(self.edges, self.config.num_partitions)
+        return self._pool
 
     # -- local fast path -------------------------------------------------
     def local_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -159,6 +182,12 @@ class _Remap:
             "d": pa.array(d.astype(np.int64)),
             "w": pa.array(w.astype(np.int64)),
         })
+
+
+def _unique_vertices(batch: pa.Table) -> pa.Table:
+    v = np.unique(np.concatenate([batch.column("src").to_numpy(),
+                                  batch.column("dst").to_numpy()]))
+    return pa.table({"v": pa.array(v.astype(np.int64))})
 
 
 def _degree_partial(batch: pa.Table) -> pa.Table:

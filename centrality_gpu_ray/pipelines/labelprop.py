@@ -112,17 +112,29 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
             new = _pick_labels(uniq[:, 0], uniq[:, 1], cnt, labels)
         else:
             lab_ref = ray.put(labels)
-            msgs = graph.edges.map_batches(_CountMsgs(lab_ref, weighted),
-                                           batch_format="pyarrow",
-                                           batch_size=cfg.batch_size)
-            counts = msgs.groupby(["v", "label"]).aggregate(Sum("c", alias_name="c"))
-            rows = [b for b in counts.iter_batches(batch_size=None,
-                                                   batch_format="pyarrow")]
-            t = pa.concat_tables(rows) if rows else None
-            if t is None or t.num_rows == 0:
-                break
-            new = _pick_labels(t.column("v").to_numpy(), t.column("label").to_numpy(),
-                               t.column("c").to_numpy(), labels)
+            if cfg.combine == "shuffle":
+                msgs = graph.edges.map_batches(_CountMsgs(lab_ref, weighted),
+                                               batch_format="pyarrow",
+                                               batch_size=cfg.batch_size)
+                msgs = msgs.groupby(["v", "label"]).aggregate(
+                    Sum("c", alias_name="c"))
+                rows = [b for b in msgs.iter_batches(batch_size=None,
+                                                     batch_format="pyarrow")]
+                t = pa.concat_tables(rows) if rows else None
+                if t is None or t.num_rows == 0:
+                    break
+                vv = t.column("v").to_numpy()
+                ll = t.column("label").to_numpy()
+                cc = t.column("c").to_numpy()
+            else:
+                vv, ll, cc = graph.pool.gather_label_counts(lab_ref, weighted)
+                if vv.size == 0:
+                    break
+            # merge per-shard partial counts (exact int sums, order-free)
+            pairs = np.stack([vv, ll], axis=1)
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            cnt = np.bincount(inv, weights=cc).astype(np.int64)
+            new = _pick_labels(uniq[:, 0], uniq[:, 1], cnt, labels)
         changed = bool(np.any(new != labels))
         labels = new
         ckpt.maybe_write(step, _result(graph, labels), changed=changed,

@@ -43,7 +43,8 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
-from centrality_gpu_ray.pipelines.exchange import aggregate_messages, dense_from_pairs
+from centrality_gpu_ray.pipelines.exchange import (
+    aggregate_messages, dense_from_pairs, driver_combine_sum)
 from centrality_gpu_ray.pipelines.graph import Graph
 from centrality_gpu_ray.state.checkpoint import CheckpointManager
 
@@ -88,11 +89,18 @@ def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
     import ray
 
     w_ref = ray.put(rank * inv_deg)
-    msgs = graph.edges.map_batches(_Contribs(w_ref), batch_format="pyarrow",
-                                   batch_size=cfg.batch_size)
-    combined = aggregate_messages(msgs, agg="sum", salt_buckets=cfg.salt_buckets)
     n = graph.num_vertices
-    gathered = dense_from_pairs(combined, n, init=0.0)
+    if cfg.combine == "shuffle":
+        # Ray-Data exchange with salted two-level groupby (the
+        # sharded-state scale route, also the salting test surface)
+        msgs = graph.edges.map_batches(_Contribs(w_ref), batch_format="pyarrow",
+                                       batch_size=cfg.batch_size)
+        combined = aggregate_messages(msgs, agg="sum",
+                                      salt_buckets=cfg.salt_buckets)
+        gathered = dense_from_pairs(combined, n, init=0.0)
+    else:
+        # resident-shard actor pool: one reduceat per shard per superstep
+        gathered = graph.pool.gather_sum(w_ref, n)
     dangling_mass = rank[dangling].sum() if dangling.size else 0.0
     return (1.0 - alpha) / n + alpha * (gathered + dangling_mass / n)
 

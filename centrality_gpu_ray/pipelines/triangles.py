@@ -38,29 +38,37 @@ def _orient(s: np.ndarray, d: np.ndarray, deg: np.ndarray):
 
 
 def _wedges_from_adj(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, ...]:
-    """All out-neighbor pairs per apex. `a` sorted; returns (apex, x, y)
-    with (x, y) in orientation order (x before y in b-sorted-by-(deg,id)
-    terms is not required — we canonicalize by value below after packing
-    with deg-order ids, so pairs are emitted with x<y by *oriented rank*).
+    """All out-neighbor pairs per apex → (apex, x, y), fully vectorized.
+
+    Shift-expansion: with edges sorted by (apex, neighbor), the pairs at
+    distance ``s`` within each apex's run are ``(b[i], b[i+s])`` for all
+    ``i`` whose in-run position leaves room. One vectorized mask per
+    shift, ≤ max-out-degree shifts total — O(#wedges) work, no Python
+    loop over apexes. Orientation bounds out-degree (≈√2m), so the
+    shift count is small even on skewed graphs.
     """
-    order = np.lexsort((b, a))
-    a_s, b_s = a[order], b[order]
-    starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
-    counts = np.diff(np.r_[starts, a_s.size])
-    apex_list, x_list, y_list = [], [], []
-    for st, c in zip(starts, counts):
-        if c < 2:
-            continue
-        nbrs = b_s[st:st + c]
-        iu, ju = np.triu_indices(c, k=1)
-        apex_list.append(np.full(iu.size, a_s[st], dtype=np.int64))
-        x_list.append(nbrs[iu])
-        y_list.append(nbrs[ju])
-    if not apex_list:
+    if a.size == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    return (np.concatenate(apex_list), np.concatenate(x_list),
-            np.concatenate(y_list))
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    n = a_s.size
+    run_start = np.r_[True, a_s[1:] != a_s[:-1]]
+    starts = np.flatnonzero(run_start)
+    counts = np.diff(np.r_[starts, n])
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    # each edge position e (in-run pos i of a k-run) is the FIRST element
+    # of (k-1-i) pairs, the second elements being the next k-1-i edges
+    rep = np.repeat(counts, counts) - pos - 1            # pairs led by e
+    total = int(rep.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    first_idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+    seg_start = np.cumsum(rep) - rep                     # output offset per e
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, rep)
+    second_idx = first_idx + 1 + within
+    return a_s[first_idx], b_s[first_idx], b_s[second_idx]
 
 
 def triangle_counts(graph: Graph, config: EngineConfig | None = None,
@@ -142,6 +150,13 @@ class _WedgeMatch:
 
 
 def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.ndarray:
+    """Explicit apex-hash shuffle: each reduce task owns a set of apexes
+    (all their out-edges co-located), generates that slice's wedges
+    vectorized, semi-joins them against the broadcast sorted packed edge
+    set, and returns partial per-vertex credits. One shuffle total;
+    wedge work parallelizes across reducers. Beyond
+    ``BROADCAST_EDGE_LIMIT`` edges the closing-pair membership test
+    switches to a hash-partitioned ``Dataset.join``."""
     import ray
 
     n = graph.num_vertices
@@ -156,30 +171,75 @@ def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.n
 
     oriented = graph.edges.map_batches(orient_batch, batch_format="pyarrow",
                                        batch_size=cfg.batch_size).materialize()
-    # Wedge generation needs each apex's full out-neighborhood co-located:
-    # one hash-shuffle on the apex, then per-group pair expansion.
-    wedges = oriented.groupby("a").map_groups(_wedge_gen, batch_format="pyarrow")
 
-    if graph.num_edges <= BROADCAST_EDGE_LIMIT:
-        # Semi-join via broadcast sorted packed-key set (one object-store
-        # copy per node, searchsorted per batch).
-        tbl = pa.concat_tables(list(oriented.iter_batches(batch_size=None,
-                                                          batch_format="pyarrow")))
-        keys = np.sort(_pack(tbl.column("a").to_numpy(),
-                             tbl.column("b").to_numpy(), n))
-        keys_ref = ray.put(keys)
-        matched = wedges.map_batches(_WedgeMatch(keys_ref, n), batch_format="pyarrow")
-    else:
-        # Scale path: hash-partitioned join on the closing pair.
+    if graph.num_edges > BROADCAST_EDGE_LIMIT:
+        # Scale path: wedges via apex shuffle, then a hash-partitioned
+        # join on the closing pair (no broadcast of the edge set).
+        wedges = oriented.groupby("a").map_groups(_wedge_gen,
+                                                  batch_format="pyarrow")
         closing = oriented.rename_columns({"a": "x", "b": "y"})
         matched = wedges.join(closing, join_type="inner", on=("x", "y"),
                               num_partitions=cfg.num_partitions)
+        tri = np.zeros(n, dtype=np.int64)
+        counted = matched.map_batches(_wedge_credit, batch_format="pyarrow")
+        for batch in counted.iter_batches(batch_size=None, batch_format="pyarrow"):
+            np.add.at(tri, batch.column("v").to_numpy(),
+                      batch.column("c").to_numpy())
+        return tri
 
+    # broadcast path: sorted packed edge keys shared by every reducer
+    tbl = pa.concat_tables(list(oriented.iter_batches(batch_size=None,
+                                                      batch_format="pyarrow")))
+    keys = np.sort(_pack(tbl.column("a").to_numpy(), tbl.column("b").to_numpy(), n))
+    keys_ref = ray.put(keys)
+    P = max(1, cfg.num_partitions)
+
+    @ray.remote(num_returns=P)
+    def split_by_apex(block: pa.Table):
+        a = block.column("a").to_numpy()
+        part = ((a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)).astype(np.int64) % P
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = block.take(pa.array(order))
+        bounds = np.searchsorted(part[order], np.arange(P + 1))
+        shards = [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(P)]
+        return tuple(shards) if P > 1 else shards[0]
+
+    @ray.remote
+    def count_part(keys_in, nv, *shards):
+        tabs = [s for s in shards if s.num_rows]
+        if not tabs:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        merged = pa.concat_tables(tabs)
+        a = merged.column("a").to_numpy()
+        b = merged.column("b").to_numpy()
+        apex, x, y = _wedges_from_adj(a, b)
+        if apex.size == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        wk = _pack(x, y, nv)
+        idx = np.minimum(np.searchsorted(keys_in, wk), keys_in.size - 1)
+        match = keys_in[idx] == wk
+        v = np.concatenate([apex[match], x[match], y[match]])
+        uniq, cnt = np.unique(v, return_counts=True)
+        return uniq, cnt.astype(np.int64)
+
+    block_refs = []
+    for bundle in oriented.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                block_refs.append(block_ref)
+    shard_lists = [split_by_apex.remote(br) for br in block_refs]
+    if P == 1:
+        parts = [count_part.remote(keys_ref, n, *shard_lists)]
+    else:
+        parts = [count_part.remote(keys_ref, n, *[s[p] for s in shard_lists])
+                 for p in range(P)]
     tri = np.zeros(n, dtype=np.int64)
-    counted = matched.map_batches(_wedge_credit, batch_format="pyarrow")
-    for batch in counted.iter_batches(batch_size=None, batch_format="pyarrow"):
-        np.add.at(tri, batch.column("v").to_numpy(),
-                  batch.column("c").to_numpy())
+    for uniq, cnt in ray.get(parts):
+        np.add.at(tri, uniq, cnt)
     return tri
 
 

@@ -22,19 +22,26 @@ def _local_degree(batch: pa.Table) -> pa.Table:
 
 def degrees(edges_ds):
     """Per-vertex degree of the symmetric edge table → (node, degree)."""
-    from ray.data.aggregate import Sum
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
     pre = edges_ds.map_batches(_local_degree, batch_format="pyarrow")
-    return pre.groupby("node").aggregate(Sum("degree", alias_name="degree"))
+    return hash_aggregate(pre, ["node"], [("degree", "sum")])
 
 
 def degree_histogram(edges_ds):
     """(degree, num_nodes) histogram — the A2/A3 run-length pattern
-    (``bicc.cpp:61-77``) as two cascaded groupbys."""
-    from ray.data.aggregate import Count
+    (``bicc.cpp:61-77``) as two cascaded grouped counts."""
+    import pyarrow as pa
+
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
     deg = degrees(edges_ds)
-    out = deg.groupby("degree").aggregate(Count(alias_name="num_nodes"))
+    pre = deg.map_batches(
+        lambda t: t.group_by(["degree"]).aggregate([([], "count_all")])
+        .rename_columns(["degree", "num_nodes"]),
+        batch_format="pyarrow")
+    out = hash_aggregate(pre, ["degree"], [("num_nodes", "sum")],
+                         num_partitions=4)
     return out.sort("degree")
 
 

@@ -55,21 +55,23 @@ def canonicalize(ds):
     return ds.map_batches(_canonical_batch, batch_format="pyarrow")
 
 
-def dedup_edges(ds, sum_weights: bool = True):
+def dedup_edges(ds, sum_weights: bool = True, num_partitions: int = 32):
     """Exact dedup on the canonical key; duplicate weights summed.
 
-    Hash-shuffle keyed on (src, dst); the per-batch ``_local_dedup``
-    partial keeps reduce-side rows bounded by (#distinct edges in block),
-    which also bounds hub-key skew at the reducer.
+    Explicit two-stage hash shuffle keyed on (src, dst)
+    (``stages/shuffle.py``); the per-batch ``_local_dedup`` partial keeps
+    shuffle volume bounded by (#distinct edges per block), which also
+    bounds hub-key skew at the reducer.
     """
-    from ray.data.aggregate import Sum
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
     pre = (
         ds.map_batches(_drop_self_loops, batch_format="pyarrow")
         .map_batches(_canonical_batch, batch_format="pyarrow")
         .map_batches(_local_dedup, batch_format="pyarrow")
     )
-    out = pre.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
+    out = hash_aggregate(pre, ["src", "dst"], [("weight", "sum")],
+                         num_partitions=num_partitions)
     if not sum_weights:
         out = out.map_batches(
             lambda t: t.set_column(t.schema.get_field_index("weight"),

@@ -1,0 +1,156 @@
+"""Explicit two-stage hash-shuffle aggregation.
+
+Why this exists: Ray Data's built-in ``groupby().aggregate()`` (sort
+shuffle) iterates groups in Python — measured ~125 µs/row on a
+1.8M-distinct-key dedup (226 s of CPU for 1.8M rows), and the 2.49
+``HASH_SHUFFLE`` strategy spins up an aggregator-actor fleet that costs
+more than the job at this scale. High-cardinality groupbys (edge dedup,
+degree counts, LSH buckets) are the engine's bread and butter, so the
+all-to-all is implemented explicitly with Arrow kernels — this is the
+one place the engine drops to raw Ray tasks, exactly as the design
+rules allow ("only where the Dataset API genuinely can't express the
+semantics *efficiently*"):
+
+* **map side** — one task per input block: vectorized partial
+  aggregation (``pyarrow.Table.group_by``), then split into P shards by
+  a deterministic numpy hash of the key columns (``num_returns=P``).
+* **reduce side** — one task per shard: concat its column of shard
+  tables, final ``group_by`` aggregate. Equal keys meet in exactly one
+  reducer, so results are exact for any associative-commutative
+  aggregate; int aggregates are bit-deterministic regardless of
+  arrival order (floats are reduced in sorted-key order).
+
+Partial aggregation on the map side bounds both shuffle volume and
+reducer skew: a hot key contributes at most one row per input block.
+``ray.data.from_arrow_refs`` lifts the result back into a Dataset, so
+pipelines stay Dataset-shaped around this operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _key_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
+    h = np.zeros(tbl.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = tbl.column(k).to_numpy(zero_copy_only=False)
+        if col.dtype.kind not in "iu":
+            import pandas as pd
+
+            col = pd.util.hash_array(col.astype(object))
+        h = (h ^ col.astype(np.uint64)) * _MIX
+    return (h >> np.uint64(33)).astype(np.int64)
+
+
+def _aggregate_table(tbl: pa.Table, keys: list[str], aggs: list[tuple[str, str]],
+                     rename: list[str]) -> pa.Table:
+    out = tbl.group_by(keys).aggregate(aggs)
+    return out.rename_columns(rename)
+
+
+def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
+                   num_partitions: int = 32):
+    """Grouped aggregation via explicit hash shuffle.
+
+    ``aggs``: list of ``(column, fn)`` with fn ∈ pyarrow group_by fns
+    ("sum", "min", "max", "count", "count_all"...). Output columns keep
+    the *input* column names (plus keys first).
+    """
+    import ray
+    import ray.data
+
+    rename = list(keys) + [c if f != "count_all" else "count" for c, f in aggs]
+    # count_all takes no column: pass ([], "count_all")
+    aggs_pa = [(c, f) if f != "count_all" else ([], "count_all") for c, f in aggs]
+    # reduce-side: counts merge by SUM (count of counts would be wrong)
+    aggs_reduce = [(("count", "sum") if f in ("count", "count_all") else (c, f))
+                   for c, f in aggs]
+
+    @ray.remote(num_returns=num_partitions)
+    def map_split(block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        part = _aggregate_table(tbl, keys, aggs_pa, rename)
+        h = _key_hash(part, keys) % num_partitions
+        order = np.argsort(h, kind="stable")
+        sorted_tbl = part.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_partitions + 1))
+        shards = [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(num_partitions)]
+        return tuple(shards) if num_partitions > 1 else shards[0]
+
+    @ray.remote
+    def reduce_part(*shards):
+        tables = [s for s in shards if s.num_rows]
+        if not tables:
+            return shards[0].slice(0, 0)
+        merged = pa.concat_tables(tables)
+        # float determinism: reduce in sorted-key order
+        sort_keys = [(k, "ascending") for k in keys]
+        merged = merged.sort_by(sort_keys)
+        return _aggregate_table(merged, keys, aggs_reduce, rename)
+
+    mat = ds.materialize()
+    block_refs = _nonempty_block_refs(mat)
+    if not block_refs:
+        return mat
+    shard_lists = [map_split.remote(b) for b in block_refs]
+    if num_partitions == 1:
+        reduced = [reduce_part.remote(*shard_lists)]
+    else:
+        reduced = [reduce_part.remote(*[s[p] for s in shard_lists])
+                   for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(reduced)
+
+
+def _nonempty_block_refs(mat):
+    """Skip zero-row blocks: Ray can pass empty blocks through
+    map_batches without invoking the UDF, leaving them with a stale
+    pre-UDF schema that would break the keyed aggregate."""
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    return refs
+
+
+def hash_distinct(ds, keys: list[str], num_partitions: int = 32):
+    """DISTINCT over key columns via the same shuffle."""
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=num_partitions)
+    def map_split(block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        part = tbl.select(keys).group_by(keys).aggregate([])
+        h = _key_hash(part, keys) % num_partitions
+        order = np.argsort(h, kind="stable")
+        sorted_tbl = part.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_partitions + 1))
+        shards = [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(num_partitions)]
+        return tuple(shards) if num_partitions > 1 else shards[0]
+
+    @ray.remote
+    def reduce_part(*shards):
+        tables = [s for s in shards if s.num_rows]
+        if not tables:
+            return shards[0].slice(0, 0)
+        merged = pa.concat_tables(tables)
+        return merged.group_by(keys).aggregate([])
+
+    mat = ds.materialize()
+    block_refs = _nonempty_block_refs(mat)
+    if not block_refs:
+        return mat
+    shard_lists = [map_split.remote(b) for b in block_refs]
+    if num_partitions == 1:
+        reduced = [reduce_part.remote(*shard_lists)]
+    else:
+        reduced = [reduce_part.remote(*[s[p] for s in shard_lists])
+                   for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(reduced)

@@ -41,17 +41,21 @@ def test_pagerank_engine_stop_rule_matches_golden_at_1e6():
 
 def test_pagerank_distributed_equals_local():
     g_loc = _graph("test4", mode="local")
-    g_dist = _graph("test4", mode="distributed")
     cfg = EngineConfig(tolerance=1e-10, max_supersteps=500)
     a = pagerank(g_loc, cfg).to_pandas().sort_values("node")["pagerank"].values
-    b = pagerank(g_dist, cfg).to_pandas().sort_values("node")["pagerank"].values
-    assert np.allclose(a, b, atol=1e-12)
+    for combine in ("driver", "shuffle"):
+        cfg_d = EngineConfig(tolerance=1e-10, max_supersteps=500, combine=combine)
+        g_dist = _graph("test4", mode="distributed")
+        b = pagerank(g_dist, cfg_d).to_pandas().sort_values("node")["pagerank"].values
+        assert np.allclose(a, b, atol=1e-12), combine
 
 
 def test_pagerank_salting_invariance():
     # salted two-level aggregation must not change results (SURVEY.md §7.5.2)
-    cfg0 = EngineConfig(tolerance=1e-10, max_supersteps=500, salt_buckets=0)
-    cfg8 = EngineConfig(tolerance=1e-10, max_supersteps=500, salt_buckets=8)
+    cfg0 = EngineConfig(tolerance=1e-10, max_supersteps=500, salt_buckets=0,
+                        combine="shuffle")
+    cfg8 = EngineConfig(tolerance=1e-10, max_supersteps=500, salt_buckets=8,
+                        combine="shuffle")
     a = pagerank(_graph("test2", mode="distributed"), cfg0).to_pandas() \
         .sort_values("node")["pagerank"].values
     b = pagerank(_graph("test2", mode="distributed"), cfg8).to_pandas() \
