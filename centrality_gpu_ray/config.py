@@ -28,10 +28,13 @@ class EngineConfig:
             considered hubs (reporting / diagnostics; the two-level
             aggregate itself is degree-oblivious and always safe).
         combine: how distributed-mode supersteps merge per-block partial
-            messages: ``"driver"`` (no shuffle — deterministic sorted
-            driver-side segmented add; always feasible while state is
-            dense-vector-sized) or ``"shuffle"`` (salted groupby
-            aggregate — the sharded-state scale route).
+            messages: ``"owners"`` (default — Pregel-style: vertex-range
+            owner actors hold resident state chunks and combine shard
+            partials in parallel; zero O(n) driver work per superstep),
+            ``"driver"`` (deterministic sorted driver-side segmented
+            add), or ``"shuffle"`` (salted two-level groupby aggregate —
+            the fully-Dataset-shaped route, also the salting test
+            surface).
         dense_vertex_limit: graphs with at most this many vertices use
             the dense-vector fast path (driver-held float64/int64 numpy
             state, broadcast by ``ray.put`` per superstep — one
@@ -48,7 +51,7 @@ class EngineConfig:
     batch_size: int = 262_144
     num_partitions: int = 16
     salt_buckets: int = 8
-    combine: str = "driver"
+    combine: str = "owners"
     hub_degree_threshold: int = 1 << 16
     dense_vertex_limit: int = 5_000_000
     checkpoint_dir: str | None = None

@@ -70,6 +70,24 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
 
     t0 = time.perf_counter()
     changed = True
+    if graph.mode != "local" and cfg.combine == "owners":
+        # owner-resident labels: int64 chunks live in the actors
+        graph.pool.setup_owners(np.ones(n, dtype=np.float64),
+                                labels.astype(np.float64))
+        while changed and step < cfg.max_supersteps:
+            changed = graph.pool.cc_step() > 0
+            if cfg.checkpoint_dir is not None and step % cfg.checkpoint_every == 0:
+                labels = graph.pool.collect_state().astype(np.int64)
+                ckpt.maybe_write(step, _result(graph, labels), changed=changed,
+                                 mode=graph.mode)
+            step += 1
+        labels = graph.pool.collect_state().astype(np.int64)
+        elapsed = time.perf_counter() - t0
+        if metrics is not None:
+            metrics.update({"supersteps": step, "sec": elapsed,
+                            "num_components": int(np.unique(labels).size),
+                            "mode": graph.mode})
+        return _result(graph, labels)
     while changed and step < cfg.max_supersteps:
         if graph.mode == "local":
             s, d, _ = graph.local_arrays()

@@ -94,6 +94,7 @@ class Graph:
 
         self._local = None
         self._out_degree = None
+        self._strength = None
         self._pool = None
 
     @property
@@ -103,7 +104,7 @@ class Graph:
         if self._pool is None:
             from centrality_gpu_ray.pipelines.shards import ShardPool
 
-            self._pool = ShardPool(self.edges, self.config.num_partitions)
+            self._pool = ShardPool(self.edges)
         return self._pool
 
     # -- local fast path -------------------------------------------------
@@ -139,6 +140,26 @@ class Graph:
                               part.column("c").to_numpy())
                 self._out_degree = deg
         return self._out_degree
+
+    @property
+    def strength(self) -> np.ndarray:
+        """Weighted degree (sum of incident edge weights)."""
+        if self._strength is None:
+            if self.mode == "local":
+                s, d, w = self.local_arrays()
+                st = np.zeros(self.num_vertices, dtype=np.float64)
+                np.add.at(st, s, w)
+                np.add.at(st, d, w)
+                self._strength = st
+            else:
+                st = np.zeros(self.num_vertices, dtype=np.float64)
+                for part in self.edges.map_batches(
+                        _strength_partial, batch_format="pyarrow").iter_batches(
+                        batch_size=None, batch_format="pyarrow"):
+                    np.add.at(st, part.column("v").to_numpy(),
+                              part.column("c").to_numpy())
+                self._strength = st
+        return self._strength
 
     def scores_table(self, values: np.ndarray, col: str) -> pa.Table:
         """Dense result vector → (node, col) table in original ids."""
@@ -194,3 +215,11 @@ def _degree_partial(batch: pa.Table) -> pa.Table:
     v = np.concatenate([batch.column("s").to_numpy(), batch.column("d").to_numpy()])
     uniq, cnt = np.unique(v, return_counts=True)
     return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+
+
+def _strength_partial(batch: pa.Table) -> pa.Table:
+    v = np.concatenate([batch.column("s").to_numpy(), batch.column("d").to_numpy()])
+    w = np.concatenate([batch.column("w").to_numpy(), batch.column("w").to_numpy()])
+    uniq, inv = np.unique(v, return_inverse=True)
+    sums = np.bincount(inv, weights=w)
+    return pa.table({"v": pa.array(uniq), "c": pa.array(sums)})

@@ -53,9 +53,10 @@ class _Contribs:
     """map_batches callable: edge block → pre-aggregated (v, c) partial
     contributions, reading the broadcast contribution vector zero-copy."""
 
-    def __init__(self, w_ref):
+    def __init__(self, w_ref, weighted: bool = False):
         self._w_ref = w_ref
         self._w = None
+        self._weighted = weighted
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
@@ -66,26 +67,34 @@ class _Contribs:
         d = batch.column("d").to_numpy()
         v = np.concatenate([d, s])            # messages flow both ways
         c = np.concatenate([self._w[s], self._w[d]])
+        if self._weighted:
+            we = batch.column("w").to_numpy()
+            c = c * np.concatenate([we, we])
         uniq, inv = np.unique(v, return_inverse=True)
         sums = np.bincount(inv, weights=c)
         return pa.table({"v": pa.array(uniq), "c": pa.array(sums)})
 
 
 def _superstep_local(graph: Graph, rank: np.ndarray, alpha: float,
-                     inv_deg: np.ndarray, dangling: np.ndarray) -> np.ndarray:
-    s, d, _ = graph.local_arrays()
+                     inv_deg: np.ndarray, dangling: np.ndarray,
+                     weighted: bool = False) -> np.ndarray:
+    s, d, we = graph.local_arrays()
     n = graph.num_vertices
     w = rank * inv_deg
     new = np.zeros(n, dtype=np.float64)
-    np.add.at(new, d, w[s])
-    np.add.at(new, s, w[d])
+    if weighted:
+        np.add.at(new, d, w[s] * we)
+        np.add.at(new, s, w[d] * we)
+    else:
+        np.add.at(new, d, w[s])
+        np.add.at(new, s, w[d])
     dangling_mass = rank[dangling].sum() if dangling.size else 0.0
     return (1.0 - alpha) / n + alpha * (new + dangling_mass / n)
 
 
 def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
                            inv_deg: np.ndarray, dangling: np.ndarray,
-                           cfg: EngineConfig) -> np.ndarray:
+                           cfg: EngineConfig, weighted: bool = False) -> np.ndarray:
     import ray
 
     w_ref = ray.put(rank * inv_deg)
@@ -93,24 +102,31 @@ def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
     if cfg.combine == "shuffle":
         # Ray-Data exchange with salted two-level groupby (the
         # sharded-state scale route, also the salting test surface)
-        msgs = graph.edges.map_batches(_Contribs(w_ref), batch_format="pyarrow",
+        msgs = graph.edges.map_batches(_Contribs(w_ref, weighted),
+                                       batch_format="pyarrow",
                                        batch_size=cfg.batch_size)
         combined = aggregate_messages(msgs, agg="sum",
                                       salt_buckets=cfg.salt_buckets)
         gathered = dense_from_pairs(combined, n, init=0.0)
     else:
         # resident-shard actor pool: one reduceat per shard per superstep
-        gathered = graph.pool.gather_sum(w_ref, n)
+        gathered = graph.pool.gather_sum(w_ref, n, weighted=weighted)
     dangling_mass = rank[dangling].sum() if dangling.size else 0.0
     return (1.0 - alpha) / n + alpha * (gathered + dangling_mass / n)
 
 
 def pagerank(graph: Graph, config: EngineConfig | None = None,
-             metrics: dict | None = None) -> pa.Table:
-    """Run PageRank to convergence; returns ``(node, pagerank)``."""
+             weighted: bool = False, metrics: dict | None = None) -> pa.Table:
+    """Run PageRank to convergence; returns ``(node, pagerank)``.
+
+    ``weighted=True`` distributes each vertex's rank over its incident
+    edge weights (strength) instead of uniformly over neighbors — the
+    natural semantics for co-occurrence-count edges. (The reference's
+    live GPU kernels ignore weights entirely, ``kernels_free.cu:245-259``;
+    only its dead CPU Dijkstra path was weighted — SURVEY.md §1.1.)"""
     cfg = config or graph.config
     n = graph.num_vertices
-    deg = graph.out_degree
+    deg = graph.strength if weighted else graph.out_degree
     dangling = np.flatnonzero(deg == 0)
     inv_deg = np.zeros(n, dtype=np.float64)
     nz = deg > 0
@@ -130,17 +146,33 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
     t0 = time.perf_counter()
     step = start_step
     delta = np.inf
-    while step < cfg.max_supersteps and delta > cfg.tolerance:
-        if graph.mode == "local":
-            new = _superstep_local(graph, rank, cfg.damping, inv_deg, dangling)
-        else:
-            new = _superstep_distributed(graph, rank, cfg.damping, inv_deg,
-                                         dangling, cfg)
-        delta = float(np.abs(new - rank).sum())
-        rank = new
-        ckpt.maybe_write(step, graph.scores_table(rank, "pagerank"),
-                         l1_delta=delta, mode=graph.mode)
-        step += 1
+    owners = graph.mode != "local" and cfg.combine == "owners"
+    if owners:
+        # Pregel-style resident state: rank chunks live in the owner
+        # actors; per superstep the driver only launches calls and sums
+        # 2P scalars — no O(n) serial section (scaling-efficiency path).
+        graph.pool.setup_owners(inv_deg, rank)
+        while step < cfg.max_supersteps and delta > cfg.tolerance:
+            delta = graph.pool.pr_step(cfg.damping, weighted)
+            if cfg.checkpoint_dir is not None and step % cfg.checkpoint_every == 0:
+                rank = graph.pool.collect_state()
+                ckpt.maybe_write(step, graph.scores_table(rank, "pagerank"),
+                                 l1_delta=delta, mode=graph.mode)
+            step += 1
+        rank = graph.pool.collect_state()
+    else:
+        while step < cfg.max_supersteps and delta > cfg.tolerance:
+            if graph.mode == "local":
+                new = _superstep_local(graph, rank, cfg.damping, inv_deg,
+                                       dangling, weighted)
+            else:
+                new = _superstep_distributed(graph, rank, cfg.damping, inv_deg,
+                                             dangling, cfg, weighted)
+            delta = float(np.abs(new - rank).sum())
+            rank = new
+            ckpt.maybe_write(step, graph.scores_table(rank, "pagerank"),
+                             l1_delta=delta, mode=graph.mode)
+            step += 1
     elapsed = time.perf_counter() - t0
 
     if metrics is not None:

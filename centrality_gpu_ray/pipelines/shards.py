@@ -29,7 +29,10 @@ import pyarrow as pa
 def _shard_class():
     import ray
 
-    @ray.remote(num_cpus=1)
+    # fractional CPU: shards are idle between supersteps — a full-CPU
+    # reservation would starve concurrent Ray Data stages (and deadlock
+    # pool creation when pool size ≥ cluster CPUs)
+    @ray.remote(num_cpus=0.1)
     class EdgeShard:
         """Holds one edge slice, presorted by message destination."""
 
@@ -53,6 +56,102 @@ def _shard_class():
 
         def ready(self) -> int:
             return self.num_edges
+
+        # -- owner role (vertex-range state holder) ----------------------
+        # Each actor additionally OWNS a contiguous dense-id range
+        # [lo, hi): it keeps that range's rank/label chunk resident,
+        # produces the broadcastable state chunk, and combines the
+        # shards' range-partials — so no O(n) work ever runs on the
+        # driver inside the superstep loop (the scaling-efficiency
+        # killer: a serial O(n) driver section caps speedup by Amdahl).
+
+        def owner_init(self, lo: int, hi: int, inv_deg_chunk: np.ndarray,
+                       init_chunk: np.ndarray, bounds: np.ndarray):
+            self.lo, self.hi = lo, hi
+            self.inv_deg = inv_deg_chunk
+            self.state = init_chunk.copy()
+            self.dangling_local = np.flatnonzero(inv_deg_chunk == 0.0)
+            # shard-role gather precompute: permutation of this shard's
+            # message sources grouped by owner range, so the per-superstep
+            # gather reads each owner's state chunk directly instead of
+            # assembling the full vector (O(messages) instead of O(n)
+            # per shard — the O(n)·P assembly is what killed scaling)
+            self.gorder = np.argsort(self.u, kind="stable")
+            u_sorted = self.u[self.gorder]
+            self.gcuts = np.searchsorted(u_sorted, bounds)
+            self.u_local = u_sorted - np.repeat(
+                bounds[:-1], np.diff(self.gcuts)).astype(np.int64)
+            return True
+
+        def owner_set_state(self, chunk: np.ndarray):
+            self.state = chunk.copy()
+            return True
+
+        def owner_get_state(self) -> np.ndarray:
+            return self.state
+
+        def owner_make_w(self) -> np.ndarray:
+            return self.state * self.inv_deg
+
+        def owner_dangling_mass(self) -> float:
+            return float(self.state[self.dangling_local].sum())
+
+        def owner_combine_pr(self, teleport: float, masses, n: int,
+                             alpha: float, *parts) -> float:
+            import ray as _ray
+
+            dangling_term = float(sum(_ray.get(list(masses)))) / n
+            new = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for uniq_v, sums in parts:  # fixed shard order → deterministic
+                np.add.at(new, uniq_v - self.lo, sums)
+            new = teleport + alpha * (new + dangling_term)
+            delta = float(np.abs(new - self.state).sum())
+            self.state = new
+            return delta
+
+        def owner_combine_min(self, *parts) -> int:
+            new = self.state.copy()
+            for uniq_v, mins in parts:
+                np.minimum.at(new, uniq_v - self.lo, mins)
+            changed = int(np.count_nonzero(new != self.state))
+            self.state = new
+            return changed
+
+        # -- shard role: range-split gathers -----------------------------
+
+        def _gather_values(self, chunk_refs) -> np.ndarray:
+            """Messages' source values via per-owner chunk reads (no full
+            vector assembly), un-permuted back to segment order."""
+            import ray as _ray
+
+            chunks = _ray.get(list(chunk_refs))
+            c_sorted = np.empty(self.u.size, dtype=np.float64)
+            for p, ch in enumerate(chunks):
+                lo, hi = self.gcuts[p], self.gcuts[p + 1]
+                c_sorted[lo:hi] = ch[self.u_local[lo:hi]]
+            c = np.empty_like(c_sorted)
+            c[self.gorder] = c_sorted
+            return c
+
+        def shard_gather_sum(self, bounds: np.ndarray, weighted: bool, w_refs):
+            c = self._gather_values(w_refs)
+            if weighted:
+                c = c * self.w
+            sums = np.add.reduceat(c, self.seg) if c.size else c
+            cuts = np.searchsorted(self.uniq_v, bounds)
+            pairs = [(self.uniq_v[cuts[i]:cuts[i + 1]],
+                      sums[cuts[i]:cuts[i + 1]])
+                     for i in range(len(bounds) - 1)]
+            return pairs[0] if len(pairs) == 1 else tuple(pairs)
+
+        def shard_gather_min(self, bounds: np.ndarray, lab_refs):
+            c = self._gather_values(lab_refs)
+            mins = np.minimum.reduceat(c, self.seg) if c.size else c
+            cuts = np.searchsorted(self.uniq_v, bounds)
+            pairs = [(self.uniq_v[cuts[i]:cuts[i + 1]],
+                      mins[cuts[i]:cuts[i + 1]])
+                     for i in range(len(bounds) - 1)]
+            return pairs[0] if len(pairs) == 1 else tuple(pairs)
 
         def pr_contrib(self, wvec: np.ndarray):
             """Partial PageRank gather: sums of wvec[u] per dst (sorted
@@ -102,7 +201,7 @@ class ShardPool:
     """Fixed list of EdgeShard actors built from a materialized edge
     Dataset; deterministic shard order."""
 
-    def __init__(self, edges_ds, num_shards: int):
+    def __init__(self, edges_ds, num_shards: int | None = None):
         import ray
 
         EdgeShard = _shard_class()
@@ -111,7 +210,10 @@ class ShardPool:
             for block_ref, meta in bundle.blocks:
                 if meta.num_rows is None or meta.num_rows > 0:
                     block_refs.append(block_ref)
-        k = max(1, min(num_shards, len(block_refs)))
+        # pool parallelism tracks the cluster: one shard per CPU, capped
+        # by block count (and an explicit num_shards if given)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        k = max(1, min(num_shards or cpus, cpus, len(block_refs)))
         assignments: list[list] = [[] for _ in range(k)]
         for i, br in enumerate(block_refs):
             assignments[i % k].append(br)
@@ -119,6 +221,76 @@ class ShardPool:
         # zero-copy plasma read inside the actor)
         self.actors = [EdgeShard.remote(*a) for a in assignments]
         ray.get([a.ready.remote() for a in self.actors])
+
+    # -- owner-mode orchestration (no O(n) driver work per superstep) ----
+
+    def setup_owners(self, inv_deg: np.ndarray, init_state: np.ndarray):
+        import ray
+
+        n = inv_deg.size
+        P = len(self.actors)
+        bounds = (n * np.arange(P + 1, dtype=np.int64)) // P
+        ray.get([
+            a.owner_init.remote(int(bounds[i]), int(bounds[i + 1]),
+                                inv_deg[bounds[i]:bounds[i + 1]],
+                                init_state[bounds[i]:bounds[i + 1]], bounds)
+            for i, a in enumerate(self.actors)
+        ])
+        self.bounds = bounds
+        self.n = n
+
+    def pr_step(self, alpha: float, weighted: bool = False) -> float:
+        """One owner-combined PageRank superstep; returns global L1 delta.
+        Driver-side work: launching ~3P actor calls and summing 2P
+        scalars — independent of n and m."""
+        import ray
+
+        P = len(self.actors)
+        mass_refs = [a.owner_dangling_mass.remote() for a in self.actors]
+        w_refs = [a.owner_make_w.remote() for a in self.actors]
+        parts = [a.shard_gather_sum.options(num_returns=P)
+                 .remote(self.bounds, weighted, w_refs) for a in self.actors]
+        if P == 1:
+            parts = [[p] for p in parts]
+        teleport = (1.0 - alpha) / self.n
+        # masses passed as refs — owners resolve them; the driver's only
+        # synchronization point in the whole superstep is the delta sum
+        delta_refs = [
+            self.actors[p].owner_combine_pr.remote(
+                teleport, mass_refs, self.n, alpha,
+                *[parts[k][p] for k in range(P)])
+            for p in range(P)
+        ]
+        return float(sum(ray.get(delta_refs)))
+
+    def cc_step(self) -> int:
+        """One owner-combined min-label superstep; returns #changed."""
+        import ray
+
+        P = len(self.actors)
+        lab_refs = [a.owner_get_state.remote() for a in self.actors]
+        parts = [a.shard_gather_min.options(num_returns=P)
+                 .remote(self.bounds, lab_refs) for a in self.actors]
+        if P == 1:
+            parts = [[p] for p in parts]
+        changed_refs = [
+            self.actors[p].owner_combine_min.remote(
+                *[parts[k][p] for k in range(P)])
+            for p in range(P)
+        ]
+        return int(sum(ray.get(changed_refs)))
+
+    def collect_state(self) -> np.ndarray:
+        import ray
+
+        return np.concatenate(ray.get([a.owner_get_state.remote()
+                                       for a in self.actors]))
+
+    def set_state(self, state: np.ndarray):
+        import ray
+
+        ray.get([a.owner_set_state.remote(state[self.bounds[i]:self.bounds[i + 1]])
+                 for i, a in enumerate(self.actors)])
 
     def gather_sum(self, wvec_ref, num_vertices: int, weighted: bool = False) -> np.ndarray:
         """Deterministic combined PageRank gather across shards."""

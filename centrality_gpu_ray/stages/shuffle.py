@@ -63,7 +63,8 @@ def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],
     import ray
     import ray.data
 
-    rename = list(keys) + [c if f != "count_all" else "count" for c, f in aggs]
+    rename = list(keys) + ["count" if f in ("count", "count_all") else c
+                           for c, f in aggs]
     # count_all takes no column: pass ([], "count_all")
     aggs_pa = [(c, f) if f != "count_all" else ([], "count_all") for c, f in aggs]
     # reduce-side: counts merge by SUM (count of counts would be wrong)

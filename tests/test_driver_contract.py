@@ -1,0 +1,37 @@
+"""The __ray_entry__ driver contract: entry(), queries(), oracle_sql()."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_rows():
+    out = entrymod.entry()
+    assert len(out) > 0
+    assert set(out.columns) == {"node", "pagerank"}
+    assert abs(out["pagerank"].sum() - 1.0) < 1e-8
+
+
+def test_query_and_oracle_keys_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 25
+    # every oracle has a query; non-SQL-expressible queries may omit oracles
+    assert set(oracles) <= set(qs)
+    assert len(oracles) >= 15
+
+
+@pytest.mark.parametrize("name", [
+    "graph_pagerank", "graph_components", "minhash_dedup_docs", "doc_quality"])
+def test_rows_only_queries_smoke(name):
+    out = entrymod.queries()[name](SF)
+    df = out if hasattr(out, "columns") and not hasattr(out, "to_pandas") \
+        else out.to_pandas()
+    assert len(df) > 0
