@@ -131,8 +131,14 @@ class _BrandesActor:
 
 def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
                            concurrency: int = 4, sources_per_batch: int = 32,
+                           max_sources: int | None = None,
                            metrics: dict | None = None) -> pa.Table:
-    """Exact ordered-pair BC → ``(node, bc)``."""
+    """Exact ordered-pair BC → ``(node, bc)``.
+
+    ``max_sources`` truncates the source set to the first k dense ids —
+    an *approximate* BC used as a compute-bound scaling probe (each
+    source's Brandes pass is cache-resident and embarrassingly
+    parallel); exact BC runs all n sources."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -144,8 +150,9 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     R, C = build_csr(s, d, n)
     graph_ref = ray.put((R, C, s, d, n))
 
+    n_sources = n if max_sources is None else min(n, max_sources)
     sources = ray.data.from_arrow(
-        pa.table({"source": pa.array(np.arange(n, dtype=np.int64))}))
+        pa.table({"source": pa.array(np.arange(n_sources, dtype=np.int64))}))
     parts = sources.map_batches(
         _BrandesActor, batch_format="pyarrow", batch_size=sources_per_batch,
         concurrency=concurrency,
@@ -156,7 +163,8 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
         bc[batch.column("v").to_numpy()] = batch.column("c").to_numpy()
     elapsed = time.perf_counter() - t0
     if metrics is not None:
-        metrics.update({"sec": elapsed, "sources": n})
+        metrics.update({"sec": elapsed, "sources": n_sources,
+                        "sources_per_sec": n_sources / max(elapsed, 1e-9)})
     return pa.table({
         "node": pa.array(graph.node_ids, type=pa.int64()),
         "bc": pa.array(bc),

@@ -36,7 +36,11 @@ def _shard_class():
     class EdgeShard:
         """Holds one edge slice, presorted by message destination."""
 
-        def __init__(self, *tables: pa.Table):
+        def __init__(self, *tables: pa.Table, replicas: int = 1, stride: int = 0):
+            """`replicas`/`stride`: tile this slice R times with vertex
+            offsets r·stride (bench scaling jobs build an R×-size graph
+            without R× sort cost — replica id ranges are disjoint and
+            increasing, so sorted single-copy arrays tile sorted)."""
             s = np.concatenate([t.column("s").to_numpy() for t in tables]) \
                 if tables else np.empty(0, np.int64)
             d = np.concatenate([t.column("d").to_numpy() for t in tables]) \
@@ -48,11 +52,27 @@ def _shard_class():
             u = np.concatenate([s, d])
             ww = np.concatenate([w, w]).astype(np.float64)
             order = np.lexsort((u, v))
-            self.v = np.ascontiguousarray(v[order])
-            self.u = np.ascontiguousarray(u[order])
-            self.w = np.ascontiguousarray(ww[order])
-            self.uniq_v, self.seg = np.unique(self.v, return_index=True)
-            self.num_edges = int(s.size)
+            v = v[order]
+            u = u[order]
+            ww = ww[order]
+            uniq_v, seg = np.unique(v, return_index=True)
+            gorder = np.argsort(u, kind="stable")
+            if replicas > 1:
+                M = u.size
+                u = np.concatenate([u + r * stride for r in range(replicas)])
+                v = np.concatenate([v + r * stride for r in range(replicas)])
+                ww = np.tile(ww, replicas)
+                seg = np.concatenate([seg + r * M for r in range(replicas)])
+                uniq_v = np.concatenate([uniq_v + r * stride
+                                         for r in range(replicas)])
+                gorder = np.concatenate([gorder + r * M
+                                         for r in range(replicas)])
+            self.v = np.ascontiguousarray(v)
+            self.u = np.ascontiguousarray(u)
+            self.w = np.ascontiguousarray(ww)
+            self.uniq_v, self.seg = uniq_v, seg
+            self.gorder = gorder
+            self.num_edges = int(s.size * replicas)
 
         def ready(self) -> int:
             return self.num_edges
@@ -75,10 +95,11 @@ def _shard_class():
             # message sources grouped by owner range, so the per-superstep
             # gather reads each owner's state chunk directly instead of
             # assembling the full vector (O(messages) instead of O(n)
-            # per shard — the O(n)·P assembly is what killed scaling)
-            self.gorder = np.argsort(self.u, kind="stable")
+            # per shard — the O(n)·P assembly is what killed scaling).
+            # self.gorder (argsort of u) is precomputed in __init__.
             u_sorted = self.u[self.gorder]
             self.gcuts = np.searchsorted(u_sorted, bounds)
+            self.gcuts_n = int(bounds[-1])
             self.u_local = u_sorted - np.repeat(
                 bounds[:-1], np.diff(self.gcuts)).astype(np.int64)
             return True
@@ -120,11 +141,20 @@ def _shard_class():
         # -- shard role: range-split gathers -----------------------------
 
         def _gather_values(self, chunk_refs) -> np.ndarray:
-            """Messages' source values via per-owner chunk reads (no full
-            vector assembly), un-permuted back to segment order."""
+            """Messages' source values.
+
+            Adaptive: when the full state vector is no bigger than ~half
+            the message array, assemble it once (one concat + one gather
+            pass — least memory traffic); otherwise read per-owner
+            chunks through the precomputed permutation (O(messages),
+            never O(n) — the path for state ≫ shard slice)."""
             import ray as _ray
 
             chunks = _ray.get(list(chunk_refs))
+            n_total = int(self.gcuts_n)
+            if n_total <= self.u.size // 2:
+                w = np.concatenate(chunks)
+                return w[self.u]
             c_sorted = np.empty(self.u.size, dtype=np.float64)
             for p, ch in enumerate(chunks):
                 lo, hi = self.gcuts[p], self.gcuts[p + 1]
@@ -201,7 +231,8 @@ class ShardPool:
     """Fixed list of EdgeShard actors built from a materialized edge
     Dataset; deterministic shard order."""
 
-    def __init__(self, edges_ds, num_shards: int | None = None):
+    def __init__(self, edges_ds, num_shards: int | None = None,
+                 replicas: int = 1, stride: int = 0):
         import ray
 
         EdgeShard = _shard_class()
@@ -219,7 +250,8 @@ class ShardPool:
             assignments[i % k].append(br)
         # varargs so each block ref is a top-level arg (auto-deref,
         # zero-copy plasma read inside the actor)
-        self.actors = [EdgeShard.remote(*a) for a in assignments]
+        self.actors = [EdgeShard.remote(*a, replicas=replicas, stride=stride)
+                       for a in assignments]
         ray.get([a.ready.remote() for a in self.actors])
 
     # -- owner-mode orchestration (no O(n) driver work per superstep) ----
