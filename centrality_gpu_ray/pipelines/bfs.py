@@ -132,3 +132,29 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
         "level": pa.array(level),
         "parent": pa.array(par_orig.astype(np.int64)),
     })
+
+
+def approx_diameter(graph: Graph, num_samples: int = 32, seed: int = 42,
+                    config: EngineConfig | None = None) -> dict:
+    """Sampled diameter estimate (A6): BFS depth from a deterministic
+    random sample of sources; median + max reported.
+
+    The reference samples its first 512 sources' BFS depths and takes
+    the bitonic-sorted median to pick vertex- vs edge-parallel kernels
+    (``kernels_free.cu:118-152, 447-471``); here the same sketch is an
+    operator whose output can drive the frontier-strategy switch."""
+    rng = np.random.default_rng(seed)
+    k = min(num_samples, graph.num_vertices)
+    sources = graph.node_ids[rng.choice(graph.num_vertices, size=k, replace=False)]
+    depths = []
+    for src in sources:
+        m: dict = {}
+        bfs(graph, int(src), config=config, metrics=m)
+        depths.append(m["depth"])
+    depths_arr = np.asarray(sorted(depths))
+    return {
+        "samples": k,
+        "median_depth": float(np.median(depths_arr)),
+        "max_depth": int(depths_arr.max()),
+        "depths": depths_arr.tolist(),
+    }

@@ -151,11 +151,18 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     graph_ref = ray.put((R, C, s, d, n))
 
     n_sources = n if max_sources is None else min(n, max_sources)
+    # one block per batch — otherwise the single from_arrow block becomes
+    # a single task and the actor pool runs serial
+    num_blocks = max(1, -(-n_sources // sources_per_batch))
     sources = ray.data.from_arrow(
-        pa.table({"source": pa.array(np.arange(n_sources, dtype=np.int64))}))
+        pa.table({"source": pa.array(np.arange(n_sources, dtype=np.int64))})
+    ).repartition(num_blocks)
     parts = sources.map_batches(
         _BrandesActor, batch_format="pyarrow", batch_size=sources_per_batch,
         concurrency=concurrency,
+        # fractional CPUs: a pool that reserves every core starves the
+        # upstream source-repartition tasks and deadlocks small clusters
+        num_cpus=0.5,
         fn_constructor_args=(graph_ref,))
     combined = parts.groupby("v").aggregate(Sum("c", alias_name="c"))
     bc = np.zeros(n, dtype=np.float64)

@@ -318,6 +318,15 @@ class ShardPool:
         return np.concatenate(ray.get([a.owner_get_state.remote()
                                        for a in self.actors]))
 
+    def shutdown(self):
+        """Release the actors (and their fractional CPU reservations) —
+        call when the pool is done so later stages can schedule."""
+        import ray
+
+        for a in self.actors:
+            ray.kill(a, no_restart=True)
+        self.actors = []
+
     def set_state(self, state: np.ndarray):
         import ray
 
