@@ -123,7 +123,7 @@ def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5,
                        concurrency: int = 2):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pandas", batch_size=1024,
-        concurrency=concurrency,
+        concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k})
 
 
@@ -206,7 +206,7 @@ def ngram_jaccard_pairs(ds, pairs_ds, ngram: int = 3, concurrency: int = 2):
     texts_ref = ray.put((docs["doc_id"].to_numpy(), docs["text"].fillna("").to_numpy()))
     return pairs_ds.map_batches(
         JaccardVerify, batch_format="pandas", batch_size=4096,
-        concurrency=concurrency,
+        concurrency=concurrency, num_cpus=0.5,
         fn_constructor_kwargs={"texts_ref": texts_ref, "ngram": ngram})
 
 
@@ -275,7 +275,7 @@ class SimHasher:
 
 def simhash_signatures(ds, concurrency: int = 2):
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=2048, concurrency=concurrency)
+        SimHasher, batch_format="pandas", batch_size=2048, concurrency=concurrency, num_cpus=0.5)
 
 
 def simhash_dedup(ds, max_hamming: int = 3, bands: int = 4):

@@ -86,7 +86,7 @@ class DecodeMedia:
 
 def decode_media(ds, concurrency: int = 2, batch_size: int = 64):
     return ds.map_batches(DecodeMedia, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency, num_cpus=0.5)
 
 
 class FeatureExtract:
@@ -115,7 +115,7 @@ class FeatureExtract:
 
 def extract_features(ds, concurrency: int = 2, batch_size: int = 64):
     return ds.map_batches(FeatureExtract, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency, num_cpus=0.5)
 
 
 def sample_frames(ds, every_k: int = 4, concurrency: int = 2):
@@ -135,4 +135,4 @@ def sample_frames(ds, every_k: int = 4, concurrency: int = 2):
         return pa.table({"media_id": pa.array(mids), "frame_index": pa.array(idx)})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=256,
-                          concurrency=concurrency)
+                          concurrency=concurrency, num_cpus=0.5)

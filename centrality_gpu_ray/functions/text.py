@@ -123,7 +123,7 @@ def _stage(ds, method: str, concurrency: int = 2, batch_size: int = 2048):
 
     _Runner.__name__ = f"TextAnalyzer.{method}"
     return ds.map_batches(_Runner, batch_format="pandas", batch_size=batch_size,
-                          concurrency=concurrency)
+                          concurrency=concurrency, num_cpus=0.5)
 
 
 def token_stats(ds, **kw):
