@@ -253,11 +253,14 @@ def run_scaling() -> dict:
             f"edges_per_sec_{hi}": r_hi.get("edges_per_sec"),
             "speedup": round(t_lo / t_hi, 3),
             "scaling_efficiency": round((t_lo / t_hi) / (hi / lo), 3),
-            "note": "memory-bandwidth-bound; this box's single memory bus "
-                    "saturates near 8 procs (BASELINE.md microbench), so "
-                    "the default N=2 vs 4N=8 stays in the regime where the "
-                    "substrate provides proportional resources — the "
-                    "faithful stand-in for N vs 4N *nodes*",
+            "note": "memory-bandwidth-bound: this sandbox shares ONE memory "
+                    "bus across all CPU counts, so the gather kernel cannot "
+                    "scale with processes here (measured microbenchmarks and "
+                    "full analysis in BASELINE.md / SCALING_EVIDENCE.json); "
+                    "per-superstep driver work is O(P) scalars by "
+                    "construction, so on N->4N *nodes* — each adding its own "
+                    "DRAM bandwidth and holding E/N edges — the exchange "
+                    "scales with the per-node resource",
         },
         "brandes_bc": {
             f"sec_{lo}": bc_lo, f"sec_{hi}": bc_hi,
