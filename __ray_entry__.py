@@ -214,16 +214,19 @@ def oracle_sql() -> dict[str, str]:
             FROM deg d LEFT JOIN pv ON d.node = pv.node""",
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
-                       AS sum_revenue_c2,
-                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sum_disc_pct,
+                       AS BIGINT) AS sum_revenue_c2,
+                   CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_disc_pct,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY 1, 2""",
         "revenue_by_mktsegment": """
             SELECT c_mktsegment,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_revenue_c,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_revenue_c,
                    CAST(COUNT(*) AS BIGINT) AS num_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1""",
@@ -233,13 +236,15 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_qty DESC, l_partkey LIMIT 25""",
         "events_by_type": """
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_m,
+                   CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_m,
                    MIN(value) AS min_value, MAX(value) AS max_value
             FROM events GROUP BY 1""",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_m
+                   CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_m
             FROM events GROUP BY 1, 2""",
         "user_sessions": """
             WITH o AS (

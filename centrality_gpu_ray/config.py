@@ -43,6 +43,10 @@ class EngineConfig:
         checkpoint_dir: directory for per-superstep Parquet checkpoints
             + lineage manifests; None disables checkpointing.
         checkpoint_every: checkpoint every k-th superstep.
+        strict_convergence: raise when a fixpoint algorithm (CC, label
+            propagation) hits ``max_supersteps`` with labels still
+            changing, instead of silently returning unconverged results;
+            False downgrades to a warning + ``converged=False`` metric.
     """
 
     damping: float = 0.85
@@ -56,6 +60,7 @@ class EngineConfig:
     dense_vertex_limit: int = 5_000_000
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
+    strict_convergence: bool = True
     extra: dict = field(default_factory=dict)
 
 

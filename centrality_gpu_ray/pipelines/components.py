@@ -63,10 +63,13 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
     resumed = ckpt.resume()
     if resumed is not None:
         step, _, state = resumed
-        idx = np.searchsorted(graph.node_ids, state.column("node").to_numpy())
-        labels[idx] = np.searchsorted(graph.node_ids,
-                                      state.column("component").to_numpy())
-        step += 1
+        idx = graph.dense_index(state.column("node").to_numpy())
+        comp = graph.dense_index(state.column("component").to_numpy())
+        if idx is not None and comp is not None and idx.size == n:
+            labels[idx] = comp
+            step += 1
+        else:
+            step = 0  # foreign checkpoint: start over, full budget
 
     t0 = time.perf_counter()
     changed = True
@@ -83,6 +86,7 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
             step += 1
         labels = graph.pool.collect_state().astype(np.int64)
         elapsed = time.perf_counter() - t0
+        _check_converged(changed, step, cfg, metrics)
         if metrics is not None:
             metrics.update({"supersteps": step, "sec": elapsed,
                             "num_components": int(np.unique(labels).size),
@@ -117,6 +121,7 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
         step += 1
     elapsed = time.perf_counter() - t0
 
+    _check_converged(changed, step, cfg, metrics)
     if metrics is not None:
         metrics.update({
             "supersteps": step,
@@ -125,6 +130,26 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
             "mode": graph.mode,
         })
     return _result(graph, labels)
+
+
+def _check_converged(changed: bool, step: int, cfg: EngineConfig,
+                     metrics: dict | None) -> None:
+    """Min-label CC needs O(diameter) supersteps; hitting the cap with
+    labels still moving means the returned component ids are WRONG (a
+    long chain, e.g. minhash duplicate chains, can exceed the default
+    cap). Record it and fail loudly unless the caller opted out."""
+    converged = not changed
+    if metrics is not None:
+        metrics["converged"] = converged
+    if not converged:
+        msg = (f"connected_components hit max_supersteps={cfg.max_supersteps} "
+               f"after {step} supersteps without converging; labels are NOT "
+               "final (graph diameter exceeds the superstep cap)")
+        if getattr(cfg, "strict_convergence", True):
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
 
 
 def _result(graph: Graph, labels: np.ndarray) -> pa.Table:

@@ -161,6 +161,19 @@ class Graph:
                 self._strength = st
         return self._strength
 
+    def dense_index(self, nodes: np.ndarray) -> np.ndarray | None:
+        """Original node ids → dense 0..n-1 indices, or None if any id is
+        not a vertex of THIS graph (e.g. a checkpoint from a different
+        graph). Clips before the equality check so out-of-range ids fail
+        gracefully instead of raising."""
+        if self.num_vertices == 0:
+            return None if nodes.size else np.empty(0, dtype=np.int64)
+        idx = np.minimum(np.searchsorted(self.node_ids, nodes),
+                         self.num_vertices - 1)
+        if not np.array_equal(self.node_ids[idx], nodes):
+            return None
+        return idx
+
     def scores_table(self, values: np.ndarray, col: str) -> pa.Table:
         """Dense result vector → (node, col) table in original ids."""
         return pa.table({

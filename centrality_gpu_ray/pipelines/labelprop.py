@@ -93,9 +93,13 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
     resumed = ckpt.resume()
     if resumed is not None:
         step, _, state = resumed
-        idx = np.searchsorted(graph.node_ids, state.column("node").to_numpy())
-        labels[idx] = np.searchsorted(graph.node_ids, state.column("label").to_numpy())
-        step += 1
+        idx = graph.dense_index(state.column("node").to_numpy())
+        lab = graph.dense_index(state.column("label").to_numpy())
+        if idx is not None and lab is not None and idx.size == n:
+            labels[idx] = lab
+            step += 1
+        else:
+            step = 0  # foreign checkpoint: start over, full budget
 
     t0 = time.perf_counter()
     changed = True
@@ -143,11 +147,15 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
     elapsed = time.perf_counter() - t0
 
     if metrics is not None:
+        # Synchronous LP can legitimately oscillate on bipartite
+        # structure — the cap is semantic, not an error — but callers
+        # must be able to see whether a fixpoint was reached.
         metrics.update({
             "supersteps": step,
             "sec": elapsed,
             "num_labels": int(np.unique(labels).size),
             "mode": graph.mode,
+            "converged": not changed,
         })
     return _result(graph, labels)
 

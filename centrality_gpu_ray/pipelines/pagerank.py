@@ -142,6 +142,10 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
         if restored is not None:
             rank = restored
             start_step += 1
+        else:
+            # Checkpoint is for a different graph: start over with the
+            # full superstep budget, don't inherit the stale step count.
+            start_step = 0
 
     t0 = time.perf_counter()
     step = start_step
@@ -192,8 +196,8 @@ def dense_from_pairs_from_state(state: pa.Table, graph: Graph) -> np.ndarray | N
     """Checkpointed (node, pagerank) table → dense vector in graph order."""
     nodes = state.column("node").to_numpy()
     vals = state.column(state.column_names[1]).to_numpy()
-    idx = np.searchsorted(graph.node_ids, nodes)
-    if idx.size != graph.num_vertices or not np.array_equal(graph.node_ids[idx], nodes):
+    idx = graph.dense_index(nodes)  # clips internally; None on mismatch
+    if idx is None or idx.size != graph.num_vertices:
         return None
     out = np.zeros(graph.num_vertices, dtype=np.float64)
     out[idx] = vals

@@ -177,7 +177,13 @@ def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.n
         # join on the closing pair (no broadcast of the edge set).
         wedges = oriented.groupby("a").map_groups(_wedge_gen,
                                                   batch_format="pyarrow")
-        closing = oriented.rename_columns({"a": "x", "b": "y"})
+        # Wedge pairs (x, y) come out ascending by id (neighbors are
+        # id-sorted within each apex run), but oriented edges keep the
+        # (deg, id) orientation which may be high-id→low-id.  Canonicalize
+        # the closing side to (min, max) so the equality join matches —
+        # mirrors _pack()'s lo/hi key in the broadcast path.
+        closing = oriented.map_batches(_canon_pairs, batch_format="pyarrow",
+                                       batch_size=cfg.batch_size)
         matched = wedges.join(closing, join_type="inner", on=("x", "y"),
                               num_partitions=cfg.num_partitions)
         tri = np.zeros(n, dtype=np.int64)
@@ -241,6 +247,13 @@ def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.n
     for uniq, cnt in ray.get(parts):
         np.add.at(tri, uniq, cnt)
     return tri
+
+
+def _canon_pairs(batch: pa.Table) -> pa.Table:
+    a = batch.column("a").to_numpy()
+    b = batch.column("b").to_numpy()
+    return pa.table({"x": pa.array(np.minimum(a, b)),
+                     "y": pa.array(np.maximum(a, b))})
 
 
 def _wedge_credit(batch: pa.Table) -> pa.Table:

@@ -16,7 +16,9 @@ import pyarrow as pa
 
 def _local_degree(batch: pa.Table) -> pa.Table:
     out = batch.select(["src"]).group_by(["src"]).aggregate([([], "count_all")])
-    return out.rename_columns(["node", "degree"]).cast(
+    # select by name — pyarrow group_by column order is version-dependent
+    return pa.table({"node": out.column("src"),
+                     "degree": out.column("count_all")}).cast(
         pa.schema([("node", pa.int64()), ("degree", pa.int64())]))
 
 
@@ -37,8 +39,9 @@ def degree_histogram(edges_ds):
 
     deg = degrees(edges_ds)
     pre = deg.map_batches(
-        lambda t: t.group_by(["degree"]).aggregate([([], "count_all")])
-        .rename_columns(["degree", "num_nodes"]),
+        lambda t: (lambda o: pa.table({"degree": o.column("degree"),
+                                       "num_nodes": o.column("count_all")}))(
+            t.group_by(["degree"]).aggregate([([], "count_all")])),
         batch_format="pyarrow")
     out = hash_aggregate(pre, ["degree"], [("num_nodes", "sum")],
                          num_partitions=4)

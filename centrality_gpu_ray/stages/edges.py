@@ -47,7 +47,9 @@ def _local_dedup(batch: pa.Table) -> pa.Table:
     if "weight" not in batch.column_names:
         batch = batch.append_column("weight", pa.array(np.ones(len(batch), dtype=np.int64)))
     out = batch.group_by(["src", "dst"]).aggregate([("weight", "sum")])
-    return out.rename_columns(["src", "dst", "weight"])
+    # select by name — pyarrow group_by column order is version-dependent
+    return pa.table({"src": out.column("src"), "dst": out.column("dst"),
+                     "weight": out.column("weight_sum")})
 
 
 def canonicalize(ds):

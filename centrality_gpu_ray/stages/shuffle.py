@@ -49,7 +49,15 @@ def _key_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
 def _aggregate_table(tbl: pa.Table, keys: list[str], aggs: list[tuple[str, str]],
                      rename: list[str]) -> pa.Table:
     out = tbl.group_by(keys).aggregate(aggs)
-    return out.rename_columns(rename)
+    # Select by NAME, not position: pyarrow's group_by output ordering
+    # (keys first vs last) has differed across versions; positional
+    # rename would silently mislabel key/aggregate columns on upgrade.
+    # Aggregate outputs are named "<col>_<fn>" ("count_all" for the
+    # column-less count).
+    produced = [f"{c}_{f}" if f != "count_all" else "count_all"
+                for c, f in aggs]
+    cols = [out.column(k) for k in keys] + [out.column(p) for p in produced]
+    return pa.table(dict(zip(rename, cols)))
 
 
 def hash_aggregate(ds, keys: list[str], aggs: list[tuple[str, str]],

@@ -40,7 +40,25 @@ def write_scores(table: pa.Table, out_dir: str, key_col: str = "node",
     done: set[int] = set()
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
-            done = {p["partition"] for p in json.load(f).get("partitions", [])}
+            prior = json.load(f)
+        # Only skip partitions if the prior manifest describes THIS job:
+        # same key column, row count, global key range and job metadata.
+        # Otherwise stale parquet files from a different table would be
+        # kept while the manifest is rewritten with the new table's
+        # metadata — silently inconsistent output.
+        same_job = (
+            prior.get("key_col") == key_col
+            and prior.get("rows") == n
+            and len(prior.get("partitions", [])) == num_partitions
+            and {k: v for k, v in prior.items()
+                 if k not in ("key_col", "rows", "partitions", "written_at")}
+                == (job_meta or {})
+            and (n == 0 or (
+                prior["partitions"][0].get("key_min") == int(keys[0])
+                and prior["partitions"][-1].get("key_max") == int(keys[-1])))
+        )
+        if same_job:
+            done = {p["partition"] for p in prior.get("partitions", [])}
 
     parts = []
     for i in range(num_partitions):

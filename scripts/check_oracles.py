@@ -32,12 +32,14 @@ def to_pandas(obj):
 def canon(df):
     import pandas as pd
 
+    # Mirror the driver's hash semantics: dtypes matter.  Only timestamps
+    # are unit-normalised (Arrow->pandas yields ns, DuckDB us); integer
+    # widths are NOT coerced, so a DuckDB HUGEINT (int128 -> object/float)
+    # vs engine int64 shows up here exactly as it does in the driver hash.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -86,7 +88,7 @@ def main():
                 import pandas as pd
 
                 try:
-                    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                    pd.testing.assert_frame_equal(got, want, check_dtype=True,
                                                   check_exact=True)
                 except AssertionError as e:
                     status, detail = "VALUE_MISMATCH", str(e).split("\n")[0]
