@@ -56,22 +56,32 @@ def _shard_class():
             u = u[order]
             ww = ww[order]
             uniq_v, seg = np.unique(v, return_index=True)
-            gorder = np.argsort(u, kind="stable")
+            self.rep_fold = 1
             if replicas > 1:
                 M = u.size
-                u = np.concatenate([u + r * stride for r in range(replicas)])
-                v = np.concatenate([v + r * stride for r in range(replicas)])
-                ww = np.tile(ww, replicas)
                 seg = np.concatenate([seg + r * M for r in range(replicas)])
-                uniq_v = np.concatenate([uniq_v + r * stride
-                                         for r in range(replicas)])
-                gorder = np.concatenate([gorder + r * M
-                                         for r in range(replicas)])
+                if stride > 0:
+                    # disjoint-range tiling: an R×-vertex, R×-edge graph
+                    u = np.concatenate([u + r * stride
+                                        for r in range(replicas)])
+                    v = np.concatenate([v + r * stride
+                                        for r in range(replicas)])
+                    uniq_v = np.concatenate([uniq_v + r * stride
+                                             for r in range(replicas)])
+                else:
+                    # same-vertex multigraph tiling: R× messages over the
+                    # SAME vertex set (state stays cache-resident — the
+                    # engine-overhead scaling probe). reduceat emits R
+                    # copies of the per-vertex partials; gathers fold
+                    # them with a reshape-sum before returning.
+                    u = np.tile(u, replicas)
+                    v = np.tile(v, replicas)
+                    self.rep_fold = replicas
+                ww = np.tile(ww, replicas)
             self.v = np.ascontiguousarray(v)
             self.u = np.ascontiguousarray(u)
             self.w = np.ascontiguousarray(ww)
             self.uniq_v, self.seg = uniq_v, seg
-            self.gorder = gorder
             self.num_edges = int(s.size * replicas)
 
         def ready(self) -> int:
@@ -91,17 +101,6 @@ def _shard_class():
             self.inv_deg = inv_deg_chunk
             self.state = init_chunk.copy()
             self.dangling_local = np.flatnonzero(inv_deg_chunk == 0.0)
-            # shard-role gather precompute: permutation of this shard's
-            # message sources grouped by owner range, so the per-superstep
-            # gather reads each owner's state chunk directly instead of
-            # assembling the full vector (O(messages) instead of O(n)
-            # per shard — the O(n)·P assembly is what killed scaling).
-            # self.gorder (argsort of u) is precomputed in __init__.
-            u_sorted = self.u[self.gorder]
-            self.gcuts = np.searchsorted(u_sorted, bounds)
-            self.gcuts_n = int(bounds[-1])
-            self.u_local = u_sorted - np.repeat(
-                bounds[:-1], np.diff(self.gcuts)).astype(np.int64)
             return True
 
         def owner_set_state(self, chunk: np.ndarray):
@@ -111,94 +110,96 @@ def _shard_class():
         def owner_get_state(self) -> np.ndarray:
             return self.state
 
-        def owner_make_w(self) -> np.ndarray:
-            return self.state * self.inv_deg
+        def owner_make_w_mass(self):
+            """(contribution chunk, dangling mass) in one call/object."""
+            return (self.state * self.inv_deg,
+                    float(self.state[self.dangling_local].sum()))
 
-        def owner_dangling_mass(self) -> float:
-            return float(self.state[self.dangling_local].sum())
-
-        def owner_combine_pr(self, teleport: float, masses, n: int,
-                             alpha: float, *parts) -> float:
-            import ray as _ray
-
-            dangling_term = float(sum(_ray.get(list(masses)))) / n
+        def owner_combine_pr(self, teleport: float, dangling_mass: float,
+                             n: int, alpha: float, my_idx: int,
+                             *shard_outs) -> float:
+            """`shard_outs` are the P shards' full range-split output
+            tuples (zero-copy plasma views); this owner consumes slot
+            ``my_idx`` of each. One object per shard instead of P
+            (P² tiny objects per superstep was a measured fixed cost)."""
+            dangling_term = dangling_mass / n
             new = np.zeros(self.hi - self.lo, dtype=np.float64)
-            for uniq_v, sums in parts:  # fixed shard order → deterministic
-                np.add.at(new, uniq_v - self.lo, sums)
+            # each part's uniq_v is unique+sorted within the part, so
+            # fancy-index += is exact (and ~10x faster than np.add.at's
+            # unbuffered scatter); fixed shard order → deterministic
+            for out in shard_outs:
+                uniq_v, sums = out[my_idx]
+                new[uniq_v - self.lo] += sums
             new = teleport + alpha * (new + dangling_term)
             delta = float(np.abs(new - self.state).sum())
             self.state = new
             return delta
 
-        def owner_combine_min(self, *parts) -> int:
+        def owner_combine_min(self, my_idx: int, *shard_outs) -> int:
             new = self.state.copy()
-            for uniq_v, mins in parts:
-                np.minimum.at(new, uniq_v - self.lo, mins)
+            for out in shard_outs:  # uniq_v unique per part
+                uniq_v, mins = out[my_idx]
+                idx = uniq_v - self.lo
+                new[idx] = np.minimum(new[idx], mins)
             changed = int(np.count_nonzero(new != self.state))
             self.state = new
             return changed
 
         # -- shard role: range-split gathers -----------------------------
+        # The full state vector arrives as ONE plasma object (assembled
+        # once per superstep by a single task, the per-node analog of
+        # "one object-store copy per node"); every shard reads it
+        # ZERO-COPY via arg auto-deref, so all shard processes gather
+        # from the SAME physical pages. The previous design had each
+        # shard privately np.concatenate its own copy — P private copies
+        # of the state thrashed the shared L3 and flat-lined 2→8 CPU
+        # scaling (profiled: gather 0.28s at P=2 vs 0.29s at P=6).
 
-        def _gather_values(self, chunk_refs) -> np.ndarray:
-            """Messages' source values.
-
-            Adaptive: when the full state vector is no bigger than ~half
-            the message array, assemble it once (one concat + one gather
-            pass — least memory traffic); otherwise read per-owner
-            chunks through the precomputed permutation (O(messages),
-            never O(n) — the path for state ≫ shard slice)."""
-            import ray as _ray
-
-            chunks = _ray.get(list(chunk_refs))
-            n_total = int(self.gcuts_n)
-            if n_total <= self.u.size // 2:
-                w = np.concatenate(chunks)
-                return w[self.u]
-            c_sorted = np.empty(self.u.size, dtype=np.float64)
-            for p, ch in enumerate(chunks):
-                lo, hi = self.gcuts[p], self.gcuts[p + 1]
-                c_sorted[lo:hi] = ch[self.u_local[lo:hi]]
-            c = np.empty_like(c_sorted)
-            c[self.gorder] = c_sorted
-            return c
-
-        def shard_gather_sum(self, bounds: np.ndarray, weighted: bool, w_refs):
-            c = self._gather_values(w_refs)
+        def shard_gather_sum(self, bounds: np.ndarray, weighted: bool,
+                             w: np.ndarray):
+            c = w[self.u]
             if weighted:
                 c = c * self.w
             sums = np.add.reduceat(c, self.seg) if c.size else c
+            if self.rep_fold > 1:
+                sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
             cuts = np.searchsorted(self.uniq_v, bounds)
-            pairs = [(self.uniq_v[cuts[i]:cuts[i + 1]],
-                      sums[cuts[i]:cuts[i + 1]])
-                     for i in range(len(bounds) - 1)]
-            return pairs[0] if len(pairs) == 1 else tuple(pairs)
+            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
+                          sums[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
 
-        def shard_gather_min(self, bounds: np.ndarray, lab_refs):
-            c = self._gather_values(lab_refs)
+        def shard_gather_min(self, bounds: np.ndarray, lab: np.ndarray):
+            c = lab[self.u]
             mins = np.minimum.reduceat(c, self.seg) if c.size else c
+            if self.rep_fold > 1:
+                mins = mins.reshape(self.rep_fold, -1).min(axis=0)
             cuts = np.searchsorted(self.uniq_v, bounds)
-            pairs = [(self.uniq_v[cuts[i]:cuts[i + 1]],
-                      mins[cuts[i]:cuts[i + 1]])
-                     for i in range(len(bounds) - 1)]
-            return pairs[0] if len(pairs) == 1 else tuple(pairs)
+            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
+                          mins[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
 
         def pr_contrib(self, wvec: np.ndarray):
             """Partial PageRank gather: sums of wvec[u] per dst (sorted
             segments → reduceat, deterministic)."""
             c = wvec[self.u]
             sums = np.add.reduceat(c, self.seg) if c.size else c
+            if self.rep_fold > 1:
+                sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
             return self.uniq_v, sums
 
         def pr_contrib_weighted(self, wvec: np.ndarray):
             c = wvec[self.u] * self.w
             sums = np.add.reduceat(c, self.seg) if c.size else c
+            if self.rep_fold > 1:
+                sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
             return self.uniq_v, sums
 
         def min_label(self, labels: np.ndarray):
             """Partial min-label per dst (CC superstep)."""
             c = labels[self.u]
             mins = np.minimum.reduceat(c, self.seg) if c.size else c
+            if self.rep_fold > 1:
+                mins = mins.reshape(self.rep_fold, -1).min(axis=0)
             return self.uniq_v, mins
 
         def label_counts(self, labels: np.ndarray, weighted: bool):
@@ -227,6 +228,43 @@ def _shard_class():
     return EdgeShard
 
 
+def _blocks(edges_ds) -> list:
+    """Non-empty block refs of a materialized Dataset."""
+    refs = []
+    for bundle in edges_ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(block_ref)
+    return refs
+
+
+_ASSEMBLE = None
+
+
+def _assemble_fn():
+    """Lazy remote fn: concat the P owner state chunks into ONE plasma
+    object per superstep. Every shard reads it zero-copy via arg
+    auto-deref (shared physical pages — one L3-resident copy per node,
+    not P private copies). On a multi-node cluster this is the one
+    object-store broadcast copy per node the design budgets for."""
+    global _ASSEMBLE
+    if _ASSEMBLE is None:
+        import ray
+
+        @ray.remote(num_cpus=0)
+        def _assemble(*chunks: np.ndarray) -> np.ndarray:
+            return np.concatenate(chunks)
+
+        @ray.remote(num_cpus=0, num_returns=2)
+        def _assemble_wm(*wm_pairs):
+            w = np.concatenate([p[0] for p in wm_pairs])
+            mass = float(sum(p[1] for p in wm_pairs))
+            return w, mass
+
+        _ASSEMBLE = (_assemble, _assemble_wm)
+    return _ASSEMBLE
+
+
 class ShardPool:
     """Fixed list of EdgeShard actors built from a materialized edge
     Dataset; deterministic shard order."""
@@ -236,15 +274,22 @@ class ShardPool:
         import ray
 
         EdgeShard = _shard_class()
-        block_refs = []
-        for bundle in edges_ds.iter_internal_ref_bundles():
-            for block_ref, meta in bundle.blocks:
-                if meta.num_rows is None or meta.num_rows > 0:
-                    block_refs.append(block_ref)
-        # pool parallelism tracks the cluster: one shard per CPU, capped
-        # by block count (and an explicit num_shards if given)
+        # pool parallelism tracks the cluster (explicit num_shards
+        # overrides), capped at 16 per node: the superstep is
+        # memory-bandwidth-bound, and a measured P-sweep at 32 CPUs gives
+        # 0.16/0.06/0.057/0.18 s per superstep at P=4/8/16/32 — beyond
+        # ~16 shards per memory bus the per-superstep task/object fixed
+        # costs grow while the bus adds nothing. NOT capped by input
+        # block count — a materialized sort can emit far fewer blocks
+        # than CPUs (measured: 7 blocks at sf0.1, silently limiting
+        # "32-CPU" runs to 7 shards); repartition first so every shard
+        # gets work.
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        k = max(1, min(num_shards or cpus, cpus, len(block_refs)))
+        k = max(1, num_shards or min(cpus, 16))
+        block_refs = _blocks(edges_ds)
+        if len(block_refs) < k:
+            block_refs = _blocks(edges_ds.repartition(k).materialize())
+        k = max(1, min(k, len(block_refs)))
         assignments: list[list] = [[] for _ in range(k)]
         for i, br in enumerate(block_refs):
             assignments[i % k].append(br)
@@ -253,6 +298,14 @@ class ShardPool:
         self.actors = [EdgeShard.remote(*a, replicas=replicas, stride=stride)
                        for a in assignments]
         ray.get([a.ready.remote() for a in self.actors])
+
+    @staticmethod
+    def _assembler():
+        return _assemble_fn()[0]
+
+    @staticmethod
+    def _assembler_wm():
+        return _assemble_fn()[1]
 
     # -- owner-mode orchestration (no O(n) driver work per superstep) ----
 
@@ -278,19 +331,17 @@ class ShardPool:
         import ray
 
         P = len(self.actors)
-        mass_refs = [a.owner_dangling_mass.remote() for a in self.actors]
-        w_refs = [a.owner_make_w.remote() for a in self.actors]
-        parts = [a.shard_gather_sum.options(num_returns=P)
-                 .remote(self.bounds, weighted, w_refs) for a in self.actors]
-        if P == 1:
-            parts = [[p] for p in parts]
+        wm_refs = [a.owner_make_w_mass.remote() for a in self.actors]
+        w_full, mass_total = self._assembler_wm().remote(*wm_refs)
+        outs = [a.shard_gather_sum.remote(self.bounds, weighted, w_full)
+                for a in self.actors]
         teleport = (1.0 - alpha) / self.n
-        # masses passed as refs — owners resolve them; the driver's only
-        # synchronization point in the whole superstep is the delta sum
+        # one output object per shard; owner p slices slot p of each
+        # (zero-copy views). The driver's only synchronization point in
+        # the whole superstep is the delta sum — O(P) scalars.
         delta_refs = [
             self.actors[p].owner_combine_pr.remote(
-                teleport, mass_refs, self.n, alpha,
-                *[parts[k][p] for k in range(P)])
+                teleport, mass_total, self.n, alpha, p, *outs)
             for p in range(P)
         ]
         return float(sum(ray.get(delta_refs)))
@@ -301,13 +352,11 @@ class ShardPool:
 
         P = len(self.actors)
         lab_refs = [a.owner_get_state.remote() for a in self.actors]
-        parts = [a.shard_gather_min.options(num_returns=P)
-                 .remote(self.bounds, lab_refs) for a in self.actors]
-        if P == 1:
-            parts = [[p] for p in parts]
+        lab_full = self._assembler().remote(*lab_refs)
+        outs = [a.shard_gather_min.remote(self.bounds, lab_full)
+                for a in self.actors]
         changed_refs = [
-            self.actors[p].owner_combine_min.remote(
-                *[parts[k][p] for k in range(P)])
+            self.actors[p].owner_combine_min.remote(p, *outs)
             for p in range(P)
         ]
         return int(sum(ray.get(changed_refs)))
