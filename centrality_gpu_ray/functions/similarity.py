@@ -17,10 +17,27 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _as_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _matrix_from_arrow(col) -> np.ndarray:
+    """Embedding column (fixed-size or plain list) → (n, d) float64 with
+    a zero-copy flatten+reshape — no Python loop over rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_fixed_size_list(col.type):
+        d = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), d).astype(np.float64, copy=False)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if len(col) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    d = flat.size // len(col)
+    return flat.reshape(len(col), d).astype(np.float64, copy=False)
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -29,42 +46,82 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 def ann_brute_force(emb_ds, queries: np.ndarray, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    query_ids: np.ndarray | None = None):
+                    query_ids: np.ndarray | None = None,
+                    batch_size: int = 4096):
     """Exact cosine top-k. Returns ``(query_id, vec_id, score, rank)``
     sorted by (query_id, rank); deterministic ties by min vec_id."""
     import ray
+
+    import ray.data
 
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     qids = (np.arange(Q.shape[0], dtype=np.int64)
             if query_ids is None else np.asarray(query_ids, dtype=np.int64))
     q_ref = ray.put((qids, Q))
 
-    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch: pa.Table) -> pa.Table:
         q_ids, q_mat = ray.get(q_ref)
-        M = _normalize(_as_matrix(batch[vec_col].to_numpy()))
-        ids = batch[id_col].to_numpy()
-        sims = q_mat @ M.T  # (nq, nb)
-        kk = min(k, sims.shape[1])
-        # deterministic local top-k: order by (-score, vec_id)
-        order = np.lexsort((ids[None, :].repeat(sims.shape[0], 0), -sims), axis=1)
-        top = order[:, :kk]
-        qi = np.repeat(q_ids, kk)
-        vj = top.ravel()
-        return pd.DataFrame({
-            "query_id": qi,
-            "vec_id": ids[vj],
-            "score": np.take_along_axis(sims, top, axis=1).ravel(),
+        M = _normalize(_matrix_from_arrow(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy()
+        MT = np.ascontiguousarray(M.T)
+        nb = M.shape[0]
+        kk = min(k, nb)
+        # Chunk the query dimension so each sims block stays ~4 MB
+        # (cache-resident): a full (nq × nb) sims materialization at
+        # nq=4096 streams 128 MB per batch and turns the whole stage
+        # DRAM-bound (measured anti-scaling 304→73 q/s at 2→32 CPUs).
+        qchunk = max(16, 524_288 // max(nb, 1))
+        out_q, out_v, out_s = [], [], []
+        for lo in range(0, q_mat.shape[0], qchunk):
+            sims = q_mat[lo:lo + qchunk] @ MT  # (qchunk, nb)
+            # deterministic top-k by (-score, vec_id): argpartition down
+            # to k candidates (O(nb)/query), exact lexsort only within
+            if nb > kk:
+                part = np.argpartition(sims, nb - kk, axis=1)[:, nb - kk:]
+            else:
+                part = np.broadcast_to(np.arange(nb), sims.shape).copy()
+            psims = np.take_along_axis(sims, part, axis=1)
+            pids = ids[part]
+            order = np.lexsort((pids, -psims), axis=1)
+            out_q.append(np.repeat(q_ids[lo:lo + qchunk], kk))
+            out_v.append(np.take_along_axis(pids, order, axis=1).ravel())
+            out_s.append(np.take_along_axis(psims, order, axis=1).ravel())
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "score": pa.array(np.concatenate(out_s)),
         })
 
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     local = emb_ds.select_columns([id_col, vec_col]).map_batches(
-        local_topk, batch_format="pandas", batch_size=4096)
-    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+        local_topk, batch_format="pyarrow", batch_size=batch_size)
+    # Final merge on the driver, fully vectorized: nblocks × nq × k rows
+    # (tiny next to the table) — a Ray groupby here iterates 1 Python
+    # call per query. For huge query sets, raise k-batching upstream or
+    # split the query matrix across jobs.
+    tabs = [b for b in local.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64()),
+                      "rank": pa.array([], type=pa.int64())})
+    if not tabs:
+        return ray.data.from_arrow(empty)
+    t = pa.concat_tables(tabs)
+    if t.num_rows == 0:
+        return ray.data.from_arrow(empty)
+    qi = t.column("query_id").to_numpy()
+    vi = t.column("vec_id").to_numpy()
+    sc = t.column("score").to_numpy()
+    order = np.lexsort((vi, -sc, qi))
+    qi, vi, sc = qi[order], vi[order], sc[order]
+    pos = np.arange(qi.size) - np.searchsorted(qi, qi)  # rank within query
+    keep = pos < k
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(qi[keep]),
+        "vec_id": pa.array(vi[keep]),
+        "score": pa.array(sc[keep]),
+        "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+    }))
 
 
 class _HyperplaneHasher:

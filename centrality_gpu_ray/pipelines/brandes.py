@@ -111,13 +111,26 @@ def _ragged_arange(counts: np.ndarray) -> np.ndarray:
 class _BrandesActor:
     """Actor-pool stage: holds the broadcast CSR; each batch is a set of
     sources; emits that batch's summed (v, delta) rows (pre-aggregated —
-    one dense accumulate per batch, sparse rows out)."""
+    one dense accumulate per batch, sparse rows out).
+
+    The CSR ships as BYTES and is materialized onto each actor's private
+    heap in ``__init__``: zero-copy plasma views are mapped from 4 KB
+    /dev/shm pages and read ~2.6× slower in this hot loop than
+    THP-backed heap arrays (measured 240 vs 650 sources/s per actor on
+    this substrate — reproducible across reps). A one-time ~10 ms copy
+    per actor buys the whole run's kernel speed; the private-copy cost
+    is the documented trade of the resident-CSR design (one graph copy
+    per actor, like the reference's per-GPU copy)."""
 
     def __init__(self, graph_ref):
         import ray
 
-        R, C, S_arr, D_arr, n = ray.get(graph_ref)
-        self.R, self.C, self.S, self.D, self.n = R, C, S_arr, D_arr, n
+        Rb, Cb, Sb, Db, n = ray.get(graph_ref)
+        self.R = np.frombuffer(Rb, dtype=np.int64).copy()
+        self.C = np.frombuffer(Cb, dtype=np.int64).copy()
+        self.S = np.frombuffer(Sb, dtype=np.int64).copy()
+        self.D = np.frombuffer(Db, dtype=np.int64).copy()
+        self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         acc = np.zeros(self.n, dtype=np.float64)
@@ -130,7 +143,8 @@ class _BrandesActor:
 
 
 def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
-                           concurrency: int = 4, sources_per_batch: int = 32,
+                           concurrency: int = 4,
+                           sources_per_batch: int | None = None,
                            max_sources: int | None = None,
                            metrics: dict | None = None) -> pa.Table:
     """Exact ordered-pair BC → ``(node, bc)``.
@@ -141,22 +155,31 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     parallel); exact BC runs all n sources."""
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     cfg = config or graph.config
     t0 = time.perf_counter()
     n = graph.num_vertices
     s, d, _ = graph.local_arrays()
     R, C = build_csr(s, d, n)
-    graph_ref = ray.put((R, C, s, d, n))
+    graph_ref = ray.put((R.tobytes(), C.tobytes(),
+                         s.astype(np.int64).tobytes(),
+                         d.astype(np.int64).tobytes(), n))
 
     n_sources = n if max_sources is None else min(n, max_sources)
-    # one block per batch — otherwise the single from_arrow block becomes
-    # a single task and the actor pool runs serial
+    if sources_per_batch is None:
+        # ~4 tasks per actor: enough slack for load balance, but big
+        # enough that the per-task RTT (~5-10 ms measured on this
+        # substrate) is amortized — 128 tasks of 64 sources lost 3x
+        # throughput to task overhead vs the same work in 32 tasks.
+        sources_per_batch = max(32, -(-n_sources // (concurrency * 4)))
+    # one block per batch — otherwise a single from_arrow block becomes a
+    # single task and the actor pool runs serial. range() materializes
+    # the blocks directly; a from_arrow().repartition() here cost a
+    # ~0.5-1 s fixed Ray Data job that capped the probe's scaling.
     num_blocks = max(1, -(-n_sources // sources_per_batch))
-    sources = ray.data.from_arrow(
-        pa.table({"source": pa.array(np.arange(n_sources, dtype=np.int64))})
-    ).repartition(num_blocks)
+    sources = ray.data.range(n_sources, override_num_blocks=num_blocks) \
+        .rename_columns({"id": "source"})
+    setup_sec = time.perf_counter() - t0
     parts = sources.map_batches(
         _BrandesActor, batch_format="pyarrow", batch_size=sources_per_batch,
         concurrency=concurrency,
@@ -164,13 +187,19 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
         # upstream source-repartition tasks and deadlocks small clusters
         num_cpus=0.5,
         fn_constructor_args=(graph_ref,))
-    combined = parts.groupby("v").aggregate(Sum("c", alias_name="c"))
+    # Merge on the driver: each batch is already per-batch aggregated
+    # sparse (v unique within a batch), and the merged result is a dense
+    # n-vector — a Ray-native groupby here iterates groups in Python
+    # (~125 µs/row; it was the serial tail that capped BC scaling at
+    # 0.38 efficiency 2→8 CPUs). iter_batches preserves block order, so
+    # the float accumulation order is deterministic.
     bc = np.zeros(n, dtype=np.float64)
-    for batch in combined.iter_batches(batch_size=None, batch_format="pyarrow"):
-        bc[batch.column("v").to_numpy()] = batch.column("c").to_numpy()
+    for batch in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        bc[batch.column("v").to_numpy()] += batch.column("c").to_numpy()
     elapsed = time.perf_counter() - t0
     if metrics is not None:
         metrics.update({"sec": elapsed, "sources": n_sources,
+                        "setup_sec": setup_sec,
                         "sources_per_sec": n_sources / max(elapsed, 1e-9)})
     return pa.table({
         "node": pa.array(graph.node_ids, type=pa.int64()),
