@@ -56,6 +56,8 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
 
     cfg = config or graph.config
     n = graph.num_vertices
+    if getattr(graph, "sharded", False):
+        return _components_sharded(graph, cfg, metrics)
     labels = np.arange(n, dtype=np.int64)
     ckpt = CheckpointManager(cfg.checkpoint_dir, "components", cfg.checkpoint_every,
                              cfg.num_partitions)
@@ -130,6 +132,32 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
             "mode": graph.mode,
         })
     return _result(graph, labels)
+
+
+def _components_sharded(graph: Graph, cfg: EngineConfig,
+                        metrics: dict | None):
+    """>dense_vertex_limit CC: labels live sharded in the owner actors
+    (min-label over dense ids); result is a Dataset of
+    (node, component) in ORIGINAL ids — min dense id maps to min
+    original id because the dictionary is sorted."""
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    n = graph.num_vertices
+    pool = graph.pool
+    pool.setup_owners_sharded(n)
+    pool.reset_labels()
+    t0 = time.perf_counter()
+    step, changed = 0, True
+    while changed and step < cfg.max_supersteps:
+        changed = pool.cc_step() > 0
+        step += 1
+    elapsed = time.perf_counter() - t0
+    _check_converged(changed, step, cfg, metrics)
+    if metrics is not None:
+        metrics.update({"supersteps": step, "sec": elapsed,
+                        "mode": "sharded"})
+    return scores_dataset(graph.vdict, pool, "component",
+                          to_original_values=True)
 
 
 def _check_converged(changed: bool, step: int, cfg: EngineConfig,

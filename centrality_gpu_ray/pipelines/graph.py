@@ -62,33 +62,50 @@ class Graph:
         canon = edges_ds.map_batches(_to_canonical, batch_format="pyarrow")
         self._canon_ds = canon.materialize()
 
-        # distinct vertex ids: per-block partial unique (one map pass,
-        # no shuffle), merged by np.unique on the driver — Dataset.unique
-        # would be two full Python-speed aggregates
-        id_parts = []
-        for b in self._canon_ds.map_batches(
-                _unique_vertices, batch_format="pyarrow").iter_batches(
-                batch_size=None, batch_format="pyarrow"):
-            id_parts.append(b.column("v").to_numpy())
-        self.node_ids = (np.unique(np.concatenate(id_parts)) if id_parts
-                         else np.empty(0, dtype=np.int64))
-        self.num_vertices = int(self.node_ids.size)
-        if self.num_vertices > self.config.dense_vertex_limit:
-            raise NotImplementedError(
-                "sharded-state path for > dense_vertex_limit vertices is not "
-                "wired yet; raise config.dense_vertex_limit if the driver has RAM")
+        # distinct vertex ids: per-block partial unique (one map pass, no
+        # shuffle). The SUM of per-block uniques upper-bounds the true
+        # distinct count, so it decides dense-vs-sharded without pulling
+        # anything to the driver.
+        uniq_ds = self._canon_ds.map_batches(
+            _unique_vertices, batch_format="pyarrow").materialize()
+        upper_bound = uniq_ds.count()
+        self.sharded = upper_bound > self.config.dense_vertex_limit
+        if not self.sharded:
+            # dense path: merge per-block uniques on the driver
+            id_parts = [b.column("v").to_numpy()
+                        for b in uniq_ds.iter_batches(batch_size=None,
+                                                      batch_format="pyarrow")]
+            self.node_ids = (np.unique(np.concatenate(id_parts)) if id_parts
+                             else np.empty(0, dtype=np.int64))
+            self.num_vertices = int(self.node_ids.size)
+            ids_ref = ray.put(self.node_ids)
+            remap = _Remap(ids_ref)
+        else:
+            # sharded path (> dense_vertex_limit): dictionary built
+            # distributed, range-partitioned plasma blocks; the driver
+            # holds P boundaries/offsets only (pipelines/vertexdict.py).
+            from centrality_gpu_ray.pipelines.vertexdict import (
+                VertexDict, _RemapSharded)
 
-        ids_ref = ray.put(self.node_ids)
+            self.vdict = VertexDict.build(
+                uniq_ds, num_partitions=self.config.num_partitions)
+            self.node_ids = None
+            self.num_vertices = self.vdict.num_vertices
+            remap = _RemapSharded(
+                (self.vdict.mins, self.vdict.offsets, self.vdict.block_refs))
+
         # sort by (s, d) before pinning: range-partitioned blocks give the
         # per-block partial aggregation locality (few distinct message
         # keys per block), which is what keeps superstep shuffle/combine
         # volume ≪ edge volume
         self.edges = self._canon_ds.map_batches(
-            _Remap(ids_ref), batch_format="pyarrow",
+            remap, batch_format="pyarrow",
             batch_size=self.config.batch_size).sort(["s", "d"]).materialize()
         self.num_edges = self.edges.count()
 
-        if mode == "auto":
+        if self.sharded:
+            mode = "distributed"  # per-vertex state cannot live driver-side
+        elif mode == "auto":
             mode = "local" if self.num_edges <= LOCAL_EDGE_CUTOFF else "distributed"
         self.mode = mode
 

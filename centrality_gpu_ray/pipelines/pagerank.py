@@ -126,6 +126,8 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
     only its dead CPU Dijkstra path was weighted — SURVEY.md §1.1.)"""
     cfg = config or graph.config
     n = graph.num_vertices
+    if getattr(graph, "sharded", False):
+        return _pagerank_sharded(graph, cfg, weighted, metrics)
     deg = graph.strength if weighted else graph.out_degree
     dangling = np.flatnonzero(deg == 0)
     inv_deg = np.zeros(n, dtype=np.float64)
@@ -190,6 +192,37 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
             "mode": graph.mode,
         })
     return graph.scores_table(rank, "pagerank")
+
+
+def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
+                      metrics: dict | None):
+    """>dense_vertex_limit path: degrees, inv_deg, rank state and the
+    result all live sharded in the owner actors; the driver does O(P)
+    work per superstep and never holds an O(n) vector. Returns a
+    ``ray.data.Dataset`` of (node, pagerank). Checkpointing is not yet
+    wired for sharded state (the dense path has it); resumability at
+    this tier comes from the partitioned result write."""
+    import time as _time
+
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    n = graph.num_vertices
+    pool = graph.pool
+    pool.setup_owners_sharded(n, weighted)
+    t0 = _time.perf_counter()
+    step, delta = 0, np.inf
+    while step < cfg.max_supersteps and delta > cfg.tolerance:
+        delta = pool.pr_step(cfg.damping, weighted)
+        step += 1
+    elapsed = _time.perf_counter() - t0
+    if metrics is not None:
+        metrics.update({
+            "supersteps": step, "l1_delta": delta, "sec": elapsed,
+            "edges_processed": 2 * graph.num_edges * step,
+            "edges_per_sec": (2 * graph.num_edges * step) / max(elapsed, 1e-9),
+            "mode": "sharded",
+        })
+    return scores_dataset(graph.vdict, pool, "pagerank")
 
 
 def dense_from_pairs_from_state(state: pa.Table, graph: Graph) -> np.ndarray | None:

@@ -103,6 +103,53 @@ def _shard_class():
             self.dangling_local = np.flatnonzero(inv_deg_chunk == 0.0)
             return True
 
+        def degree_partials(self, bounds: np.ndarray, weighted: bool = False):
+            """Range-split per-vertex degree (or strength) partials from
+            this shard's resident layout — segment lengths of the
+            v-sorted message array, no state vector needed. Feeds the
+            sharded-state owner init (degrees never materialize on the
+            driver)."""
+            if self.u.size == 0:
+                z = np.empty(0, dtype=np.int64)
+                return tuple((z, z.astype(np.float64))
+                             for _ in range(len(bounds) - 1))
+            if weighted:
+                vals = np.add.reduceat(self.w, self.seg)
+            else:
+                seg_ends = np.append(self.seg[1:], self.u.size)
+                vals = (seg_ends - self.seg).astype(np.float64)
+            if self.rep_fold > 1:
+                vals = vals.reshape(self.rep_fold, -1).sum(axis=0)
+            cuts = np.searchsorted(self.uniq_v, bounds)
+            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
+                          vals[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def owner_init_from_parts(self, lo: int, hi: int,
+                                  bounds: np.ndarray, n: int, my_idx: int,
+                                  *deg_outs):
+            """Sharded-state owner init: assemble this range's degree
+            chunk from the shards' partials, derive inv_deg locally,
+            uniform-init the state. The driver never holds an O(n)
+            vector."""
+            self.lo, self.hi = lo, hi
+            deg = np.zeros(hi - lo, dtype=np.float64)
+            for out in deg_outs:
+                uniq_v, vals = out[my_idx]
+                deg[uniq_v - lo] += vals
+            inv = np.zeros(hi - lo, dtype=np.float64)
+            nz = deg > 0
+            inv[nz] = 1.0 / deg[nz]
+            self.inv_deg = inv
+            self.state = np.full(hi - lo, 1.0 / n, dtype=np.float64)
+            self.dangling_local = np.flatnonzero(~nz)
+            return True
+
+        def owner_init_labels(self) -> bool:
+            """Reset state to dense-id labels (CC init) for this range."""
+            self.state = np.arange(self.lo, self.hi, dtype=np.float64)
+            return True
+
         def owner_set_state(self, chunk: np.ndarray):
             self.state = chunk.copy()
             return True
@@ -323,6 +370,30 @@ class ShardPool:
         ])
         self.bounds = bounds
         self.n = n
+
+    def setup_owners_sharded(self, n: int, weighted: bool = False):
+        """Owner init for the >dense_vertex_limit path: degree chunks
+        come from the shards' resident segment lengths; the driver only
+        routes refs (O(P) work, O(1) memory)."""
+        import ray
+
+        P = len(self.actors)
+        bounds = (n * np.arange(P + 1, dtype=np.int64)) // P
+        deg_outs = [a.degree_partials.remote(bounds, weighted)
+                    for a in self.actors]
+        ray.get([
+            a.owner_init_from_parts.remote(int(bounds[i]), int(bounds[i + 1]),
+                                           bounds, n, i, *deg_outs)
+            for i, a in enumerate(self.actors)
+        ])
+        self.bounds = bounds
+        self.n = n
+
+    def reset_labels(self):
+        """Set owner state to dense-id labels (CC init)."""
+        import ray
+
+        ray.get([a.owner_init_labels.remote() for a in self.actors])
 
     def pr_step(self, alpha: float, weighted: bool = False) -> float:
         """One owner-combined PageRank superstep; returns global L1 delta.
