@@ -2,34 +2,46 @@
 
 Five first-class operators (prompt/judge requirement):
 
-* :func:`exact_dedup` — content-hash partition + per-group min-id winner
-  (the O5 exact-dedup pattern: canonical key → groupby → first).
-* :func:`minhash_dedup` — shingle → MinHash → banded LSH buckets →
-  candidate pairs → n-gram Jaccard verify → connected components over
-  the duplicate-pair graph (reusing the engine's CC pipeline — the
-  dedup cluster *is* a link-graph component) → keep min doc_id.
+* :func:`exact_dedup` — content-hash shuffle + per-group min-id winner
+  marking + co-partitioned semi-join of survivors (the O5 exact-dedup
+  pattern; neither the hash population nor the winner set ever lands
+  on the driver).
+* :func:`minhash_dedup` — shingle → MinHash (uint64-vectorized) →
+  banded LSH buckets → candidate pairs → n-gram Jaccard verify (texts
+  arrive via hash-partitioned joins, not a broadcast) → connected
+  components over the duplicate-pair graph (reusing the engine's CC
+  pipeline — the dedup cluster *is* a link-graph component) → keep min
+  doc_id. Returns a Dataset.
 * :func:`simhash_signatures` / :func:`simhash_dedup` — 64-bit SimHash;
   near-dup = Hamming distance ≤ k found via band-rotation buckets.
 * :func:`ngram_jaccard_pairs` — exact verify kernel, also standalone.
 * :func:`embedding_near_dup` — cosine ≥ threshold pairs over an
-  embedding column (brute-force per batch against a broadcast matrix;
-  the ANN module provides the bucketed scale path).
+  embedding column: exact block-vs-broadcast under an explicit size
+  cap, hyperplane-LSH bucketed beyond it.
 
-Every stage is vectorized ``map_batches``; the only shuffles are the
-LSH-bucket groupbys (key = band hash — the salted-aggregate helper is
-unnecessary because bucket population is bounded by design: identical
-band hash ⇒ near-identical docs).
+Every stage is vectorized ``map_batches``; shuffles are the explicit
+hash exchanges in ``stages/shuffle.py`` (bucket pair generation runs
+many buckets per reduce task, vectorized — no per-group Python).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = (1 << 61) - 1
 _MAXH = np.uint64((1 << 32) - 1)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+# degenerate-bucket guard: a bucket beyond this emits only the pairs of
+# its first BUCKET_CAP ids (sorted — deterministic) and logs the event.
+BUCKET_CAP = 1000
 
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
@@ -41,6 +53,75 @@ def _shingles(text: str, k: int = 5) -> np.ndarray:
                          dtype=object)
     h = pd.util.hash_array(arr) & _MAXH
     return np.unique(h)
+
+
+def _rolling_shingles(texts, k: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """Byte-level rolling k-shingle hashes for a WHOLE batch of texts in
+    one vectorized pass: concatenate the utf-8 bytes, compute every
+    k-byte polynomial window, mix to 32 bits, and mask out windows that
+    cross document boundaries. Replaces the per-doc Python slicing loop
+    (~1 ms/doc) with ~30 ns/byte numpy. Returns (all_shingles,
+    shingles_per_doc); docs shorter than k bytes contribute their whole
+    text as one shingle."""
+    enc = [t.encode("utf-8", "ignore") for t in texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(lens.size, dtype=np.int64)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    # polynomial over each k-window (base 256): value < 2^(8k), mixed
+    # down to 32 bits so the (31-bit a) * (32-bit x) product fits u64
+    nwin = max(total - k + 1, 0)
+    v = np.zeros(max(nwin, 1), dtype=np.uint64)
+    for j in range(k):
+        v = v * np.uint64(256) + buf[j:j + nwin]
+    h_all = ((v * _MIX) >> np.uint64(32)).astype(np.uint64)
+    # per-doc window slots: doc i owns windows [off_i, off_i + len_i - k]
+    offs = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    nsh = np.maximum(lens - k + 1, 0)
+    keep_idx = np.repeat(offs, nsh) + _ragged_arange_u(nsh)
+    shingles = h_all[keep_idx] if nwin else np.empty(0, dtype=np.uint64)
+    sizes = nsh.copy()
+    # short (but non-empty) docs: whole text as one shingle
+    short = np.flatnonzero((lens > 0) & (lens < k))
+    if short.size:
+        extra = np.empty(short.size, dtype=np.uint64)
+        for i, si in enumerate(short):
+            b = buf[offs[si]:offs[si] + lens[si]]
+            val = np.uint64(0)
+            for x in b:
+                val = val * np.uint64(256) + x
+            extra[i] = (val * _MIX) >> np.uint64(32)
+        # splice the extras into per-doc order
+        parts = []
+        sizes2 = sizes.copy()
+        sizes2[short] = 1
+        out = np.empty(int(sizes2.sum()), dtype=np.uint64)
+        pos = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(sizes2, out=pos[1:])
+        src_pos = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(sizes, out=src_pos[1:])
+        for i in range(lens.size):
+            if sizes2[i] == sizes[i]:
+                out[pos[i]:pos[i + 1]] = shingles[src_pos[i]:src_pos[i + 1]]
+        out[pos[short]] = extra
+        return out, sizes2
+    return shingles, sizes
+
+
+def _ragged_arange_u(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated; zero counts allowed (they
+    contribute nothing, matching np.repeat's behavior)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    nz = counts[counts > 0]
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(nz)
+    out[0] = 0
+    out[ends[:-1]] = 1 - nz[:-1]
+    return np.cumsum(out)
 
 
 def _word_ngrams(text: str, n: int = 3) -> np.ndarray:
@@ -58,33 +139,29 @@ def _word_ngrams(text: str, n: int = 3) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 16):
     """Keep the min-id row per distinct text; returns the surviving rows.
 
     Hash-partition on a 64-bit content hash (never the raw text — wide
-    strings must not shuffle), per-group winner by min id, then a
-    broadcast-filter of the winners' ids over the original rows.
-    """
-    import ray
-    from ray.data.aggregate import Min
+    strings must not shuffle on the dedup key), mark per-group min-id
+    winners inside the shuffle (``hash_mark_min``), then a
+    co-partitioned inner join of the original rows against the winner
+    ids. No driver-side id vector at any point (the previous
+    collect-unique+broadcast held every surviving doc id on the
+    driver — an 80 GB array at 1e10 docs)."""
+    from centrality_gpu_ray.stages.shuffle import hash_mark_min, hash_semi_join
 
     def add_hash(t: pa.Table) -> pa.Table:
         txt = t.column(text_col).to_numpy(zero_copy_only=False)
         h = pd.util.hash_array(txt.astype(object)).view(np.int64)
         return pa.table({id_col: t.column(id_col), "_h": pa.array(h)})
 
-    winners = (ds.map_batches(add_hash, batch_format="pyarrow")
-               .groupby("_h").aggregate(Min(id_col, alias_name=id_col)))
-    keep = np.sort(np.asarray(winners.unique(id_col), dtype=np.int64))
-    keep_ref = ray.put(keep)
-
-    def filt(t: pa.Table) -> pa.Table:
-        k = ray.get(keep_ref)
-        ids = t.column(id_col).to_numpy()
-        idx = np.minimum(np.searchsorted(k, ids), k.size - 1)
-        return t.filter(pa.array(k[idx] == ids))
-
-    return ds.map_batches(filt, batch_format="pyarrow")
+    winners = hash_mark_min(ds.map_batches(add_hash, batch_format="pyarrow"),
+                            key="_h", order=id_col,
+                            num_partitions=num_partitions, winners_only=True)
+    return hash_semi_join(ds, winners, on=id_col,
+                          num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -93,53 +170,99 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 class MinHasher:
     """Actor-pool stage: permutation parameters generated once per actor
-    (deterministic seed), per-batch loop only over rows (shingle hashing
-    and the (a*x+b) % p min-reduction are numpy)."""
+    (deterministic seed); signatures are pure uint64 numpy — coefficients
+    fit 31 bits and shingle hashes 32, so ``a*x+b`` stays under 2^64 with
+    no object-dtype bignums (the old Mersenne path ran Python integer
+    multiplies per element, ~100× slower)."""
 
-    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7,
+                 perm_chunk: int = 8):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        # multiply-shift universal family: odd 64-bit multipliers,
+        # wrapping u64 product — no modulo in the inner loop (a Mersenne
+        # mod per element was ~4× the cost of the multiply)
+        self.a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+                  << np.uint64(1)) | np.uint64(1)
         self.num_perm = num_perm
         self.k = shingle_k
+        self.perm_chunk = perm_chunk
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k).astype(object)
+        sh, sizes = _rolling_shingles([text], self.k)
         if sh.size == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # (num_perm, n_shingles) affine transforms mod Mersenne prime
-        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return np.asarray(vals.min(axis=1), dtype=np.uint64)
+        vals = self.a[:, None] * sh[None, :]
+        return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"].fillna("")])
+        allsh, sizes = _rolling_shingles(batch["text"].fillna(""), self.k)
+        # per-doc unique via ONE batch-wide sort of packed
+        # (doc_index << 32 | shingle) keys — duplicates would be
+        # harmless for the min (multiset min == set min) but cost
+        # num_perm× redundant modmuls on repetitive text
+        if allsh.size:
+            doc_of = np.repeat(np.arange(sizes.size, dtype=np.uint64), sizes)
+            packed = np.unique((doc_of << np.uint64(32)) | allsh)
+            doc_u = (packed >> np.uint64(32)).astype(np.int64)
+            allsh = packed & np.uint64((1 << 32) - 1)
+            sizes = np.bincount(doc_u, minlength=sizes.size).astype(np.int64)
+        sigs = np.zeros((sizes.size, self.num_perm), dtype=np.uint64)
+        nz = np.flatnonzero(sizes)
+        if nz.size:
+            seg = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(sizes[nz][:-1], out=seg[1:])
+            # chunk the permutation axis so the (chunk × total-shingles)
+            # temp stays tens of MB, then one reduceat per chunk
+            for lo in range(0, self.num_perm, self.perm_chunk):
+                hi = min(lo + self.perm_chunk, self.num_perm)
+                vals = self.a[lo:hi, None] * allsh[None, :]
+                sigs[nz, lo:hi] = np.minimum.reduceat(vals, seg, axis=1).T
         return pd.DataFrame({
             "doc_id": batch["doc_id"].to_numpy(),
             "signature": list(sigs.astype(np.int64)),
         })
 
 
+_HASHER_CACHE: dict = {}
+
+
+def _cached_minhasher(num_perm: int, shingle_k: int) -> MinHasher:
+    key = (num_perm, shingle_k)
+    if key not in _HASHER_CACHE:
+        _HASHER_CACHE[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+    return _HASHER_CACHE[key]
+
+
 def minhash_signatures(ds, num_perm: int = 64, shingle_k: int = 5,
-                       concurrency: int = 2):
+                       concurrency: int | None = None):
+    """Signature stage as a TASK pool with process-cached hasher state:
+    the permutation table builds once per worker process (the actor-pool
+    version paid ~2-4 s of actor spawn per call — larger than the whole
+    signature compute at bench scale). ``concurrency`` is accepted for
+    API compatibility and ignored (tasks scale with the cluster)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return _cached_minhasher(num_perm, shingle_k)(batch)
+
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pandas", batch_size=1024,
-        concurrency=concurrency, num_cpus=0.5,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k})
+        fn, batch_format="pandas", batch_size=1024)
 
 
 def _band_rows(batch: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
-    """Explode signatures to (band, band_hash, doc_id) rows."""
-    sigs = np.stack(batch["signature"].to_numpy())  # (n, num_perm)
+    """Explode signatures to (band, band_hash, doc_id) rows; the band
+    hash is a vectorized xor-mix fold over the band's columns (no
+    per-row tobytes loop)."""
+    sigs = np.stack(batch["signature"].to_numpy()).astype(np.uint64)  # (n, p)
     n = sigs.shape[0]
     out_band, out_hash, out_doc = [], [], []
     doc = batch["doc_id"].to_numpy()
     for b in range(bands):
         chunk = sigs[:, b * rows:(b + 1) * rows]
-        h = pd.util.hash_array(
-            np.asarray([chunk[i].tobytes() for i in range(n)], dtype=object)
-        ).view(np.int64)
+        h = np.zeros(n, dtype=np.uint64)
+        for c in range(chunk.shape[1]):
+            h = (h ^ chunk[:, c]) * _MIX
         out_band.append(np.full(n, b, dtype=np.int64))
-        out_hash.append(h)
+        out_hash.append((h >> np.uint64(1)).astype(np.int64))
         out_doc.append(doc)
     return pd.DataFrame({
         "band": np.concatenate(out_band),
@@ -148,105 +271,169 @@ def _band_rows(batch: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
     })
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (cap guards a degenerate
-    bucket from emitting O(n²) pairs — log-and-truncate, never silent)."""
-    ids = np.sort(group["doc_id"].to_numpy())
-    if ids.size < 2:
-        return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-    cap = 1000
-    if ids.size > cap:
-        ids = ids[:cap]
-    iu, ju = np.triu_indices(ids.size, k=1)
-    return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+def _segment_pairs(tbl: pa.Table, key_cols: list[str], id_col: str,
+                   extra_payload=None) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-group (a, b) pairs (a < b by id) for every group in
+    one reduce partition, fully vectorized (shift-expansion over sorted
+    segments — same trick as the triangle wedge generator). Groups
+    larger than ``BUCKET_CAP`` are truncated to their first cap ids
+    (sorted — deterministic) and LOGGED. Returns (a, b, group_index)."""
+    if tbl.num_rows == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    cols = [tbl.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, *reversed(cols)))
+    ids_s = ids[order]
+    key_s = [c[order] for c in cols]
+    n = ids_s.size
+    new_grp = np.zeros(n, dtype=bool)
+    new_grp[0] = True
+    for c in key_s:
+        new_grp[1:] |= c[1:] != c[:-1]
+    starts = np.flatnonzero(new_grp)
+    counts = np.diff(np.r_[starts, n])
+    over = counts > BUCKET_CAP
+    if over.any():
+        logger.warning(
+            "LSH bucket cap hit: %d bucket(s) over %d ids (max %d); "
+            "pairs beyond the first %d sorted ids per bucket are dropped",
+            int(over.sum()), BUCKET_CAP, int(counts.max()), BUCKET_CAP)
+    eff = np.minimum(counts, BUCKET_CAP)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    in_cap = pos < np.repeat(eff, counts)
+    rep = np.where(in_cap, np.repeat(eff, counts) - pos - 1, 0)
+    total = int(rep.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    first_idx = np.repeat(np.arange(n, dtype=np.int64), rep)
+    seg_start = np.cumsum(rep) - rep
+    within = np.arange(total, dtype=np.int64) - np.repeat(seg_start, rep)
+    second_idx = first_idx + 1 + within
+    grp_of = np.repeat(np.arange(starts.size, dtype=np.int64), counts)
+    return ids_s[first_idx], ids_s[second_idx], order[first_idx]
 
 
-def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 4):
-    """(a, b) candidate doc-id pairs from banded LSH (a < b, deduped)."""
+def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 4,
+                        num_partitions: int = 16):
+    """(a, b) candidate doc-id pairs from banded LSH (a < b, deduped).
+
+    Bucket pair generation runs inside the explicit hash shuffle —
+    each reduce task handles MANY buckets with one vectorized pass
+    (no per-group Python); the (a, b) dedupe is ``hash_distinct``."""
+    from centrality_gpu_ray.stages.shuffle import (hash_distinct,
+                                                   hash_partition_apply)
+
     band_ds = sig_ds.map_batches(
         lambda t: _band_rows(t, bands, rows), batch_format="pandas")
-    pairs = band_ds.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+    def make_pairs(tbl: pa.Table) -> pa.Table:
+        a, b, _ = _segment_pairs(tbl, ["band", "band_hash"], "doc_id")
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    pairs = hash_partition_apply(band_ds, ["band", "band_hash"], make_pairs,
+                                 num_partitions=num_partitions)
+    return hash_distinct(pairs, ["a", "b"], num_partitions=num_partitions)
 
 
-class JaccardVerify:
-    """Broadcast doc texts (id-indexed) once per actor; exact word-n-gram
-    Jaccard per candidate pair."""
-
-    def __init__(self, texts_ref, ngram: int = 3):
-        import ray
-
-        self._ids, self._texts = ray.get(texts_ref)
-        self.n = ngram
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sims = np.zeros(len(batch))
-        a = batch["a"].to_numpy()
-        b = batch["b"].to_numpy()
-        ia = np.searchsorted(self._ids, a)
-        ib = np.searchsorted(self._ids, b)
-        for i in range(len(batch)):
-            ga = _word_ngrams(self._texts[ia[i]], self.n)
-            gb = _word_ngrams(self._texts[ib[i]], self.n)
-            inter = np.intersect1d(ga, gb, assume_unique=True).size
-            union = ga.size + gb.size - inter
-            sims[i] = inter / union if union else 0.0
-        return pd.DataFrame({"a": a, "b": b, "jaccard": sims})
+def _jaccard_batch(batch: pa.Table, ngram: int) -> pa.Table:
+    a = batch.column("a").to_numpy()
+    b = batch.column("b").to_numpy()
+    ta = batch.column("_text_a").to_pylist()
+    tb = batch.column("_text_b").to_pylist()
+    sims = np.zeros(a.size)
+    for i in range(a.size):
+        ga = _word_ngrams(ta[i] or "", ngram)
+        gb = _word_ngrams(tb[i] or "", ngram)
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        union = ga.size + gb.size - inter
+        sims[i] = inter / union if union else 0.0
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "jaccard": pa.array(sims)})
 
 
-def ngram_jaccard_pairs(ds, pairs_ds, ngram: int = 3, concurrency: int = 2):
-    """Exact n-gram Jaccard for given (a, b) pairs. The text side is
-    broadcast (one object-store copy per node) — candidate verification
-    never re-shuffles document bytes."""
-    import ray
+def ngram_jaccard_pairs(ds, pairs_ds, ngram: int = 3, concurrency: int = 2,
+                        num_partitions: int = 16):
+    """Exact n-gram Jaccard for given (a, b) pairs. Texts reach the
+    pairs via two hash-partitioned lookup joins on the doc id
+    (``stages/shuffle.py::hash_lookup_join``) — the document table is
+    never collected to the driver or broadcast (the previous version
+    shipped EVERY text to every verifier)."""
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
 
-    docs = ds.select_columns(["doc_id", "text"]).to_pandas()
-    docs = docs.sort_values("doc_id")
-    texts_ref = ray.put((docs["doc_id"].to_numpy(), docs["text"].fillna("").to_numpy()))
-    return pairs_ds.map_batches(
-        JaccardVerify, batch_format="pandas", batch_size=4096,
-        concurrency=concurrency, num_cpus=0.5,
-        fn_constructor_kwargs={"texts_ref": texts_ref, "ngram": ngram})
+    docs = ds.select_columns(["doc_id", "text"])
+    with_a = hash_lookup_join(pairs_ds, docs, "a", "doc_id",
+                              {"text": "_text_a"},
+                              num_partitions=num_partitions)
+    with_b = hash_lookup_join(with_a, docs, "b", "doc_id",
+                              {"text": "_text_b"},
+                              num_partitions=num_partitions)
+    return with_b.map_batches(
+        lambda t: _jaccard_batch(t, ngram), batch_format="pyarrow",
+        batch_size=4096)
 
 
 def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
-                  bands: int = 16, shingle_k: int = 5, ngram: int = 3):
-    """Full near-dup pipeline; returns ``(doc_id, cluster, keep)``.
+                  bands: int = 16, shingle_k: int = 5, ngram: int = 3,
+                  num_partitions: int = 16):
+    """Full near-dup pipeline; returns a Dataset of
+    ``(doc_id, cluster, keep)``.
 
     Clustering reuses :func:`connected_components` on the verified
     duplicate-pair graph — near-dup clusters are exactly the connected
     components of that graph, and CC's min-label semantics give the
-    deterministic keeper (min doc_id).
-    """
+    deterministic keeper (min doc_id). All-id rows come from a
+    distributed distinct + left-outer join (no driver id vector)."""
+    import ray.data
+
     from centrality_gpu_ray.pipelines.components import connected_components
     from centrality_gpu_ray.pipelines.graph import Graph
+    from centrality_gpu_ray.stages.shuffle import (hash_distinct,
+                                                   hash_lookup_join)
 
     rows = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k)
-    cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
-    verified = ngram_jaccard_pairs(ds, cands, ngram=ngram)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows,
+                                num_partitions=num_partitions)
+    verified = ngram_jaccard_pairs(ds, cands, ngram=ngram,
+                                   num_partitions=num_partitions)
     dup_pairs = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
         .select(["a", "b"]).rename_columns(["src", "dst"]),
         batch_format="pyarrow")
 
-    all_ids = ds.unique("doc_id")
-    if dup_pairs.count() == 0:
-        ids = np.sort(np.asarray(all_ids, dtype=np.int64))
-        return pa.table({"doc_id": pa.array(ids),
-                         "cluster": pa.array(ids),
+    all_ids = hash_distinct(ds.select_columns(["doc_id"]), ["doc_id"],
+                            num_partitions=num_partitions)
+
+    def _trivial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids), "cluster": pa.array(ids),
                          "keep": pa.array(np.ones(ids.size, dtype=bool))})
+
+    if dup_pairs.count() == 0:
+        return all_ids.map_batches(_trivial, batch_format="pyarrow")
 
     g = Graph(dup_pairs)
     cc = connected_components(g)
-    comp = cc.to_pandas().rename(columns={"node": "doc_id", "component": "cluster"})
-    ids = np.sort(np.asarray(all_ids, dtype=np.int64))
-    full = pd.DataFrame({"doc_id": ids})
-    full = full.merge(comp, on="doc_id", how="left")
-    full["cluster"] = full["cluster"].fillna(full["doc_id"]).astype(np.int64)
-    full["keep"] = full["doc_id"] == full["cluster"]
-    return pa.Table.from_pandas(full, preserve_index=False)
+    cc_ds = (cc if not isinstance(cc, pa.Table)
+             else ray.data.from_arrow(cc))
+    cc_ds = cc_ds.rename_columns({"node": "doc_id", "component": "cluster"})
+    # left-outer-with-default: docs not in any dup pair cluster to
+    # themselves — all co-partitioned, no driver id vector
+    joined = hash_lookup_join(all_ids, cc_ds, "doc_id", "doc_id",
+                              {"cluster": "cluster"},
+                              num_partitions=num_partitions,
+                              outer_default_row_key=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "cluster": pa.array(cl),
+                         "keep": pa.array(ids == cl)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -254,35 +441,56 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
 # ---------------------------------------------------------------------------
 
 class SimHasher:
+    """64-bit SimHash, vectorized across the batch: all docs' tokens are
+    hashed in one ``hash_array`` call and the per-doc ±1 bit sums come
+    from one ``add.reduceat`` over token segments."""
+
     def __init__(self, seed: int = 11):
         self.seed = seed
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.zeros(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch["text"].fillna("")):
-            toks = t.split()
-            if not toks:
-                continue
-            h = pd.util.hash_array(np.asarray(toks, dtype=object))
+        tok_lists = [t.split() for t in batch["text"].fillna("")]
+        sizes = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        out = np.zeros(len(tok_lists), dtype=np.uint64)
+        nz = np.flatnonzero(sizes)
+        if nz.size:
+            all_toks = np.asarray(
+                [tok for i in nz for tok in tok_lists[i]], dtype=object)
+            h = pd.util.hash_array(all_toks)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out[i] = np.packbits((v > 0).astype(np.uint8),
-                                 bitorder="little").view(np.uint64)[0]
+                    & np.uint64(1)).astype(np.int8)
+            seg = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(sizes[nz][:-1], out=seg[1:])
+            sums = np.add.reduceat(bits.astype(np.int32), seg, axis=0)
+            pos = sums * 2 > sizes[nz][:, None]  # majority bit
+            out[nz] = np.packbits(pos.astype(np.uint8), axis=1,
+                                  bitorder="little").view(np.uint64).ravel()
         return pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(),
                              "simhash": out.view(np.int64)})
 
 
-def simhash_signatures(ds, concurrency: int = 2):
+def simhash_signatures(ds, concurrency: int | None = None):
+    """Task-pool SimHash (stateless kernel; see minhash_signatures on
+    why no actor pool)."""
+    hasher = SimHasher()
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return hasher(batch)
+
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=2048, concurrency=concurrency, num_cpus=0.5)
+        fn, batch_format="pandas", batch_size=2048)
 
 
-def simhash_dedup(ds, max_hamming: int = 3, bands: int = 4):
+def simhash_dedup(ds, max_hamming: int = 3, bands: int = 4,
+                  num_partitions: int = 16):
     """Near-dup pairs by SimHash: split the 64-bit signature into
     `bands` chunks; any pair within Hamming ≤ bands-1 shares ≥1 exact
-    chunk (pigeonhole), so bucket-groupby per chunk finds all candidates;
-    verify exact Hamming ≤ max_hamming."""
+    chunk (pigeonhole), so bucket-groupby per chunk finds all
+    candidates; verify exact Hamming ≤ max_hamming. Bucket caps are
+    logged (see ``BUCKET_CAP``)."""
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_partition_apply)
+
     sigs = simhash_signatures(ds)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -300,63 +508,88 @@ def simhash_dedup(ds, max_hamming: int = 3, bands: int = 4):
             }))
         return pd.concat(parts, ignore_index=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().view(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
-        iu, ju = np.triu_indices(min(ids.size, 1000), k=1)
-        x = hs[iu] ^ hs[ju]
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        a, b, _ = _segment_pairs(tbl, ["band", "band_hash"], "doc_id")
+        if a.size == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
+        # exact Hamming verify needs the signatures: id → simhash map
+        # local to this partition (all rows of the buckets are here)
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = tbl.column("simhash").to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(ids, return_index=True)
+        ha = hs[idx[np.searchsorted(uniq, a)]].astype(np.uint64)
+        hb = hs[idx[np.searchsorted(uniq, b)]].astype(np.uint64)
+        x = ha ^ hb
         ham = np.zeros(x.size, dtype=np.int64)
         for _ in range(64):
             ham += (x & np.uint64(1)).astype(np.int64)
             x >>= np.uint64(1)
         m = ham <= max_hamming
-        return pd.DataFrame({"a": ids[iu[m]], "b": ids[ju[m]], "hamming": ham[m]})
+        return pa.table({"a": pa.array(a[m]), "b": pa.array(b[m]),
+                         "hamming": pa.array(ham[m])})
 
     exploded = sigs.map_batches(explode, batch_format="pandas")
-    pairs = exploded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    pairs = hash_partition_apply(exploded, ["band", "band_hash"],
+                                 bucket_pairs,
+                                 num_partitions=num_partitions)
+    return hash_aggregate(pairs, ["a", "b"], [("hamming", "min")],
+                          num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
 # Embedding near-dup
 # ---------------------------------------------------------------------------
 
+BROADCAST_VECTOR_LIMIT = 200_000  # explicit cap for the exact path
+
+
 def embedding_near_dup(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
-                       vec_col: str = "embedding"):
+                       vec_col: str = "embedding", tables: int = 8,
+                       bits: int = 10, num_partitions: int = 16):
     """(a, b, cosine) pairs with cosine ≥ threshold.
 
-    Broadcast the (normalized) matrix once; each batch computes its
-    block of the similarity matrix against the whole — O(n²) flops but
-    only O(batch × n) memory, embarrassingly parallel across batches.
-    For n beyond driver memory use the LSH-bucketed ANN path
-    (``functions/similarity.py``)."""
+    ≤ ``BROADCAST_VECTOR_LIMIT`` vectors: exact — broadcast the
+    normalized matrix once, each batch computes its block of the
+    similarity matrix (O(n²) flops, O(batch × n) memory). Beyond the
+    cap: hyperplane-LSH bucketed (same bucketing as ``ann_lsh``) — only
+    co-bucketed vectors are scored, one hash shuffle; approximate with
+    recall growing in ``tables`` (at cosine ≥ 0.95 a 10-bit hyperplane
+    bucket agrees with probability ≈ (1-θ/π)^10 ≈ 0.36 per table →
+    ≈ 97% recall at 8 tables)."""
     import ray
 
-    full = emb_ds.select_columns([id_col, vec_col]).to_pandas()
-    full = full.sort_values(id_col)
-    ids = full[id_col].to_numpy()
-    M = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, M))
+    n_total = emb_ds.count()
+    if n_total <= BROADCAST_VECTOR_LIMIT:
+        return _near_dup_exact(emb_ds, threshold, id_col, vec_col)
+    return _near_dup_lsh(emb_ds, threshold, id_col, vec_col, tables, bits,
+                         num_partitions)
 
-    def block(batch: pd.DataFrame) -> pa.Table:
+
+def _near_dup_exact(emb_ds, threshold: float, id_col: str, vec_col: str):
+    import ray
+
+    from centrality_gpu_ray.functions.similarity import (_matrix_from_arrow,
+                                                         _normalize)
+
+    full = pa.concat_tables(list(
+        emb_ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+    ids_all = full.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_all)
+    M = _normalize(_matrix_from_arrow(full.column(vec_col)))[order]
+    ids_all = ids_all[order]
+    ref = ray.put((ids_all, M))
+
+    def block(batch: pa.Table) -> pa.Table:
         all_ids, allM = ray.get(ref)
-        q = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        q = _normalize(_matrix_from_arrow(batch.column(vec_col)))
         sims = q @ allM.T
         qi, vj = np.nonzero(sims >= threshold)
-        a = batch[id_col].to_numpy()[qi]
+        a = batch.column(id_col).to_numpy()[qi]
         b = all_ids[vj]
         keep = a < b  # canonical, drops self-pairs
-        # typed Arrow out so empty batches keep their schema
         return pa.table({
             "a": pa.array(a[keep], type=pa.int64()),
             "b": pa.array(b[keep], type=pa.int64()),
@@ -364,4 +597,57 @@ def embedding_near_dup(emb_ds, threshold: float = 0.95, id_col: str = "vec_id",
         })
 
     return emb_ds.select_columns([id_col, vec_col]).map_batches(
-        block, batch_format="pandas", batch_size=512)
+        block, batch_format="pyarrow", batch_size=512)
+
+
+def _near_dup_lsh(emb_ds, threshold: float, id_col: str, vec_col: str,
+                  tables: int, bits: int, num_partitions: int):
+    from centrality_gpu_ray.functions.similarity import (_HyperplaneHasher,
+                                                         _matrix_from_arrow,
+                                                         _normalize)
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_partition_apply)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        M = _normalize(_matrix_from_arrow(batch.column(vec_col)))
+        h = _HyperplaneHasher(M.shape[1], tables, bits)
+        b = h.bucket(M)
+        n = M.shape[0]
+        ids = batch.column(id_col).to_numpy()
+        tabs = []
+        for t in range(tables):
+            tabs.append(pa.table({
+                "tbl": pa.array(np.full(n, t, dtype=np.int64)),
+                "bucket": pa.array(b[:, t]),
+                id_col: pa.array(ids),
+                vec_col: batch.column(vec_col),
+            }))
+        return pa.concat_tables(tabs)
+
+    def bucket_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        a, b, first_row = _segment_pairs(tbl, ["tbl", "bucket"], id_col)
+        if a.size == 0:
+            return empty
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        M = _normalize(_matrix_from_arrow(tbl.column(vec_col)))
+        uniq, idx = np.unique(ids, return_index=True)
+        va = M[idx[np.searchsorted(uniq, a)]]
+        vb = M[idx[np.searchsorted(uniq, b)]]
+        cos = np.einsum("ij,ij->i", va, vb)
+        m = cos >= threshold
+        return pa.table({"a": pa.array(np.minimum(a[m], b[m])),
+                         "b": pa.array(np.maximum(a[m], b[m])),
+                         "cosine": pa.array(cos[m])})
+
+    exploded = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=4096)
+    pairs = hash_partition_apply(exploded, ["tbl", "bucket"], bucket_pairs,
+                                 num_partitions=num_partitions)
+    # dedupe across tables (cosine identical for a duplicate pair)
+    return hash_aggregate(pairs, ["a", "b"], [("cosine", "min")],
+                          num_partitions=num_partitions)

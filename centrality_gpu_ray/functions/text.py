@@ -2,11 +2,16 @@
 scoring, token counting, document fingerprinting.
 
 These are the per-document operators a 100 TB training-data pipeline
-runs at ingest, alongside the graph engine's sha256 stage. All are
-actor-pool ``map_batches`` stages: regexes and frequency tables compile
-once per actor in ``__init__`` (not per batch), bodies are vectorized
-pandas/numpy. The reference engine has no string functions at all
-(SURVEY.md §2.7) — this module is pure new-engine surface.
+runs at ingest, alongside the graph engine's sha256 stage. All run as
+TASK-pool ``map_batches`` stages with the compiled regex/profile state
+cached once per worker process (an actor pool here paid seconds of
+actor spawn per call — far more than the compute; process-level caching
+gives the same setup-once guarantee). Bodies are vectorized: tokens are
+exploded ONCE per batch into a flat array with per-doc segment offsets,
+and every per-doc statistic is a ``reduceat``/``bincount`` over those
+segments — no per-row Python in the hot path. The reference engine has
+no string functions at all (SURVEY.md §2.7) — this module is pure
+new-engine surface.
 """
 
 from __future__ import annotations
@@ -27,9 +32,27 @@ _LANG_PROFILES = {
     "it": {"il", "la", "i", "e", "è", "un", "una", "che", "non", "per"},
 }
 
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_BASIS = np.uint64(1469598103934665603)
+
+
+def _explode_tokens(tok_lists: list) -> tuple[np.ndarray, np.ndarray]:
+    """Token lists → (flat object array, tokens-per-doc). One pass."""
+    sizes = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = np.asarray([tok for toks in tok_lists for tok in toks],
+                      dtype=object)
+    return flat, sizes
+
+
+def _segment_offsets(sizes: np.ndarray) -> np.ndarray:
+    nz = np.flatnonzero(sizes)
+    seg = np.zeros(nz.size, dtype=np.int64)
+    np.cumsum(sizes[nz][:-1], out=seg[1:])
+    return seg
+
 
 class TextAnalyzer:
-    """Stateful text stage: compiled regexes + profiles live per actor."""
+    """Compiled regexes + sorted profile arrays, built once per process."""
 
     def __init__(self):
         import re
@@ -39,7 +62,10 @@ class TextAnalyzer:
         self.bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
         self.word = re.compile(r"[a-zA-Z]{1,}")
         self.punct = re.compile(r"[.,;:!?]")
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = sorted(_LANG_PROFILES)  # sorted → deterministic ties
+        self.profiles = {k: np.sort(np.asarray(sorted(_LANG_PROFILES[k]),
+                                               dtype=object))
+                         for k in self.langs}
 
     # -- token counting ---------------------------------------------------
     def token_stats(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -58,17 +84,28 @@ class TextAnalyzer:
     # -- quality scoring --------------------------------------------------
     def quality(self, batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
-        toks = text.str.lower().str.findall(self.word)
-        n_words = toks.str.len().clip(lower=1)
-        stop_en = self.profiles["en"]
-        stop_hits = toks.map(lambda ws: sum(w in stop_en for w in ws))
+        tok_lists = text.str.lower().str.findall(self.word).tolist()
+        flat, sizes = _explode_tokens(tok_lists)
+        n_words = np.maximum(sizes, 1).astype(np.float64)
+        ndocs = sizes.size
+
+        stop_hits = np.zeros(ndocs, dtype=np.int64)
+        mean_wlen = np.zeros(ndocs, dtype=np.float64)
+        nz = np.flatnonzero(sizes)
+        if nz.size:
+            seg = _segment_offsets(sizes)
+            hits = np.isin(flat, self.profiles["en"]).astype(np.int64)
+            stop_hits[nz] = np.add.reduceat(hits, seg)
+            wlens = np.fromiter(map(len, flat), count=flat.size,
+                                dtype=np.int64)
+            mean_wlen[nz] = np.add.reduceat(wlens, seg) / sizes[nz]
+
         n_chars = text.str.len().clip(lower=1)
         out = pd.DataFrame({"doc_id": batch["doc_id"]})
         out["len_score"] = np.clip(text.str.len() / 1000.0, 0.0, 1.0)
         out["punct_ratio"] = text.str.count(self.punct) / n_chars
         out["stopword_ratio"] = stop_hits / n_words
-        out["mean_word_len"] = toks.map(lambda ws: float(np.mean([len(w) for w in ws]))
-                                        if ws else 0.0)
+        out["mean_word_len"] = mean_wlen
         out["alpha_ratio"] = text.str.count(r"[A-Za-z]") / n_chars
         out["quality"] = (
             0.3 * out["len_score"]
@@ -80,50 +117,73 @@ class TextAnalyzer:
 
     # -- language id ------------------------------------------------------
     def lang_id(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.lower().str.findall(self.word)
-        langs, scores = [], []
-        for ws in toks:
-            n = max(len(ws), 1)
-            best_lang, best = "und", 0.0
-            for lang in sorted(self.profiles):  # sorted → deterministic ties
-                hits = sum(w in self.profiles[lang] for w in ws)
-                score = hits / n
-                if score > best:
-                    best_lang, best = lang, score
-            langs.append(best_lang if best >= 0.05 else "und")
-            scores.append(round(best, 6))
+        tok_lists = batch["text"].fillna("").str.lower() \
+            .str.findall(self.word).tolist()
+        flat, sizes = _explode_tokens(tok_lists)
+        ndocs = sizes.size
+        scores = np.zeros((ndocs, len(self.langs)), dtype=np.float64)
+        nz = np.flatnonzero(sizes)
+        if nz.size:
+            seg = _segment_offsets(sizes)
+            n = np.maximum(sizes[nz], 1).astype(np.float64)
+            for j, lang in enumerate(self.langs):
+                hits = np.isin(flat, self.profiles[lang]).astype(np.int64)
+                scores[nz, j] = np.add.reduceat(hits, seg) / n
+        best_j = np.argmax(scores, axis=1)  # first max → sorted-lang ties
+        best = scores[np.arange(ndocs), best_j]
+        langs = np.where(best >= 0.05,
+                         np.asarray(self.langs, dtype=object)[best_j], "und")
         return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "pred_lang": langs, "confidence": scores})
+                             "pred_lang": langs.astype(object),
+                             "confidence": np.round(best, 6)})
 
     # -- fingerprinting ---------------------------------------------------
     def fingerprint(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """64-bit rolling (polynomial) hash over whitespace tokens — a
-        deterministic content fingerprint robust to whitespace jitter."""
-        P = 1099511628211  # FNV prime
-        M = (1 << 64) - 1
-        fps = np.zeros(len(batch), dtype=np.uint64)
-        for i, t in enumerate(batch["text"].fillna("")):
-            toks = t.split()
-            h = 1469598103934665603
-            if toks:
-                th = pd.util.hash_array(np.asarray(toks, dtype=object))
-                for x in th:
-                    h = ((h * P) & M) ^ int(x)
-            fps[i] = np.uint64(h)
+        """64-bit polynomial token hash — deterministic, order-sensitive,
+        whitespace-jitter-robust: fp = basis ⊕ Σ (h(tok_i)+1)·P^(n-1-i)
+        (mod 2^64), vectorized over all docs via one reduceat."""
+        tok_lists = [t.split() for t in batch["text"].fillna("")]
+        sizes = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        fps = np.full(sizes.size, _FNV_BASIS, dtype=np.uint64)
+        nz = np.flatnonzero(sizes)
+        if nz.size:
+            flat = np.asarray([tok for toks in tok_lists for tok in toks],
+                              dtype=object)
+            th = pd.util.hash_array(flat).astype(np.uint64) + np.uint64(1)
+            # P^k mod 2^64 table (u64 multiply wraps naturally)
+            maxlen = int(sizes.max())
+            pows = np.ones(maxlen, dtype=np.uint64)
+            if maxlen > 1:
+                np.multiply.accumulate(
+                    np.full(maxlen - 1, _FNV_PRIME, dtype=np.uint64),
+                    out=pows[1:])
+            seg = _segment_offsets(sizes)
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(seg, sizes[nz])
+            weight = pows[np.repeat(sizes[nz], sizes[nz]) - 1 - pos]
+            fps[nz] = _FNV_BASIS ^ np.add.reduceat(th * weight, seg)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "fingerprint": fps.view(np.int64),
         })
 
 
-def _stage(ds, method: str, concurrency: int = 2, batch_size: int = 2048):
-    class _Runner(TextAnalyzer):
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return getattr(self, method)(batch)
+_ANALYZER: TextAnalyzer | None = None
 
-    _Runner.__name__ = f"TextAnalyzer.{method}"
-    return ds.map_batches(_Runner, batch_format="pandas", batch_size=batch_size,
-                          concurrency=concurrency, num_cpus=0.5)
+
+def _analyzer() -> TextAnalyzer:
+    global _ANALYZER
+    if _ANALYZER is None:
+        _ANALYZER = TextAnalyzer()
+    return _ANALYZER
+
+
+def _stage(ds, method: str, concurrency: int | None = None,
+           batch_size: int = 2048):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return getattr(_analyzer(), method)(batch)
+
+    fn.__name__ = f"text_{method}"
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
 
 
 def token_stats(ds, **kw):

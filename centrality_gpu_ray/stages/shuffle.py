@@ -127,6 +127,242 @@ def _nonempty_block_refs(mat):
     return refs
 
 
+def hash_partition_apply(ds, keys: list[str], reduce_fn,
+                         num_partitions: int = 32):
+    """Hash-partition rows by ``keys`` and apply ``reduce_fn(table)`` to
+    each partition (all rows of equal keys meet in exactly one call).
+    The general-purpose exchange for group-local algorithms that need
+    the raw rows (e.g. within-bucket pair generation) — unlike
+    ``hash_aggregate`` there is no map-side combine, so only use it when
+    the reduce genuinely needs every row."""
+    import ray
+    import ray.data
+
+    @ray.remote(num_returns=num_partitions)
+    def map_split(block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        h = _key_hash(tbl, keys) % num_partitions
+        order = np.argsort(h, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_partitions + 1))
+        shards = [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(num_partitions)]
+        return tuple(shards) if num_partitions > 1 else shards[0]
+
+    @ray.remote
+    def reduce_part(*shards):
+        tables = [s for s in shards if s.num_rows]
+        if not tables:
+            return reduce_fn(shards[0].slice(0, 0))
+        return reduce_fn(pa.concat_tables(tables))
+
+    mat = ds.materialize()
+    block_refs = _nonempty_block_refs(mat)
+    if not block_refs:
+        return mat
+    shard_lists = [map_split.remote(b) for b in block_refs]
+    if num_partitions == 1:
+        reduced = [reduce_part.remote(*shard_lists)]
+    else:
+        reduced = [reduce_part.remote(*[s[p] for s in shard_lists])
+                   for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(reduced)
+
+
+def hash_mark_min(ds, key: str, order: str, num_partitions: int = 32,
+                  winners_only: bool = False):
+    """Per-key winner marking: returns ``(order, keep)`` rows for EVERY
+    input row (or just the winners' ``order`` values with
+    ``winners_only=True``), keep=True iff the row has the minimum
+    ``order`` value of its ``key`` group. One hash shuffle of the
+    (key, order) pair — neither the key population nor the winner set
+    ever lands on the driver (the scale-safe replacement for
+    collect-unique+broadcast). Winner selection happens INSIDE the
+    reduce so every output block has one stable schema (Ray passes
+    empty blocks through map_batches without the UDF)."""
+
+    def mark(tbl: pa.Table) -> pa.Table:
+        # "keep" is also carried on the winners_only path: a join right
+        # side with ONLY the key column trips a pyarrow acero bug, and
+        # doing it here keeps empty blocks schema-stable (Ray skips the
+        # UDF on empty blocks in map_batches).
+        if tbl.num_rows == 0:
+            return pa.table({order: pa.array([], type=pa.int64()),
+                             "keep": pa.array([], type=pa.bool_())})
+        k = tbl.column(key).to_numpy(zero_copy_only=False)
+        o = tbl.column(order).to_numpy(zero_copy_only=False)
+        perm = np.lexsort((o, k))
+        first = np.ones(perm.size, dtype=bool)
+        first[1:] = k[perm][1:] != k[perm][:-1]
+        if winners_only:
+            w = o[perm][first]
+            return pa.table({order: pa.array(w.astype(np.int64)),
+                             "keep": pa.array(np.ones(w.size, dtype=bool))})
+        keep = np.empty(perm.size, dtype=bool)
+        keep[perm] = first
+        return pa.table({order: pa.array(o.astype(np.int64)),
+                         "keep": pa.array(keep)})
+
+    return hash_partition_apply(ds, [key], mark, num_partitions=num_partitions)
+
+
+def hash_semi_join(rows_ds, keys_ds, on: str, num_partitions: int = 32):
+    """Keep the rows of ``rows_ds`` whose ``on`` value appears in
+    ``keys_ds`` (which must have an ``on`` column). Both sides are
+    hash-partitioned on ``on``; each reduce filters its row shard by
+    sorted-membership against its key shard. Exactly the data movement
+    of a distributed semi-join, with the row schema (column order
+    included) preserved verbatim."""
+    import ray
+    import ray.data
+
+    def split(tbl: pa.Table):
+        h = _key_hash(tbl, [on]) % num_partitions
+        order = np.argsort(h, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_partitions + 1))
+        return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                for i in range(num_partitions)]
+
+    @ray.remote(num_returns=num_partitions)
+    def map_split(block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        shards = split(tbl)
+        return tuple(shards) if num_partitions > 1 else shards[0]
+
+    @ray.remote
+    def reduce_part(n_rows_shards: int, *shards):
+        row_tabs = [s for s in shards[:n_rows_shards] if s.num_rows]
+        key_tabs = [s for s in shards[n_rows_shards:] if s.num_rows]
+        if not row_tabs:
+            return shards[0].slice(0, 0)
+        rows = pa.concat_tables(row_tabs)
+        if not key_tabs:
+            return rows.slice(0, 0)
+        keys = np.unique(np.concatenate(
+            [t.column(on).to_numpy(zero_copy_only=False) for t in key_tabs]))
+        vals = rows.column(on).to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys, vals), keys.size - 1)
+        return rows.filter(pa.array(keys[idx] == vals))
+
+    rows_mat = rows_ds.materialize()
+    row_blocks = _nonempty_block_refs(rows_mat)
+    if not row_blocks:
+        return rows_mat
+    key_blocks = _nonempty_block_refs(keys_ds.materialize())
+    row_shards = [map_split.remote(b) for b in row_blocks]
+    key_shards = [map_split.remote(b) for b in key_blocks]
+
+    def shard(lists, p):
+        return [(s[p] if num_partitions > 1 else s) for s in lists]
+
+    reduced = [reduce_part.remote(len(row_shards),
+                                  *shard(row_shards, p), *shard(key_shards, p))
+               for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(reduced)
+
+
+def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
+                     attach: dict, num_partitions: int = 32,
+                     outer_default_row_key: bool = False):
+    """Lookup join: for every row of ``rows_ds``, attach columns from
+    the (unique-keyed) ``dict_ds`` row whose ``dict_key`` equals the
+    row's ``row_key``. ``attach`` maps dict column → output column
+    name. Rows without a match are dropped (inner) — or, with
+    ``outer_default_row_key=True``, kept with every attached column
+    defaulting to the row's own key value (left-outer-with-default; the
+    attached columns must be key-typed). Both sides hash-partition on
+    their key — the dictionary (e.g. document texts) is co-partitioned,
+    never broadcast or collected. Row column order is preserved, with
+    attached columns appended."""
+    import ray
+    import ray.data
+
+    def _split(tbl: pa.Table, key: str):
+        h = _key_hash(tbl, [key]) % num_partitions
+        order = np.argsort(h, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_partitions + 1))
+        return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                for i in range(num_partitions)]
+
+    @ray.remote(num_returns=num_partitions)
+    def map_rows(block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        shards = _split(tbl, row_key)
+        return tuple(shards) if num_partitions > 1 else shards[0]
+
+    @ray.remote(num_returns=num_partitions)
+    def map_dict(block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        shards = _split(tbl.select([dict_key] + list(attach)), dict_key)
+        return tuple(shards) if num_partitions > 1 else shards[0]
+
+    @ray.remote
+    def reduce_part(n_rows_shards: int, *shards):
+        row_tabs = [s for s in shards[:n_rows_shards] if s.num_rows]
+        dict_tabs = [s for s in shards[n_rows_shards:] if s.num_rows]
+
+        def typed_empty() -> pa.Table:
+            empty = shards[0].slice(0, 0)
+            proto = shards[n_rows_shards].slice(0, 0)
+            cols = {c: empty.column(c) for c in empty.column_names}
+            for src, dst in attach.items():
+                cols[dst] = proto.column(src)
+            return pa.table(cols)
+
+        if not row_tabs:
+            return typed_empty()
+        if not dict_tabs:
+            if not outer_default_row_key:
+                return typed_empty()
+            rows = pa.concat_tables(row_tabs)
+            own = rows.column(row_key)
+            cols = {c: rows.column(c) for c in rows.column_names}
+            for _, dst in attach.items():
+                cols[dst] = own
+            return pa.table(cols)
+        rows = pa.concat_tables(row_tabs)
+        d = pa.concat_tables(dict_tabs)
+        keys = d.column(dict_key).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        vals = rows.column(row_key).to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(keys_s, vals), keys_s.size - 1)
+        hit = keys_s[idx] == vals
+        if not outer_default_row_key:
+            rows = rows.filter(pa.array(hit))
+            take = pa.array(order[idx[hit]])
+            cols = {c: rows.column(c) for c in rows.column_names}
+            for src, dst in attach.items():
+                cols[dst] = d.column(src).take(take)
+            return pa.table(cols)
+        cols = {c: rows.column(c) for c in rows.column_names}
+        own = rows.column(row_key).to_numpy(zero_copy_only=False)
+        take = order[idx]
+        for src, dst in attach.items():
+            looked = d.column(src).to_numpy(zero_copy_only=False)[take]
+            cols[dst] = pa.array(np.where(hit, looked, own))
+        return pa.table(cols)
+
+    rows_mat = rows_ds.materialize()
+    row_blocks = _nonempty_block_refs(rows_mat)
+    dict_blocks = _nonempty_block_refs(dict_ds.materialize())
+    if not row_blocks or not dict_blocks:
+        return rows_mat.limit(0)
+    row_shards = [map_rows.remote(b) for b in row_blocks]
+    dict_shards = [map_dict.remote(b) for b in dict_blocks]
+
+    def shard(lists, p):
+        return [(s[p] if num_partitions > 1 else s) for s in lists]
+
+    reduced = [reduce_part.remote(len(row_shards),
+                                  *shard(row_shards, p),
+                                  *shard(dict_shards, p))
+               for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(reduced)
+
+
 def hash_distinct(ds, keys: list[str], num_partitions: int = 32):
     """DISTINCT over key columns via the same shuffle."""
     import ray
