@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles_total": gq.lineitem_triangles_total,
         "graph_triangles_pervertex": gq.lineitem_triangles_pervertex,
         "graph_pagerank": gq.lineitem_pagerank,
+        "graph_pagerank_fixed": gq.lineitem_pagerank_fixed,
         "graph_components": gq.lineitem_components,
         "graph_labelprop": gq.lineitem_labelprop,
         "graph_betweenness_nation": gq.nation_betweenness,
@@ -182,6 +183,104 @@ deg AS (
 """
 
 
+def _cc_oracle_sql(rounds: int = 20) -> str:
+    """Min-label fixpoint as a fixed chain of (neighbor-min +
+    pointer-jump) rounds. With jumping (lab ← lab[lab]) label distances
+    contract geometrically, so ``rounds=20`` covers any component the
+    test scales produce (verified: fixpoint reached well before round
+    20 at sf0.01; a plain WITH RECURSIVE closure would materialize
+    O(component²) rows on the giant co-occurrence component)."""
+    # AS MATERIALIZED everywhere: DuckDB 1.0 inlines plain CTEs, which
+    # makes the chained rounds exponential in plan size (and re-opens
+    # the parquet files per reference — "Too many open files")
+    parts = [_GRAPH_EDGES_CTE, """
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        l0 AS MATERIALIZED (SELECT node, node AS lab FROM deg)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        n{i} AS MATERIALIZED (SELECT se.a AS node, MIN(l.lab) AS nblab
+                 FROM se JOIN l{i} l ON l.node = se.b GROUP BY se.a),
+        j{i} AS MATERIALIZED (SELECT l.node, j.lab AS jlab
+                 FROM l{i} l JOIN l{i} j ON j.node = l.lab),
+        l{i + 1} AS MATERIALIZED (SELECT l.node,
+                            LEAST(l.lab, COALESCE(n.nblab, l.lab),
+                                  COALESCE(j.jlab, l.lab)) AS lab
+                     FROM l{i} l
+                     LEFT JOIN n{i} n USING (node)
+                     LEFT JOIN j{i} j USING (node))""")
+    parts.append(f"""
+        SELECT node, CAST(lab AS BIGINT) AS component FROM l{rounds}""")
+    return "".join(parts)
+
+
+def _pr_fixed_oracle_sql(supersteps: int = 12, alpha: float = 0.85) -> str:
+    """PageRank for exactly ``supersteps`` rounds as chained
+    materialized CTEs; ranks emitted as floor(r*1e6+0.5) micro-units so
+    float64 summation-order noise (~1e-14) cannot move the hash. The
+    graph has no degree-0 vertices, so the dangling term is zero."""
+    parts = [_GRAPH_EDGES_CTE, """
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        r0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT n FROM nv) AS r FROM deg)"""]
+    for i in range(supersteps):
+        parts.append(f""",
+        c{i} AS MATERIALIZED (
+            SELECT se.b AS node, SUM(l.r / d.degree) AS g
+            FROM se JOIN r{i} l ON l.node = se.a
+                    JOIN deg d ON d.node = se.a
+            GROUP BY se.b),
+        r{i + 1} AS MATERIALIZED (
+            SELECT r.node,
+                   (1.0 - {alpha}) / (SELECT n FROM nv)
+                   + {alpha} * COALESCE(c.g, 0.0) AS r
+            FROM r{i} r LEFT JOIN c{i} c USING (node))""")
+    parts.append(f"""
+        SELECT node, CAST(FLOOR(r * 1000000 + 0.5) AS BIGINT) AS pr_micro
+        FROM r{supersteps}""")
+    return "".join(parts)
+
+
+def _lp_oracle_sql(rounds: int = 20) -> str:
+    """Synchronous weighted mode-label propagation, exactly the engine's
+    semantics (labelprop.py::_pick_labels): per round each vertex takes
+    the (max weighted count, then smallest) neighbor label, keeping its
+    current label on a tied count. Integer counts → bit-exact. The
+    engine stops early at a fixpoint, which equals running the full
+    ``rounds`` (a fixpoint is stable under further rounds); on
+    oscillation both sides have done exactly ``rounds`` steps."""
+    parts = [_GRAPH_EDGES_CTE, """
+        , se AS MATERIALIZED (
+            SELECT src AS a, dst AS b, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+        lp0 AS MATERIALIZED (SELECT node, node AS lab FROM deg)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        cnt{i} AS MATERIALIZED (
+            SELECT se.b AS node, l.lab AS lab,
+                   CAST(SUM(se.weight) AS BIGINT) AS c
+            FROM se JOIN lp{i} l ON l.node = se.a
+            GROUP BY se.b, l.lab),
+        best{i} AS MATERIALIZED (
+            SELECT node, lab, c,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) AS rn,
+                   MAX(c) OVER (PARTITION BY node) AS cmax
+            FROM cnt{i}),
+        lp{i + 1} AS MATERIALIZED (
+            SELECT p.node,
+                   CASE WHEN cur.c IS NOT NULL AND cur.c = b.cmax
+                        THEN p.lab ELSE b.lab END AS lab
+            FROM lp{i} p
+            JOIN best{i} b ON b.node = p.node AND b.rn = 1
+            LEFT JOIN cnt{i} cur ON cur.node = p.node AND cur.lab = p.lab)""")
+    parts.append(f"""
+        SELECT node, CAST(lab AS BIGINT) AS label FROM lp{rounds}""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": _GRAPH_EDGES_CTE + "SELECT src, dst, weight FROM edges",
@@ -192,6 +291,56 @@ def oracle_sql() -> dict[str, str]:
         "graph_top_degree": _GRAPH_EDGES_CTE + """
             SELECT node, degree FROM deg
             ORDER BY degree DESC, node LIMIT 20""",
+        "graph_components": _cc_oracle_sql(),
+        "graph_pagerank_fixed": _pr_fixed_oracle_sql(),
+        "graph_labelprop": _lp_oracle_sql(),
+        # The customer–nation graph is a forest of stars (each customer
+        # attaches to exactly one nation), so exact ordered-pair BC has
+        # a closed form: center k leaves → k·(k-1); leaves → 0. An
+        # independent derivation of the full per-vertex output — the
+        # engine runs general Brandes and must land on exactly this.
+        "graph_betweenness_nation": """
+            WITH k AS (SELECT c_nationkey AS nation,
+                              CAST(COUNT(*) AS DOUBLE) AS c
+                       FROM customer GROUP BY 1)
+            SELECT CAST(nation AS BIGINT) AS node,
+                   c * (c - 1) AS bc FROM k
+            UNION ALL
+            SELECT CAST(c_custkey + 1000 AS BIGINT) AS node,
+                   CAST(0 AS DOUBLE) AS bc FROM customer""",
+        # every component is a single int/int division or a fixed
+        # left-associative expression tree — float64 results are
+        # bit-identical to the pandas/numpy side (no summation-order
+        # freedom), so the value hash compares exactly
+        "doc_quality": r"""
+            WITH toks AS (
+              SELECT doc_id, COALESCE(text, '') AS text,
+                     regexp_extract_all(lower(COALESCE(text, '')),
+                                        '[a-z]+') AS ws
+              FROM documents
+            ), comp AS (
+              SELECT doc_id,
+                LEAST(GREATEST(length(text) / 1000.0, 0.0), 1.0)
+                    AS len_score,
+                length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                    / GREATEST(length(text), 1) AS punct_ratio,
+                len(list_filter(ws, t -> list_contains(
+                    ['the','and','of','to','a','in','is','it','you','that'],
+                    t))) * 1.0 / GREATEST(len(ws), 1) AS stopword_ratio,
+                CASE WHEN len(ws) = 0 THEN 0.0
+                     ELSE list_aggregate(list_transform(ws,
+                              t -> length(t)), 'sum') * 1.0 / len(ws)
+                END AS mean_word_len,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                    / GREATEST(length(text), 1) AS alpha_ratio
+              FROM toks
+            )
+            SELECT doc_id, len_score, punct_ratio, stopword_ratio,
+                   mean_word_len, alpha_ratio,
+                   0.3 * len_score + 0.3 * alpha_ratio
+                   + 0.2 * (1.0 - LEAST(punct_ratio * 5, 1.0))
+                   + 0.2 * LEAST(stopword_ratio, 0.5) * 2 AS quality
+            FROM comp""",
         "graph_triangles_total": _GRAPH_EDGES_CTE + """
             SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles
             FROM edges e1

@@ -109,6 +109,25 @@ def lineitem_pagerank(sf_dir: str, mode: str = "auto"):
     return pagerank(g)
 
 
+def lineitem_pagerank_fixed(sf_dir: str, supersteps: int = 12):
+    """PageRank run for EXACTLY ``supersteps`` iterations (tolerance 0),
+    ranks scaled to integer micro-units — the SQL-checkable variant:
+    float64 summation-order noise (~1e-15) is far below the 0.5 µ-unit
+    rounding boundary, so value hashes compare exactly."""
+    from centrality_gpu_ray.pipelines.pagerank import pagerank
+
+    g = lineitem_graph(sf_dir)
+    cfg = EngineConfig(tolerance=0.0, max_supersteps=supersteps)
+    t = pagerank(g, cfg)
+    pr = t.column("pagerank").to_numpy()
+    # floor(x+0.5): same rounding on both sides (DuckDB ROUND is
+    # half-away-from-zero, np.round is half-to-even — avoid both)
+    return pa.table({
+        "node": t.column("node"),
+        "pr_micro": pa.array(np.floor(pr * 1e6 + 0.5).astype(np.int64)),
+    })
+
+
 def lineitem_components(sf_dir: str):
     from centrality_gpu_ray.pipelines.components import connected_components
 

@@ -195,7 +195,10 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     # the float accumulation order is deterministic.
     bc = np.zeros(n, dtype=np.float64)
     for batch in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
-        bc[batch.column("v").to_numpy()] += batch.column("c").to_numpy()
+        # np.add.at, NOT fancy +=: iter_batches may coalesce several
+        # task outputs into one batch, so v can repeat within a batch
+        np.add.at(bc, batch.column("v").to_numpy(),
+                  batch.column("c").to_numpy())
     elapsed = time.perf_counter() - t0
     if metrics is not None:
         metrics.update({"sec": elapsed, "sources": n_sources,
