@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": gq.lineitem_components,
         "graph_labelprop": gq.lineitem_labelprop,
         "graph_betweenness_nation": gq.nation_betweenness,
+        "graph_articulation_points": gq.lineitem_articulation_points,
         "corpus_pagerank": corpus_pagerank,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,

@@ -140,6 +140,14 @@ def lineitem_labelprop(sf_dir: str):
     return label_propagation(lineitem_graph(sf_dir))
 
 
+def lineitem_articulation_points(sf_dir: str):
+    """(node, is_articulation) over the part–supplier–order graph —
+    the reference's BiCC capability (bicc.cpp:81-161) as a query."""
+    from centrality_gpu_ray.pipelines.bicc import articulation_points
+
+    return articulation_points(lineitem_graph(sf_dir))
+
+
 def nation_betweenness(sf_dir: str):
     """Exact BC on the small customer–nation bipartite graph (conformance
     of the Brandes actor pool on real tables; nodes: nation n →

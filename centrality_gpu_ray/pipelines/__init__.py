@@ -4,6 +4,7 @@ from centrality_gpu_ray.pipelines.components import connected_components
 from centrality_gpu_ray.pipelines.labelprop import label_propagation
 from centrality_gpu_ray.pipelines.triangles import triangle_counts
 from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+from centrality_gpu_ray.pipelines.bicc import articulation_points, bcc_labels
 
 __all__ = [
     "Graph",
@@ -12,4 +13,6 @@ __all__ = [
     "label_propagation",
     "triangle_counts",
     "betweenness_centrality",
+    "articulation_points",
+    "bcc_labels",
 ]

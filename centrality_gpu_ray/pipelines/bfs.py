@@ -70,7 +70,13 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
 
     level = np.full(n, -1, dtype=np.int64)
     parent = np.full(n, -1, dtype=np.int64)
+    # discovery time (reference arrangelevels.cpp:11-53): sequential
+    # rank in (level, node-id) order — deterministic, unlike the
+    # reference's OpenMP scan order
+    disc = np.full(n, -1, dtype=np.int64)
     level[src_idx] = 0
+    disc[src_idx] = 0
+    next_disc = 1
     frontier = np.array([src_idx], dtype=np.int64)
     t0 = time.perf_counter()
     depth = 0
@@ -122,6 +128,8 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
         level[new] = depth
         parent[new] = new_par
         frontier = np.sort(new)
+        disc[frontier] = next_disc + np.arange(frontier.size, dtype=np.int64)
+        next_disc += frontier.size
 
     if metrics is not None:
         metrics.update({"sec": time.perf_counter() - t0, "depth": depth - 1,
@@ -131,6 +139,7 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
         "node": pa.array(graph.node_ids, type=pa.int64()),
         "level": pa.array(level),
         "parent": pa.array(par_orig.astype(np.int64)),
+        "disc_time": pa.array(disc),
     })
 
 

@@ -82,7 +82,8 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
                       metrics: dict | None = None) -> pa.Table:
     """Returns ``(node, label)``; labels are original node ids."""
     import ray
-    from ray.data.aggregate import Sum
+
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
     cfg = config or graph.config
     n = graph.num_vertices
@@ -120,8 +121,10 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
                 msgs = graph.edges.map_batches(_CountMsgs(lab_ref, weighted),
                                                batch_format="pyarrow",
                                                batch_size=cfg.batch_size)
-                msgs = msgs.groupby(["v", "label"]).aggregate(
-                    Sum("c", alias_name="c"))
+                # explicit hash shuffle — Ray's native groupby iterates
+                # groups in Python (~125 µs/row; collapses at scale)
+                msgs = hash_aggregate(msgs, ["v", "label"], [("c", "sum")],
+                                      num_partitions=cfg.num_partitions)
                 rows = [b for b in msgs.iter_batches(batch_size=None,
                                                      batch_format="pyarrow")]
                 t = pa.concat_tables(rows) if rows else None

@@ -37,6 +37,11 @@ def test_bfs_unreachable_on_test5():
     lv = dict(zip(t["node"], t["level"]))
     assert all(lv[v] >= 0 for v in range(9))
     assert all(lv[v] == -1 for v in range(9, 15))
+    # disc_time: -1 for unreached; reached get 0..k-1 in (level, id) order
+    dt = dict(zip(t["node"], t["disc_time"]))
+    assert all(dt[v] == -1 for v in range(9, 15))
+    reached = t[t.level >= 0].sort_values(["level", "node"])
+    assert reached["disc_time"].tolist() == list(range(len(reached)))
 
 
 def test_pendant_prune_chain():
