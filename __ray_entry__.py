@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_labelprop": gq.lineitem_labelprop,
         "graph_betweenness_nation": gq.nation_betweenness,
         "graph_articulation_points": gq.lineitem_articulation_points,
+        "graph_sssp": gq.lineitem_sssp,
         "corpus_pagerank": corpus_pagerank,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
@@ -282,6 +283,35 @@ def _lp_oracle_sql(rounds: int = 20) -> str:
     return "".join(parts)
 
 
+def _sssp_oracle_sql(rounds: int = 40) -> str:
+    """Bellman-Ford relaxation from the min-id vertex as chained
+    materialized rounds; int weights → exact int distances. ``rounds``
+    bounds the weighted hop count (the engine converges in ~a dozen
+    supersteps at the test scales and RAISES past 100, so 40 rounds is
+    ample margin; a converged table is stable under extra rounds)."""
+    parts = [_GRAPH_EDGES_CTE, """
+        , sew AS MATERIALIZED (
+            SELECT src AS a, dst AS b, weight FROM edges
+            UNION ALL SELECT dst, src, weight FROM edges),
+        s0 AS MATERIALIZED (
+            SELECT node, CASE WHEN node = (SELECT MIN(node) FROM deg)
+                              THEN CAST(0 AS BIGINT) END AS dist
+            FROM deg)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        m{i} AS MATERIALIZED (
+            SELECT sew.b AS node, MIN(l.dist + sew.weight) AS nd
+            FROM sew JOIN s{i} l ON l.node = sew.a
+            WHERE l.dist IS NOT NULL GROUP BY sew.b),
+        s{i + 1} AS MATERIALIZED (
+            SELECT s.node, LEAST(s.dist, m.nd) AS dist
+            FROM s{i} s LEFT JOIN m{i} m USING (node))""")
+    parts.append(f"""
+        SELECT node, CAST(COALESCE(dist, -1) AS BIGINT) AS distance
+        FROM s{rounds}""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": _GRAPH_EDGES_CTE + "SELECT src, dst, weight FROM edges",
@@ -295,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": _cc_oracle_sql(),
         "graph_pagerank_fixed": _pr_fixed_oracle_sql(),
         "graph_labelprop": _lp_oracle_sql(),
+        "graph_sssp": _sssp_oracle_sql(),
         # The customer–nation graph is a forest of stars (each customer
         # attaches to exactly one nation), so exact ordered-pair BC has
         # a closed form: center k leaves → k·(k-1); leaves → 0. An

@@ -140,6 +140,17 @@ def lineitem_labelprop(sf_dir: str):
     return label_propagation(lineitem_graph(sf_dir))
 
 
+def lineitem_sssp(sf_dir: str):
+    """Weighted shortest distances from the min-id vertex over the
+    part–supplier–order graph (weights = co-occurrence counts);
+    unreachable → -1. SQL-checkable: integer weights → exact integer
+    distances."""
+    from centrality_gpu_ray.pipelines.sssp import sssp
+
+    g = lineitem_graph(sf_dir)
+    return sssp(g, int(g.node_ids[0]))
+
+
 def lineitem_articulation_points(sf_dir: str):
     """(node, is_articulation) over the part–supplier–order graph —
     the reference's BiCC capability (bicc.cpp:81-161) as a query."""

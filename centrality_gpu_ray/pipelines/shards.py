@@ -215,6 +215,18 @@ def _shard_class():
                           sums[cuts[i]:cuts[i + 1]])
                          for i in range(len(bounds) - 1))
 
+        def shard_gather_minplus(self, bounds: np.ndarray, dist: np.ndarray):
+            """Min-plus gather (weighted SSSP superstep): per dst the
+            min of dist[src] + edge weight."""
+            c = dist[self.u] + self.w
+            mins = np.minimum.reduceat(c, self.seg) if c.size else c
+            if self.rep_fold > 1:
+                mins = mins.reshape(self.rep_fold, -1).min(axis=0)
+            cuts = np.searchsorted(self.uniq_v, bounds)
+            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
+                          mins[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
         def shard_gather_min(self, bounds: np.ndarray, lab: np.ndarray):
             c = lab[self.u]
             mins = np.minimum.reduceat(c, self.seg) if c.size else c
@@ -425,6 +437,22 @@ class ShardPool:
         lab_refs = [a.owner_get_state.remote() for a in self.actors]
         lab_full = self._assembler().remote(*lab_refs)
         outs = [a.shard_gather_min.remote(self.bounds, lab_full)
+                for a in self.actors]
+        changed_refs = [
+            self.actors[p].owner_combine_min.remote(p, *outs)
+            for p in range(P)
+        ]
+        return int(sum(ray.get(changed_refs)))
+
+    def sssp_step(self) -> int:
+        """One min-plus superstep over owner-resident distances;
+        returns #vertices whose distance improved."""
+        import ray
+
+        P = len(self.actors)
+        dist_refs = [a.owner_get_state.remote() for a in self.actors]
+        dist_full = self._assembler().remote(*dist_refs)
+        outs = [a.shard_gather_minplus.remote(self.bounds, dist_full)
                 for a in self.actors]
         changed_refs = [
             self.actors[p].owner_combine_min.remote(p, *outs)
