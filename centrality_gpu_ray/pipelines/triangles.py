@@ -13,7 +13,7 @@ per-vertex credit (each matched wedge gives apex and both endpoints one
 triangle). Local mode does the join with ``np.isin`` on packed u64 keys
 (the same packing trick as ``bcc_bfs.cpp:1001-1003``); distributed mode
 uses a broadcast packed-key set when the edge set is small and a
-hash-partitioned ``Dataset.join`` on ``(b, c)`` beyond that.
+hash-partitioned packed-key semi-join beyond that.
 """
 
 from __future__ import annotations
@@ -118,37 +118,6 @@ def _count_local(graph: Graph, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return tri
 
 
-def _wedge_gen(group: pa.Table) -> pa.Table:
-    """map_groups fn over per-apex groups → wedge rows."""
-    a = group.column("a").to_numpy()
-    b = group.column("b").to_numpy()
-    apex, x, y = _wedges_from_adj(a, b)
-    return pa.table({"apex": pa.array(apex), "x": pa.array(x), "y": pa.array(y)})
-
-
-class _WedgeMatch:
-    """Broadcast-join stage: filter wedges whose (x, y) closes an edge."""
-
-    def __init__(self, keys_ref, n: int):
-        self._keys_ref = keys_ref
-        self._keys = None
-        self._n = n
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
-        if self._keys is None:
-            self._keys = ray.get(self._keys_ref)
-        x = batch.column("x").to_numpy()
-        y = batch.column("y").to_numpy()
-        wk = _pack(x, y, self._n)
-        if self._keys.size == 0:
-            return batch.slice(0, 0)
-        idx = np.minimum(np.searchsorted(self._keys, wk), self._keys.size - 1)
-        match = self._keys[idx] == wk
-        return batch.filter(pa.array(match))
-
-
 def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.ndarray:
     """Explicit apex-hash shuffle: each reduce task owns a set of apexes
     (all their out-edges co-located), generates that slice's wedges
@@ -156,7 +125,7 @@ def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.n
     set, and returns partial per-vertex credits. One shuffle total;
     wedge work parallelizes across reducers. Beyond
     ``BROADCAST_EDGE_LIMIT`` edges the closing-pair membership test
-    switches to a hash-partitioned ``Dataset.join``."""
+    switches to a hash-partitioned packed-key semi-join."""
     import ray
 
     n = graph.num_vertices
@@ -173,22 +142,39 @@ def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.n
                                        batch_size=cfg.batch_size).materialize()
 
     if graph.num_edges > BROADCAST_EDGE_LIMIT:
-        # Scale path: wedges via apex shuffle, then a hash-partitioned
-        # join on the closing pair (no broadcast of the edge set).
-        wedges = oriented.groupby("a").map_groups(_wedge_gen,
-                                                  batch_format="pyarrow")
-        # Wedge pairs (x, y) come out ascending by id (neighbors are
-        # id-sorted within each apex run), but oriented edges keep the
-        # (deg, id) orientation which may be high-id→low-id.  Canonicalize
-        # the closing side to (min, max) so the equality join matches —
-        # mirrors _pack()'s lo/hi key in the broadcast path.
-        closing = oriented.map_batches(_canon_pairs, batch_format="pyarrow",
+        # Scale path: apex-hash exchange generates each partition's
+        # wedges in ONE vectorized pass (many apexes per reduce — no
+        # per-group Python), then a hash-partitioned semi-join of the
+        # wedges against the packed canonical closing-edge keys.
+        # Wedge pairs (x, y) come out ascending by id, while oriented
+        # edges keep the (deg, id) orientation which may be
+        # high-id→low-id — both sides use the (min,max)-packed key.
+        from centrality_gpu_ray.stages.shuffle import (hash_partition_apply,
+                                                       hash_semi_join)
+
+        def wedge_part(tbl: pa.Table) -> pa.Table:
+            apex, x, y = _wedges_from_adj(
+                tbl.column("a").to_numpy(zero_copy_only=False),
+                tbl.column("b").to_numpy(zero_copy_only=False))
+            return pa.table({"apex": pa.array(apex),
+                             "key": pa.array(_pack(x, y, n))})
+
+        def edge_keys(tbl: pa.Table) -> pa.Table:
+            return pa.table({"key": pa.array(
+                _pack(tbl.column("a").to_numpy(),
+                      tbl.column("b").to_numpy(), n))})
+
+        wedges = hash_partition_apply(oriented, ["a"], wedge_part,
+                                      num_partitions=cfg.num_partitions)
+        keys_ds = oriented.map_batches(edge_keys, batch_format="pyarrow",
                                        batch_size=cfg.batch_size)
-        matched = wedges.join(closing, join_type="inner", on=("x", "y"),
-                              num_partitions=cfg.num_partitions)
+        matched = hash_semi_join(wedges, keys_ds, on="key",
+                                 num_partitions=cfg.num_partitions)
         tri = np.zeros(n, dtype=np.int64)
-        counted = matched.map_batches(_wedge_credit, batch_format="pyarrow")
-        for batch in counted.iter_batches(batch_size=None, batch_format="pyarrow"):
+        counted = matched.map_batches(_wedge_credit_packed(n),
+                                      batch_format="pyarrow")
+        for batch in counted.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"):
             np.add.at(tri, batch.column("v").to_numpy(),
                       batch.column("c").to_numpy())
         return tri
@@ -249,16 +235,15 @@ def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.n
     return tri
 
 
-def _canon_pairs(batch: pa.Table) -> pa.Table:
-    a = batch.column("a").to_numpy()
-    b = batch.column("b").to_numpy()
-    return pa.table({"x": pa.array(np.minimum(a, b)),
-                     "y": pa.array(np.maximum(a, b))})
+def _wedge_credit_packed(n: int):
+    """Credit apex + both endpoints of each matched (packed) wedge."""
 
+    def fn(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        v = np.concatenate([batch.column("apex").to_numpy(),
+                            key // np.int64(n), key % np.int64(n)])
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
 
-def _wedge_credit(batch: pa.Table) -> pa.Table:
-    v = np.concatenate([batch.column("apex").to_numpy(),
-                        batch.column("x").to_numpy(),
-                        batch.column("y").to_numpy()])
-    uniq, cnt = np.unique(v, return_counts=True)
-    return pa.table({"v": pa.array(uniq), "c": pa.array(cnt.astype(np.int64))})
+    return fn
