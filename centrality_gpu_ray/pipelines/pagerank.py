@@ -199,9 +199,10 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
     """>dense_vertex_limit path: degrees, inv_deg, rank state and the
     result all live sharded in the owner actors; the driver does O(P)
     work per superstep and never holds an O(n) vector. Returns a
-    ``ray.data.Dataset`` of (node, pagerank). Checkpointing is not yet
-    wired for sharded state (the dense path has it); resumability at
-    this tier comes from the partitioned result write."""
+    ``ray.data.Dataset`` of (node, pagerank). Checkpoints are sharded
+    too: each owner writes its own chunk parquet, the driver only the
+    manifest; a rerun with the same ``checkpoint_dir`` (and compatible
+    pool bounds) resumes from the newest step."""
     import time as _time
 
     from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
@@ -209,17 +210,28 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
     n = graph.num_vertices
     pool = graph.pool
     pool.setup_owners_sharded(n, weighted)
+    start_step = 0
+    if cfg.checkpoint_dir is not None:
+        resumed = pool.resume_owners(cfg.checkpoint_dir, "pagerank_sharded")
+        if resumed is not None:
+            start_step = resumed + 1
     t0 = _time.perf_counter()
-    step, delta = 0, np.inf
+    step, delta = start_step, np.inf
     while step < cfg.max_supersteps and delta > cfg.tolerance:
         delta = pool.pr_step(cfg.damping, weighted)
+        if (cfg.checkpoint_dir is not None
+                and step % cfg.checkpoint_every == 0):
+            pool.checkpoint_owners(cfg.checkpoint_dir, "pagerank_sharded",
+                                   step, {"l1_delta": delta})
         step += 1
     elapsed = _time.perf_counter() - t0
     if metrics is not None:
+        done = step - start_step
         metrics.update({
-            "supersteps": step, "l1_delta": delta, "sec": elapsed,
-            "edges_processed": 2 * graph.num_edges * step,
-            "edges_per_sec": (2 * graph.num_edges * step) / max(elapsed, 1e-9),
+            "supersteps": done, "l1_delta": delta, "sec": elapsed,
+            "resumed_from": start_step - 1 if start_step else None,
+            "edges_processed": 2 * graph.num_edges * done,
+            "edges_per_sec": (2 * graph.num_edges * done) / max(elapsed, 1e-9),
             "mode": "sharded",
         })
     return scores_dataset(graph.vdict, pool, "pagerank")

@@ -150,6 +150,31 @@ def _shard_class():
             self.state = np.arange(self.lo, self.hi, dtype=np.float64)
             return True
 
+        def owner_write_chunk(self, path: str) -> int:
+            """Checkpoint this owner's state chunk as parquet (atomic
+            tmp→rename); per-partition resumability for sharded state."""
+            import os
+
+            import pyarrow.parquet as pq
+
+            tbl = pa.table({"value": pa.array(self.state)})
+            tmp = path + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+            return int(self.state.size)
+
+        def owner_load_chunk(self, path: str) -> bool:
+            import pyarrow.parquet as pq
+
+            vals = pq.read_table(path).column("value").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            if vals.size != self.hi - self.lo:
+                raise ValueError(
+                    f"checkpoint chunk rows {vals.size} != owner range "
+                    f"{self.hi - self.lo}")
+            self.state = vals.copy()
+            return True
+
         def owner_set_state(self, chunk: np.ndarray):
             self.state = chunk.copy()
             return True
@@ -459,6 +484,67 @@ class ShardPool:
             for p in range(P)
         ]
         return int(sum(ray.get(changed_refs)))
+
+    def checkpoint_owners(self, ckpt_dir: str, algo: str, step: int,
+                          extra_meta: dict | None = None) -> dict:
+        """Per-owner sharded checkpoint: each owner writes its own
+        chunk file; the driver writes only the small manifest (bounds,
+        step, lineage). No O(n) driver traffic."""
+        import json
+        import os
+        import time as _time
+
+        import ray
+
+        step_dir = os.path.join(ckpt_dir, algo, f"step-{step:06d}")
+        os.makedirs(step_dir, exist_ok=True)
+        rows = ray.get([
+            a.owner_write_chunk.remote(
+                os.path.join(step_dir, f"owner-{i:05d}.parquet"))
+            for i, a in enumerate(self.actors)
+        ])
+        manifest = {
+            "algo": algo, "step": step, "n": int(self.n),
+            "bounds": [int(b) for b in self.bounds],
+            "rows": rows, "written_at": _time.time(),
+            **(extra_meta or {}),
+        }
+        tmp = os.path.join(step_dir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(step_dir, "manifest.json"))
+        return manifest
+
+    def resume_owners(self, ckpt_dir: str, algo: str) -> int | None:
+        """Load the newest matching sharded checkpoint into the owners;
+        returns its step, or None if absent/incompatible (different n
+        or owner bounds — e.g. a different pool size)."""
+        import json
+        import os
+
+        import ray
+
+        algo_dir = os.path.join(ckpt_dir, algo)
+        if not os.path.isdir(algo_dir):
+            return None
+        steps = sorted(d for d in os.listdir(algo_dir)
+                       if d.startswith("step-")
+                       and os.path.exists(os.path.join(algo_dir, d,
+                                                       "manifest.json")))
+        if not steps:
+            return None
+        step_dir = os.path.join(algo_dir, steps[-1])
+        with open(os.path.join(step_dir, "manifest.json")) as f:
+            man = json.load(f)
+        if (man.get("n") != int(self.n)
+                or man.get("bounds") != [int(b) for b in self.bounds]):
+            return None
+        ray.get([
+            a.owner_load_chunk.remote(
+                os.path.join(step_dir, f"owner-{i:05d}.parquet"))
+            for i, a in enumerate(self.actors)
+        ])
+        return int(man["step"])
 
     def collect_state(self) -> np.ndarray:
         import ray

@@ -63,6 +63,26 @@ def test_sharded_pagerank_matches_dense(graphs):
                        atol=1e-12)
 
 
+def test_sharded_checkpoint_resume(graphs, tmp_path):
+    # interrupted run (3 supersteps, checkpointed) + resumed run ==
+    # uninterrupted run, bit-identically
+    _, sharded = graphs
+    ck = str(tmp_path / "ck")
+    part = EngineConfig(tolerance=1e-10, max_supersteps=3,
+                        dense_vertex_limit=500, checkpoint_dir=ck)
+    pagerank(sharded, part)
+    m = {}
+    full_cfg = EngineConfig(tolerance=1e-10, max_supersteps=300,
+                            dense_vertex_limit=500, checkpoint_dir=ck)
+    resumed = pagerank(sharded, full_cfg, metrics=m).to_pandas()
+    assert m["resumed_from"] == 2
+    fresh = pagerank(sharded, EngineConfig(tolerance=1e-10,
+                                           max_supersteps=300,
+                                           dense_vertex_limit=500)).to_pandas()
+    merged = resumed.merge(fresh, on="node", suffixes=("_r", "_f"))
+    assert (merged["pagerank_r"] == merged["pagerank_f"]).all()
+
+
 def test_sharded_components_matches_dense(graphs):
     dense, sharded = graphs
     a = connected_components(dense).to_pandas()
