@@ -63,6 +63,7 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
     from centrality_gpu_ray.pipelines.exchange import aggregate_messages
 
     cfg = config or graph.config
+    graph.require_dense("bfs")
     n = graph.num_vertices
     src_idx = int(np.searchsorted(graph.node_ids, source))
     if src_idx >= n or graph.node_ids[src_idx] != source:

@@ -153,6 +153,7 @@ def biconnected(graph: Graph, config: EngineConfig | None = None,
     ``is_articulation``. See module docstring."""
     import time
 
+    graph.require_dense("biconnected")
     t0 = time.perf_counter()
     s, d, _ = graph.local_arrays()
     n = graph.num_vertices

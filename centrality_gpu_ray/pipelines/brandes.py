@@ -157,6 +157,7 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     import ray.data
 
     cfg = config or graph.config
+    graph.require_dense("betweenness_centrality")
     t0 = time.perf_counter()
     n = graph.num_vertices
     s, d, _ = graph.local_arrays()

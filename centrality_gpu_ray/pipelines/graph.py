@@ -178,6 +178,17 @@ class Graph:
                 self._strength = st
         return self._strength
 
+    def require_dense(self, op: str) -> None:
+        """Loud guard for operators whose sharded-state form is not
+        wired yet (PageRank and connected components are; see
+        ``pipelines/vertexdict.py``)."""
+        if getattr(self, "sharded", False):
+            raise NotImplementedError(
+                f"{op} is not wired for the sharded-state (> "
+                f"dense_vertex_limit={self.config.dense_vertex_limit}) "
+                "path yet; PageRank and connected_components are. Raise "
+                "config.dense_vertex_limit if the driver has RAM.")
+
     def dense_index(self, nodes: np.ndarray) -> np.ndarray | None:
         """Original node ids → dense 0..n-1 indices, or None if any id is
         not a vertex of THIS graph (e.g. a checkpoint from a different

@@ -86,6 +86,7 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
     from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
     cfg = config or graph.config
+    graph.require_dense("label_propagation")
     n = graph.num_vertices
     labels = np.arange(n, dtype=np.int64)
     ckpt = CheckpointManager(cfg.checkpoint_dir, "labelprop", cfg.checkpoint_every,

@@ -63,6 +63,7 @@ def sssp(graph: Graph, source: int, config: EngineConfig | None = None,
     import ray
 
     cfg = config or graph.config
+    graph.require_dense("sssp")
     n = graph.num_vertices
     src_idx = graph.dense_index(np.array([source], dtype=np.int64))
     if src_idx is None:

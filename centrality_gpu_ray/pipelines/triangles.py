@@ -76,6 +76,7 @@ def triangle_counts(graph: Graph, config: EngineConfig | None = None,
     """Returns ``(node, triangles)`` per-vertex counts (vertices with 0
     included). Total = sum/3 · 3 = matched wedges."""
     cfg = config or graph.config
+    graph.require_dense("triangle_counts")
     t0 = time.perf_counter()
     deg = graph.out_degree
     if graph.mode == "local":
