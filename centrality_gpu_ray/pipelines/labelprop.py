@@ -86,7 +86,9 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
     from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
     cfg = config or graph.config
-    graph.require_dense("label_propagation")
+    if getattr(graph, "sharded", False):
+        return _labelprop_sharded(graph, cfg, weighted, max_supersteps,
+                                  metrics)
     n = graph.num_vertices
     labels = np.arange(n, dtype=np.int64)
     ckpt = CheckpointManager(cfg.checkpoint_dir, "labelprop", cfg.checkpoint_every,
@@ -162,6 +164,30 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
             "converged": not changed,
         })
     return _result(graph, labels)
+
+
+def _labelprop_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
+                       max_supersteps: int, metrics: dict | None):
+    """>dense_vertex_limit LP: labels live sharded in the owner actors
+    (mode combine per range); returns a Dataset of (node, label) in
+    ORIGINAL ids."""
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    n = graph.num_vertices
+    pool = graph.pool
+    pool.setup_owners_sharded(n, weighted)
+    pool.reset_labels()
+    t0 = time.perf_counter()
+    step, changed = 0, True
+    while changed and step < max_supersteps:
+        changed = pool.lp_step(weighted) > 0
+        step += 1
+    elapsed = time.perf_counter() - t0
+    if metrics is not None:
+        metrics.update({"supersteps": step, "sec": elapsed,
+                        "mode": "sharded", "converged": not changed})
+    return scores_dataset(graph.vdict, pool, "label",
+                          to_original_values=True)
 
 
 def _result(graph: Graph, labels: np.ndarray) -> pa.Table:

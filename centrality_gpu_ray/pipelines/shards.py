@@ -150,6 +150,68 @@ def _shard_class():
             self.state = np.arange(self.lo, self.hi, dtype=np.float64)
             return True
 
+        def owner_set_value(self, dense_idx: int, value: float) -> bool:
+            """Point-write into this owner's state (e.g. SSSP source)."""
+            if self.lo <= dense_idx < self.hi:
+                self.state[dense_idx - self.lo] = value
+            return True
+
+        def owner_fill_state(self, value: float) -> bool:
+            self.state = np.full(self.hi - self.lo, value, dtype=np.float64)
+            return True
+
+        def shard_gather_label_counts(self, bounds: np.ndarray,
+                                      labels: np.ndarray, weighted: bool):
+            """Range-split (v, label, count) partials for mode-LP from
+            the resident layout (labels arrive as ONE assembled plasma
+            object)."""
+            if self.u.size == 0:
+                z = np.empty(0, dtype=np.int64)
+                return tuple((z, z, z) for _ in range(len(bounds) - 1))
+            lab = labels[self.u].astype(np.int64)
+            nlab = np.int64(labels.size)
+            packed = self.v * nlab + lab
+            uniq, inv = np.unique(packed, return_inverse=True)
+            wts = self.w if weighted else np.ones(lab.size)
+            cnt = np.bincount(inv, weights=wts).astype(np.int64)
+            vv = (uniq // nlab)
+            ll = (uniq % nlab)
+            cuts = np.searchsorted(vv, bounds)
+            return tuple((vv[cuts[i]:cuts[i + 1]], ll[cuts[i]:cuts[i + 1]],
+                          cnt[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def owner_combine_mode(self, my_idx: int, *shard_outs) -> int:
+            """Mode-LP combine for this owner's range: merge the shards'
+            (v, label, count) partials, pick argmax with the engine's
+            tie-break (keep current on tie, else max count then min
+            label)."""
+            from centrality_gpu_ray.pipelines.labelprop import _pick_labels
+
+            vs, ls, cs = [], [], []
+            for out in shard_outs:
+                v, l, c = out[my_idx]
+                vs.append(v)
+                ls.append(l)
+                cs.append(c)
+            v = np.concatenate(vs)
+            if v.size == 0:
+                return 0
+            lab = np.concatenate(ls)
+            cnt0 = np.concatenate(cs)
+            # merge duplicates across shards via packed (v, label) keys
+            # (dense label ids < 2^32 — the documented vertex envelope)
+            key = (v - self.lo).astype(np.int64) * np.int64(1 << 32) + lab
+            uniq, inv = np.unique(key, return_inverse=True)
+            cnt = np.bincount(inv, weights=cnt0).astype(np.int64)
+            v_rel = (uniq >> np.int64(32))
+            lab_m = uniq & np.int64((1 << 32) - 1)
+            current = self.state.astype(np.int64)
+            new = _pick_labels(v_rel, lab_m, cnt, current)
+            changed = int(np.count_nonzero(new != current))
+            self.state = new.astype(np.float64)
+            return changed
+
         def owner_write_chunk(self, path: str) -> int:
             """Checkpoint this owner's state chunk as parquet (atomic
             tmp→rename); per-partition resumability for sharded state."""
@@ -465,6 +527,23 @@ class ShardPool:
                 for a in self.actors]
         changed_refs = [
             self.actors[p].owner_combine_min.remote(p, *outs)
+            for p in range(P)
+        ]
+        return int(sum(ray.get(changed_refs)))
+
+    def lp_step(self, weighted: bool = True) -> int:
+        """One mode-LP superstep over owner-resident labels; returns
+        #vertices whose label changed."""
+        import ray
+
+        P = len(self.actors)
+        lab_refs = [a.owner_get_state.remote() for a in self.actors]
+        lab_full = self._assembler().remote(*lab_refs)
+        outs = [a.shard_gather_label_counts.remote(self.bounds, lab_full,
+                                                   weighted)
+                for a in self.actors]
+        changed_refs = [
+            self.actors[p].owner_combine_mode.remote(p, *outs)
             for p in range(P)
         ]
         return int(sum(ray.get(changed_refs)))

@@ -63,7 +63,8 @@ def sssp(graph: Graph, source: int, config: EngineConfig | None = None,
     import ray
 
     cfg = config or graph.config
-    graph.require_dense("sssp")
+    if getattr(graph, "sharded", False):
+        return _sssp_sharded(graph, source, cfg, metrics)
     n = graph.num_vertices
     src_idx = graph.dense_index(np.array([source], dtype=np.int64))
     if src_idx is None:
@@ -120,3 +121,54 @@ def sssp(graph: Graph, source: int, config: EngineConfig | None = None,
         "node": pa.array(graph.node_ids, type=pa.int64()),
         "distance": pa.array(out.astype(np.int64)),
     })
+
+
+def _sssp_sharded(graph: Graph, source: int, cfg: EngineConfig,
+                  metrics: dict | None):
+    """>dense_vertex_limit SSSP: distances live sharded in the owner
+    actors; source resolved through the vertex dictionary. Returns a
+    Dataset of (node, distance), unreachable -1."""
+    import ray
+
+    from centrality_gpu_ray.pipelines.vertexdict import (_DictReader,
+                                                         scores_dataset)
+
+    reader = _DictReader((graph.vdict.mins, graph.vdict.offsets,
+                          graph.vdict.block_refs))
+    src_arr = np.array([source], dtype=np.int64)
+    if source < int(graph.vdict.mins[0]):
+        raise ValueError(f"source {source} not in graph")
+    src_dense = int(reader.to_dense(src_arr)[0])
+    if (not 0 <= src_dense < graph.num_vertices
+            or int(reader.to_original(
+                np.array([src_dense], dtype=np.int64))[0]) != source):
+        raise ValueError(f"source {source} not in graph")
+
+    n = graph.num_vertices
+    pool = graph.pool
+    pool.setup_owners_sharded(n)
+    ray.get([a.owner_fill_state.remote(float("inf")) for a in pool.actors])
+    ray.get([a.owner_set_value.remote(src_dense, 0.0) for a in pool.actors])
+    import time as _time
+
+    t0 = _time.perf_counter()
+    step, changed = 0, True
+    while changed and step < cfg.max_supersteps:
+        changed = pool.sssp_step() > 0
+        step += 1
+    elapsed = _time.perf_counter() - t0
+    if changed:
+        raise RuntimeError(
+            f"sssp hit max_supersteps={cfg.max_supersteps} without converging")
+    if metrics is not None:
+        metrics.update({"supersteps": step, "sec": elapsed,
+                        "mode": "sharded"})
+    ds = scores_dataset(graph.vdict, pool, "distance")
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column("distance").to_numpy()
+        out = np.where(np.isfinite(v), v, -1.0).astype(np.int64)
+        return pa.table({"node": t.column("node"),
+                         "distance": pa.array(out)})
+
+    return ds.map_batches(finish, batch_format="pyarrow")

@@ -8,7 +8,9 @@ import pyarrow as pa
 import pytest
 
 from centrality_gpu_ray.config import EngineConfig
-from centrality_gpu_ray.pipelines import Graph, connected_components, pagerank
+from centrality_gpu_ray.pipelines import (Graph, connected_components,
+                                          label_propagation, pagerank)
+from centrality_gpu_ray.pipelines.sssp import sssp
 
 
 def _edges_table():
@@ -81,6 +83,33 @@ def test_sharded_checkpoint_resume(graphs, tmp_path):
                                            dense_vertex_limit=500)).to_pandas()
     merged = resumed.merge(fresh, on="node", suffixes=("_r", "_f"))
     assert (merged["pagerank_r"] == merged["pagerank_f"]).all()
+
+
+def test_sharded_labelprop_matches_dense(graphs):
+    dense, sharded = graphs
+    a = label_propagation(dense).to_pandas()
+    m = {}
+    b = label_propagation(sharded, EngineConfig(dense_vertex_limit=500),
+                          metrics=m).to_pandas()
+    assert m["mode"] == "sharded"
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert (merged["label_d"] == merged["label_s"]).all()
+
+
+def test_sharded_sssp_matches_dense(graphs):
+    dense, sharded = graphs
+    src = 5  # original id (0*17+5)
+    a = sssp(dense, src).to_pandas()
+    m = {}
+    b = sssp(sharded, src, EngineConfig(dense_vertex_limit=500),
+             metrics=m).to_pandas()
+    assert m["mode"] == "sharded"
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert (merged["distance_d"] == merged["distance_s"]).all()
+    with pytest.raises(ValueError):
+        sssp(sharded, 99999999, EngineConfig(dense_vertex_limit=500))
 
 
 def test_sharded_components_matches_dense(graphs):
