@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness_nation": gq.nation_betweenness,
         "graph_articulation_points": gq.lineitem_articulation_points,
         "graph_sssp": gq.lineitem_sssp,
+        "graph_kcore": gq.lineitem_kcore,
         "corpus_pagerank": corpus_pagerank,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
@@ -312,6 +313,40 @@ def _sssp_oracle_sql(rounds: int = 40) -> str:
     return "".join(parts)
 
 
+def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
+    """Iterative k-core peel mirroring peel.py exactly: each round
+    dooms not-yet-removed vertices with 0 < current-degree < k over the
+    surviving edges; vertices whose degree drops to 0 without being
+    doomed survive (the engine's documented semantics). Integer-exact;
+    the peel converges in ≤2 rounds at the test scales (8 gives
+    margin — a converged state is stable under further rounds)."""
+    parts = [_GRAPH_EDGES_CTE, """
+        , e0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges),
+        rm0 AS MATERIALIZED (
+            SELECT CAST(NULL AS BIGINT) AS node,
+                   CAST(NULL AS BIGINT) AS rr WHERE 1 = 0)"""]
+    for r in range(rounds):
+        parts.append(f""",
+        dg{r} AS MATERIALIZED (
+            SELECT node, COUNT(*) AS c FROM (
+                SELECT a AS node FROM e{r}
+                UNION ALL SELECT b FROM e{r}) GROUP BY node),
+        doom{r} AS MATERIALIZED (
+            SELECT node, CAST({r} AS BIGINT) AS rr
+            FROM dg{r} WHERE c < {k}),
+        rm{r + 1} AS MATERIALIZED (
+            SELECT * FROM rm{r} UNION ALL SELECT * FROM doom{r}),
+        e{r + 1} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{r} e
+            LEFT JOIN doom{r} da ON da.node = e.a
+            LEFT JOIN doom{r} db ON db.node = e.b
+            WHERE da.node IS NULL AND db.node IS NULL)""")
+    parts.append(f"""
+        SELECT d.node, CAST(COALESCE(rm.rr, -1) AS BIGINT) AS round_removed
+        FROM deg d LEFT JOIN rm{rounds} rm ON rm.node = d.node""")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": _GRAPH_EDGES_CTE + "SELECT src, dst, weight FROM edges",
@@ -326,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_fixed": _pr_fixed_oracle_sql(),
         "graph_labelprop": _lp_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(),
+        "graph_kcore": _kcore_oracle_sql(),
         # The customer–nation graph is a forest of stars (each customer
         # attaches to exactly one nation), so exact ordered-pair BC has
         # a closed form: center k leaves → k·(k-1); leaves → 0. An

@@ -151,6 +151,15 @@ def lineitem_sssp(sf_dir: str):
     return sssp(g, int(g.node_ids[0]))
 
 
+def lineitem_kcore(sf_dir: str, k: int = 3):
+    """Iterative k-core peel (M5 generalized): ``(node,
+    round_removed)``, -1 for the surviving core. Integer-exact."""
+    from centrality_gpu_ray.pipelines.peel import peel
+
+    table, _ = peel(lineitem_graph(sf_dir), k=k)
+    return table
+
+
 def lineitem_articulation_points(sf_dir: str):
     """(node, is_articulation) over the part–supplier–order graph —
     the reference's BiCC capability (bicc.cpp:81-161) as a query."""
