@@ -241,7 +241,9 @@ def run_scaling_job() -> dict:
     from centrality_gpu_ray.functions.similarity import ann_brute_force
 
     rng = np.random.default_rng(7)
-    N, D, NQ = int(os.environ.get("GRAFT_ANN_N", "200000")), 64, 4096
+    # D=256 + float32 compute: 4× the arithmetic intensity of the
+    # D=64/float64 config, which was still partially DRAM-bound here
+    N, D, NQ = int(os.environ.get("GRAFT_ANN_N", "100000")), 256, 2048
     M_emb = rng.standard_normal((N, D)).astype(np.float32)
     emb_tbl = pa.table({
         "vec_id": pa.array(np.arange(N, dtype=np.int64)),
@@ -250,7 +252,8 @@ def run_scaling_job() -> dict:
     })
     emb_ds = ray.data.from_arrow(emb_tbl).repartition(max(num_cpus * 2, 8))
     t0 = time.perf_counter()
-    ann_out = ann_brute_force(emb_ds, M_emb[:NQ], k=10)
+    ann_out = ann_brute_force(emb_ds, M_emb[:NQ], k=10,
+                              compute_dtype=np.float32)
     n_rows = ann_out.count()
     ann_sec = time.perf_counter() - t0
     assert n_rows == NQ * 10
