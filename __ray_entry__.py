@@ -110,6 +110,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def corpus_pagerank(sf_dir):
         return entry()
 
+    def doc_sha256(sf_dir):
+        """The §2.7 per-row content-sha256 ingest invariant over the
+        documents table, value-checked against DuckDB's sha256()."""
+        from centrality_gpu_ray.stages.ingest import with_content_sha256
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.rename_columns(["doc_id", "content"]),
+            batch_format="pyarrow")
+        return with_content_sha256(ds)
+
     def minhash_dedup_docs(sf_dir):
         return dd.minhash_dedup(_docs(sf_dir), threshold=0.5)
 
@@ -145,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_join": rel.supplier_nation_join,
         # documents / training-data operators
         "doc_dedup_exact_ids": doc_dedup_exact_ids,
+        "doc_sha256": doc_sha256,
         "doc_token_stats": doc_token_stats,
         "doc_lang_counts": doc_lang_counts,
         "doc_quality": lambda sf: tx.quality_scores(_docs(sf)),
@@ -362,6 +373,52 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _lp_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),
+        "doc_sha256": """
+            SELECT doc_id, sha256(COALESCE(text, NULL)) AS content_sha256
+            FROM documents""",
+        # mirrors TextAnalyzer.lang_id exactly: per-language stopword-hit
+        # ratios (single int/int divisions — bit-identical float64), the
+        # first max in sorted language order, 'und' below 0.05
+        "doc_language_id": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(COALESCE(text, '')),
+                                        '[a-z]+') AS ws
+              FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                GREATEST(len(ws), 1) * 1.0 AS n,
+                len(list_filter(ws, t -> list_contains(
+                  ['der','die','das','und','ist','nicht','ich','ein','zu','mit'], t))) AS h_de,
+                len(list_filter(ws, t -> list_contains(
+                  ['the','and','of','to','a','in','is','it','you','that'], t))) AS h_en,
+                len(list_filter(ws, t -> list_contains(
+                  ['el','la','los','y','es','un','una','que','no','en'], t))) AS h_es,
+                len(list_filter(ws, t -> list_contains(
+                  ['le','la','les','et','est','un','une','je','que','pas'], t))) AS h_fr,
+                len(list_filter(ws, t -> list_contains(
+                  ['il','la','i','e','è','un','una','che','non','per'], t))) AS h_it,
+                len(list_filter(ws, t -> list_contains(
+                  ['o','a','os','e','é','um','uma','que','não','em'], t))) AS h_pt
+              FROM toks
+            ), r AS (
+              SELECT doc_id,
+                h_de / n AS s_de, h_en / n AS s_en, h_es / n AS s_es,
+                h_fr / n AS s_fr, h_it / n AS s_it, h_pt / n AS s_pt
+              FROM sc
+            )
+            SELECT doc_id,
+              CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_it,s_pt) < 0.05
+                   THEN 'und'
+                   WHEN s_de >= GREATEST(s_en,s_es,s_fr,s_it,s_pt) THEN 'de'
+                   WHEN s_en >= GREATEST(s_es,s_fr,s_it,s_pt) THEN 'en'
+                   WHEN s_es >= GREATEST(s_fr,s_it,s_pt) THEN 'es'
+                   WHEN s_fr >= GREATEST(s_it,s_pt) THEN 'fr'
+                   WHEN s_it >= s_pt THEN 'it'
+                   ELSE 'pt' END AS pred_lang,
+              ROUND(GREATEST(s_de,s_en,s_es,s_fr,s_it,s_pt), 6)
+                  AS confidence
+            FROM r""",
         # The customer–nation graph is a forest of stars (each customer
         # attaches to exactly one nation), so exact ordered-pair BC has
         # a closed form: center k leaves → k·(k-1); leaves → 0. An
