@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_articulation_points": gq.lineitem_articulation_points,
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,
+        "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
+        "graph_bcc_labels": gq.lineitem_bcc_labels,
         "corpus_pagerank": corpus_pagerank,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
@@ -228,23 +230,35 @@ def _cc_oracle_sql(rounds: int = 20) -> str:
     return "".join(parts)
 
 
-def _pr_fixed_oracle_sql(supersteps: int = 12, alpha: float = 0.85) -> str:
+def _pr_fixed_oracle_sql(supersteps: int = 12, alpha: float = 0.85,
+                         weighted: bool = False) -> str:
     """PageRank for exactly ``supersteps`` rounds as chained
     materialized CTEs; ranks emitted as floor(r*1e6+0.5) micro-units so
     float64 summation-order noise (~1e-14) cannot move the hash. The
-    graph has no degree-0 vertices, so the dangling term is zero."""
+    graph has no degree-0 vertices, so the dangling term is zero.
+    ``weighted=True`` distributes rank over incident edge weights
+    (strength) — the engine's weighted semantics."""
+    contrib = ("SUM(l.r * se.weight / st.s)" if weighted
+               else "SUM(l.r / d.degree)")
+    join_den = ("JOIN strength st ON st.node = se.a" if weighted
+                else "JOIN deg d ON d.node = se.a")
     parts = [_GRAPH_EDGES_CTE, """
-        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
-                 UNION ALL SELECT dst, src FROM edges),
+        , se AS MATERIALIZED (
+            SELECT src AS a, dst AS b, CAST(weight AS DOUBLE) AS weight
+            FROM edges
+            UNION ALL
+            SELECT dst, src, CAST(weight AS DOUBLE) FROM edges),
+        strength AS MATERIALIZED (
+            SELECT a AS node, SUM(weight) AS s FROM se GROUP BY a),
         nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
         r0 AS MATERIALIZED (
             SELECT node, 1.0 / (SELECT n FROM nv) AS r FROM deg)"""]
     for i in range(supersteps):
         parts.append(f""",
         c{i} AS MATERIALIZED (
-            SELECT se.b AS node, SUM(l.r / d.degree) AS g
+            SELECT se.b AS node, {contrib} AS g
             FROM se JOIN r{i} l ON l.node = se.a
-                    JOIN deg d ON d.node = se.a
+                    {join_den}
             GROUP BY se.b),
         r{i + 1} AS MATERIALIZED (
             SELECT r.node,
@@ -370,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY degree DESC, node LIMIT 20""",
         "graph_components": _cc_oracle_sql(),
         "graph_pagerank_fixed": _pr_fixed_oracle_sql(),
+        "graph_pagerank_weighted_fixed": _pr_fixed_oracle_sql(weighted=True),
         "graph_labelprop": _lp_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),

@@ -128,6 +128,29 @@ def lineitem_pagerank_fixed(sf_dir: str, supersteps: int = 12):
     })
 
 
+def lineitem_pagerank_weighted_fixed(sf_dir: str, supersteps: int = 12):
+    """Weighted PageRank (rank distributed over incident edge weights /
+    strength) for exactly ``supersteps`` iterations, integer
+    micro-units — SQL-checkable weighted semantics."""
+    from centrality_gpu_ray.pipelines.pagerank import pagerank
+
+    g = lineitem_graph(sf_dir)
+    cfg = EngineConfig(tolerance=0.0, max_supersteps=supersteps)
+    t = pagerank(g, cfg, weighted=True)
+    pr = t.column("pagerank").to_numpy()
+    return pa.table({
+        "node": t.column("node"),
+        "pr_micro": pa.array(np.floor(pr * 1e6 + 0.5).astype(np.int64)),
+    })
+
+
+def lineitem_bcc_labels(sf_dir: str):
+    """Per-edge biconnected-component labels over the lineitem graph."""
+    from centrality_gpu_ray.pipelines.bicc import bcc_labels
+
+    return bcc_labels(lineitem_graph(sf_dir))
+
+
 def lineitem_components(sf_dir: str):
     from centrality_gpu_ray.pipelines.components import connected_components
 

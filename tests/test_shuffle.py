@@ -63,3 +63,81 @@ def test_hash_aggregate_string_keys():
     out = hash_aggregate(ray.data.from_arrow(t), ["s"], [("v", "sum")],
                          num_partitions=3).to_pandas().sort_values("s")
     assert dict(zip(out["s"], out["v"])) == {"a": 10, "b": 7, "c": 4}
+
+
+def test_hash_semi_join():
+    from centrality_gpu_ray.stages.shuffle import hash_semi_join
+
+    rows = pa.table({"id": pa.array(list(range(100)), type=pa.int64()),
+                     "payload": pa.array([f"p{i}" for i in range(100)])})
+    keys = pa.table({"id": pa.array([3, 17, 42, 99, 1000], type=pa.int64())})
+    out = hash_semi_join(ray.data.from_arrow(rows).repartition(4),
+                         ray.data.from_arrow(keys), on="id",
+                         num_partitions=8).to_pandas().sort_values("id")
+    assert out["id"].tolist() == [3, 17, 42, 99]
+    assert out["payload"].tolist() == ["p3", "p17", "p42", "p99"]
+    assert list(out.columns) == ["id", "payload"]  # order preserved
+
+
+def test_hash_lookup_join_inner_and_outer_default():
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
+
+    rows = pa.table({"a": pa.array([1, 2, 3, 4], type=pa.int64())})
+    d = pa.table({"doc_id": pa.array([1, 3], type=pa.int64()),
+                  "text": pa.array(["one", "three"])})
+    inner = hash_lookup_join(ray.data.from_arrow(rows),
+                             ray.data.from_arrow(d), "a", "doc_id",
+                             {"text": "t"}, num_partitions=4) \
+        .to_pandas().sort_values("a")
+    assert inner["a"].tolist() == [1, 3]
+    assert inner["t"].tolist() == ["one", "three"]
+
+    ints = pa.table({"doc_id": pa.array([1, 3], type=pa.int64()),
+                     "cluster": pa.array([10, 30], type=pa.int64())})
+    outer = hash_lookup_join(ray.data.from_arrow(rows),
+                             ray.data.from_arrow(ints), "a", "doc_id",
+                             {"cluster": "c"}, num_partitions=4,
+                             outer_default_row_key=True) \
+        .to_pandas().sort_values("a")
+    assert outer["a"].tolist() == [1, 2, 3, 4]
+    assert outer["c"].tolist() == [10, 2, 30, 4]  # defaults to own key
+
+
+def test_hash_mark_min():
+    from centrality_gpu_ray.stages.shuffle import hash_mark_min
+
+    t = pa.table({"h": pa.array([7, 7, 8, 8, 8, 9], type=pa.int64()),
+                  "doc_id": pa.array([5, 2, 9, 1, 4, 6], type=pa.int64())})
+    marked = hash_mark_min(ray.data.from_arrow(t).repartition(3),
+                           key="h", order="doc_id",
+                           num_partitions=4).to_pandas()
+    keep = set(marked.loc[marked.keep, "doc_id"])
+    assert keep == {2, 1, 6}
+    winners = hash_mark_min(ray.data.from_arrow(t), key="h",
+                            order="doc_id", num_partitions=4,
+                            winners_only=True).to_pandas()
+    assert sorted(winners["doc_id"]) == [1, 2, 6]
+
+
+def test_hash_partition_apply_groups_colocated():
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
+    t = pa.table({"g": pa.array([1, 1, 2, 2, 2, 3], type=pa.int64()),
+                  "v": pa.array([10, 20, 1, 2, 3, 7], type=pa.int64())})
+
+    def per_group_sum(tbl):
+        import numpy as np
+
+        if tbl.num_rows == 0:
+            return pa.table({"g": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.int64())})
+        g = tbl.column("g").to_numpy()
+        v = tbl.column("v").to_numpy()
+        uniq, inv = np.unique(g, return_inverse=True)
+        return pa.table({"g": pa.array(uniq),
+                         "s": pa.array(np.bincount(inv, weights=v).astype(np.int64))})
+
+    out = hash_partition_apply(ray.data.from_arrow(t).repartition(3),
+                               ["g"], per_group_sum,
+                               num_partitions=4).to_pandas().sort_values("g")
+    assert dict(zip(out["g"], out["s"])) == {1: 30, 2: 6, 3: 7}
