@@ -98,6 +98,56 @@ def _single_source_dependencies(R: np.ndarray, C: np.ndarray,
     return delta
 
 
+def _single_source_dependencies_weighted(
+        S_arr: np.ndarray, D_arr: np.ndarray, WE: np.ndarray,
+        n: int, src: int) -> np.ndarray:
+    """Weighted Brandes dependency vector for one source — the
+    reference's intended-but-dead weighted semantics
+    (``apsp_graph.cpp:107-172``, CPU Dijkstra). Vectorized: distances
+    by Bellman-Ford relaxation sweeps (converges in hop-diameter
+    rounds), then the standard sigma/delta accumulation over the
+    shortest-path DAG processed in unique-distance order (the float
+    analog of the unit-weight level buckets)."""
+    dist = np.full(n, np.inf)
+    dist[src] = 0.0
+    while True:
+        du, dv = dist[S_arr], dist[D_arr]
+        new = dist.copy()
+        np.minimum.at(new, D_arr, du + WE)
+        np.minimum.at(new, S_arr, dv + WE)
+        if np.array_equal(new, dist):  # inf == inf compares equal
+            break
+        dist = new
+
+    # shortest-path DAG: directed (u, v) with dist[v] == dist[u] + w
+    du, dv = dist[S_arr], dist[D_arr]
+    fwd = np.isfinite(du) & (dv == du + WE)
+    bwd = np.isfinite(dv) & (du == dv + WE)
+    eu = np.concatenate([S_arr[fwd], D_arr[bwd]])
+    ev = np.concatenate([D_arr[fwd], S_arr[bwd]])
+    deu = dist[eu]
+
+    # bucket DAG edges by the source-side distance, sweep buckets in
+    # ascending order for sigma, descending for delta
+    order = np.argsort(deu, kind="stable")
+    eu_s, ev_s, deu_s = eu[order], ev[order], deu[order]
+    uniq_d, bstart = np.unique(deu_s, return_index=True)
+    bounds = np.append(bstart, eu_s.size)
+
+    sigma = np.zeros(n)
+    sigma[src] = 1.0
+    for b in range(uniq_d.size):
+        lo, hi = bounds[b], bounds[b + 1]
+        np.add.at(sigma, ev_s[lo:hi], sigma[eu_s[lo:hi]])
+    delta = np.zeros(n)
+    for b in range(uniq_d.size - 1, -1, -1):
+        lo, hi = bounds[b], bounds[b + 1]
+        uu, vv = eu_s[lo:hi], ev_s[lo:hi]
+        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (1.0 + delta[vv]))
+    delta[src] = 0.0
+    return delta
+
+
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated (vectorized)."""
     total = int(counts.sum())
@@ -122,21 +172,27 @@ class _BrandesActor:
     is the documented trade of the resident-CSR design (one graph copy
     per actor, like the reference's per-GPU copy)."""
 
-    def __init__(self, graph_ref):
+    def __init__(self, graph_ref, weighted: bool = False):
         import ray
 
-        Rb, Cb, Sb, Db, n = ray.get(graph_ref)
+        Rb, Cb, Sb, Db, Wb, n = ray.get(graph_ref)
         self.R = np.frombuffer(Rb, dtype=np.int64).copy()
         self.C = np.frombuffer(Cb, dtype=np.int64).copy()
         self.S = np.frombuffer(Sb, dtype=np.int64).copy()
         self.D = np.frombuffer(Db, dtype=np.int64).copy()
+        self.W = np.frombuffer(Wb, dtype=np.float64).copy()
         self.n = n
+        self.weighted = weighted
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         acc = np.zeros(self.n, dtype=np.float64)
         for src in batch.column("source").to_numpy():
-            acc += _single_source_dependencies(self.R, self.C, self.S, self.D,
-                                               self.n, int(src))
+            if self.weighted:
+                acc += _single_source_dependencies_weighted(
+                    self.S, self.D, self.W, self.n, int(src))
+            else:
+                acc += _single_source_dependencies(
+                    self.R, self.C, self.S, self.D, self.n, int(src))
         nz = np.flatnonzero(acc)
         return pa.table({"v": pa.array(nz.astype(np.int64)),
                          "c": pa.array(acc[nz])})
@@ -146,13 +202,16 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
                            concurrency: int = 4,
                            sources_per_batch: int | None = None,
                            max_sources: int | None = None,
+                           weighted: bool = False,
                            metrics: dict | None = None) -> pa.Table:
     """Exact ordered-pair BC → ``(node, bc)``.
 
     ``max_sources`` truncates the source set to the first k dense ids —
     an *approximate* BC used as a compute-bound scaling probe (each
     source's Brandes pass is cache-resident and embarrassingly
-    parallel); exact BC runs all n sources."""
+    parallel); exact BC runs all n sources. ``weighted=True`` counts
+    shortest paths by total edge weight (positive int weights) — the
+    reference's dead CPU-Dijkstra semantics, vectorized."""
     import ray
     import ray.data
 
@@ -160,11 +219,12 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     graph.require_dense("betweenness_centrality")
     t0 = time.perf_counter()
     n = graph.num_vertices
-    s, d, _ = graph.local_arrays()
+    s, d, w = graph.local_arrays()
     R, C = build_csr(s, d, n)
     graph_ref = ray.put((R.tobytes(), C.tobytes(),
                          s.astype(np.int64).tobytes(),
-                         d.astype(np.int64).tobytes(), n))
+                         d.astype(np.int64).tobytes(),
+                         w.astype(np.float64).tobytes(), n))
 
     n_sources = n if max_sources is None else min(n, max_sources)
     if sources_per_batch is None:
@@ -187,7 +247,7 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
         # fractional CPUs: a pool that reserves every core starves the
         # upstream source-repartition tasks and deadlocks small clusters
         num_cpus=0.5,
-        fn_constructor_args=(graph_ref,))
+        fn_constructor_args=(graph_ref, weighted))
     # Merge on the driver: each batch is already per-batch aggregated
     # sparse (v unique within a batch), and the merged result is a dense
     # n-vector — a Ray-native groupby here iterates groups in Python
