@@ -76,7 +76,8 @@ def triangle_counts(graph: Graph, config: EngineConfig | None = None,
     """Returns ``(node, triangles)`` per-vertex counts (vertices with 0
     included). Total = sum/3 · 3 = matched wedges."""
     cfg = config or graph.config
-    graph.require_dense("triangle_counts")
+    if getattr(graph, "sharded", False):
+        return _count_sharded(graph, cfg, metrics)
     t0 = time.perf_counter()
     deg = graph.out_degree
     if graph.mode == "local":
@@ -234,6 +235,110 @@ def _count_distributed(graph: Graph, cfg: EngineConfig, deg: np.ndarray) -> np.n
     for uniq, cnt in ray.get(parts):
         np.add.at(tri, uniq, cnt)
     return tri
+
+
+def _count_sharded(graph: Graph, cfg: EngineConfig, metrics: dict | None):
+    """>dense_vertex_limit triangles, fully Dataset-shaped: degrees via
+    hash aggregate, degree attachment to both endpoints via
+    co-partitioned lookup joins (no broadcast degree vector), apex-hash
+    wedge generation, packed-key semi-join, per-vertex credits via hash
+    aggregate, zeros filled by an outer lookup join against the vertex
+    dictionary. Returns a Dataset of (node, triangles)."""
+    import time as _time
+
+    import ray
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_lookup_join,
+                                                   hash_partition_apply,
+                                                   hash_semi_join)
+
+    t0 = _time.perf_counter()
+    n = graph.num_vertices
+    P = cfg.num_partitions
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t.column("s").to_numpy(),
+                            t.column("d").to_numpy()])
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    deg_ds = hash_aggregate(
+        graph.edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["v"], [("c", "sum")], num_partitions=P)
+
+    pairs = graph.edges.map_batches(
+        lambda t: t.select(["s", "d"]), batch_format="pyarrow")
+    with_ds = hash_lookup_join(pairs, deg_ds, "s", "v", {"c": "_deg_s"},
+                               num_partitions=P)
+    with_dd = hash_lookup_join(with_ds, deg_ds, "d", "v", {"c": "_deg_d"},
+                               num_partitions=P)
+
+    def orient_b(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy()
+        d = t.column("d").to_numpy()
+        gs = t.column("_deg_s").to_numpy()
+        gd = t.column("_deg_d").to_numpy()
+        swap = (gd < gs) | ((gd == gs) & (d < s))
+        return pa.table({"a": pa.array(np.where(swap, d, s)),
+                         "b": pa.array(np.where(swap, s, d))})
+
+    oriented = with_dd.map_batches(orient_b, batch_format="pyarrow",
+                                   batch_size=cfg.batch_size).materialize()
+
+    def wedge_part(tbl: pa.Table) -> pa.Table:
+        apex, x, y = _wedges_from_adj(
+            tbl.column("a").to_numpy(zero_copy_only=False),
+            tbl.column("b").to_numpy(zero_copy_only=False))
+        return pa.table({"apex": pa.array(apex),
+                         "key": pa.array(_pack(x, y, n))})
+
+    def edge_keys(tbl: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.array(
+            _pack(tbl.column("a").to_numpy(),
+                  tbl.column("b").to_numpy(), n))})
+
+    wedges = hash_partition_apply(oriented, ["a"], wedge_part,
+                                  num_partitions=P)
+    keys_ds = oriented.map_batches(edge_keys, batch_format="pyarrow",
+                                   batch_size=cfg.batch_size)
+    matched = hash_semi_join(wedges, keys_ds, on="key", num_partitions=P)
+    credits = matched.map_batches(_wedge_credit_packed(n),
+                                  batch_format="pyarrow")
+    counts = hash_aggregate(credits, ["v"], [("c", "sum")],
+                            num_partitions=P)
+    total = int(counts.sum("c") or 0) // 3
+
+    # every vertex with zeros filled: per-dict-block dense ids joined
+    # against the counts Dataset
+    vd = graph.vdict
+    dict_meta = (vd.mins, vd.offsets, vd.block_refs)
+
+    @ray.remote
+    def block_vertices(b: int, meta):
+        reader = _DictReader(meta)
+        lo, hi = int(vd.offsets[b]), int(vd.offsets[b + 1])
+        dense = np.arange(lo, hi, dtype=np.int64)
+        return pa.table({"v": pa.array(dense),
+                         "node": pa.array(reader.to_original(dense))})
+
+    allv = ray.data.from_arrow_refs(
+        [block_vertices.remote(b, dict_meta)
+         for b in range(len(vd.block_refs))])
+    out = hash_lookup_join(allv, counts, "v", "v", {"c": "triangles"},
+                           num_partitions=P, outer_fill={"triangles": 0})
+    out = out.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "triangles": t.column("triangles").cast(
+                                pa.int64())}),
+        batch_format="pyarrow")
+    if metrics is not None:
+        metrics.update({"sec": _time.perf_counter() - t0,
+                        "total_triangles": total, "mode": "sharded"})
+    return out
 
 
 def _wedge_credit_packed(n: int):

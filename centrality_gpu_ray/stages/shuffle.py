@@ -264,14 +264,17 @@ def hash_semi_join(rows_ds, keys_ds, on: str, num_partitions: int = 32):
 
 def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
                      attach: dict, num_partitions: int = 32,
-                     outer_default_row_key: bool = False):
+                     outer_default_row_key: bool = False,
+                     outer_fill: dict | None = None):
     """Lookup join: for every row of ``rows_ds``, attach columns from
     the (unique-keyed) ``dict_ds`` row whose ``dict_key`` equals the
     row's ``row_key``. ``attach`` maps dict column → output column
     name. Rows without a match are dropped (inner) — or, with
     ``outer_default_row_key=True``, kept with every attached column
     defaulting to the row's own key value (left-outer-with-default; the
-    attached columns must be key-typed). Both sides hash-partition on
+    attached columns must be key-typed) — or, with ``outer_fill``
+    (output column → scalar), kept with the given fill values.
+    Both sides hash-partition on
     their key — the dictionary (e.g. document texts) is co-partitioned,
     never broadcast or collected. Row column order is preserved, with
     attached columns appended."""
@@ -311,16 +314,19 @@ def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
                 cols[dst] = proto.column(src)
             return pa.table(cols)
 
+        outer = outer_default_row_key or outer_fill is not None
         if not row_tabs:
             return typed_empty()
         if not dict_tabs:
-            if not outer_default_row_key:
+            if not outer:
                 return typed_empty()
             rows = pa.concat_tables(row_tabs)
-            own = rows.column(row_key)
+            own = rows.column(row_key).to_numpy(zero_copy_only=False)
             cols = {c: rows.column(c) for c in rows.column_names}
             for _, dst in attach.items():
-                cols[dst] = own
+                fillv = (own if outer_default_row_key
+                         else np.full(own.size, outer_fill[dst]))
+                cols[dst] = pa.array(fillv)
             return pa.table(cols)
         rows = pa.concat_tables(row_tabs)
         d = pa.concat_tables(dict_tabs)
@@ -330,7 +336,7 @@ def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
         vals = rows.column(row_key).to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(keys_s, vals), keys_s.size - 1)
         hit = keys_s[idx] == vals
-        if not outer_default_row_key:
+        if not outer:
             rows = rows.filter(pa.array(hit))
             take = pa.array(order[idx[hit]])
             cols = {c: rows.column(c) for c in rows.column_names}
@@ -342,7 +348,10 @@ def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
         take = order[idx]
         for src, dst in attach.items():
             looked = d.column(src).to_numpy(zero_copy_only=False)[take]
-            cols[dst] = pa.array(np.where(hit, looked, own))
+            fillv = (own if outer_default_row_key
+                     else np.full(own.size, outer_fill[dst],
+                                  dtype=looked.dtype))
+            cols[dst] = pa.array(np.where(hit, looked, fillv))
         return pa.table(cols)
 
     rows_mat = rows_ds.materialize()

@@ -112,6 +112,35 @@ def test_sharded_sssp_matches_dense(graphs):
         sssp(sharded, 99999999, EngineConfig(dense_vertex_limit=500))
 
 
+def test_sharded_triangles_matches_dense():
+    import ray.data
+
+    from centrality_gpu_ray.pipelines import triangle_counts
+
+    # triangle-rich graph: ring + (i, i+2) chords → every i closes
+    # {i, i+1, i+2}; sparse ids via *13+1
+    n = 900
+    src = list(range(n)) + list(range(n))
+    dst = [(i + 1) % n for i in range(n)] + [(i + 2) % n for i in range(n)]
+    s = np.array(src, dtype=np.int64) * 13 + 1
+    d = np.array(dst, dtype=np.int64) * 13 + 1
+    tbl = pa.table({"src": pa.array(s), "dst": pa.array(d),
+                    "weight": pa.array(np.ones(s.size, dtype=np.int64))})
+    dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
+    sharded = Graph(ray.data.from_arrow(tbl),
+                    config=EngineConfig(dense_vertex_limit=300))
+    assert sharded.sharded
+    md, ms = {}, {}
+    a = triangle_counts(dense, metrics=md).to_pandas()
+    b = triangle_counts(sharded, EngineConfig(dense_vertex_limit=300),
+                        metrics=ms).to_pandas()
+    assert ms["mode"] == "sharded"
+    assert md["total_triangles"] == ms["total_triangles"] == n
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == n
+    assert (merged["triangles_d"] == merged["triangles_s"]).all()
+
+
 def test_sharded_components_matches_dense(graphs):
     dense, sharded = graphs
     a = connected_components(dense).to_pandas()
