@@ -78,8 +78,16 @@ def _shard_class():
                     v = np.tile(v, replicas)
                     self.rep_fold = replicas
                 ww = np.tile(ww, replicas)
-            self.v = np.ascontiguousarray(v)
-            self.u = np.ascontiguousarray(u)
+            # int32 message arrays when ids fit: u is the per-message
+            # gather index — the single biggest superstep stream — and
+            # halving it halves the dominant DRAM traffic (dense ids
+            # < 2^31 is the documented vertex envelope; consumers that
+            # do id arithmetic cast to int64 first)
+            idt = np.int32 if (v.size == 0 or
+                               max(int(v.max(initial=0)),
+                                   int(u.max(initial=0))) < 2**31) else np.int64
+            self.v = np.ascontiguousarray(v.astype(idt, copy=False))
+            self.u = np.ascontiguousarray(u.astype(idt, copy=False))
             self.w = np.ascontiguousarray(ww)
             self.uniq_v, self.seg = uniq_v, seg
             self.num_edges = int(s.size * replicas)
@@ -170,7 +178,7 @@ def _shard_class():
                 return tuple((z, z, z) for _ in range(len(bounds) - 1))
             lab = labels[self.u].astype(np.int64)
             nlab = np.int64(labels.size)
-            packed = self.v * nlab + lab
+            packed = self.v.astype(np.int64) * nlab + lab
             uniq, inv = np.unique(packed, return_inverse=True)
             wts = self.w if weighted else np.ones(lab.size)
             cnt = np.bincount(inv, weights=wts).astype(np.int64)
@@ -351,7 +359,7 @@ def _shard_class():
         def label_counts(self, labels: np.ndarray, weighted: bool):
             """Partial (v, label, count) for mode-LP."""
             lab = labels[self.u]
-            pairs = self.v * np.int64(labels.size) + lab
+            pairs = self.v.astype(np.int64) * np.int64(labels.size) + lab
             uniq, inv = np.unique(pairs, return_inverse=True)
             wts = self.w if weighted else np.ones(lab.size)
             cnt = np.bincount(inv, weights=wts).astype(np.int64)
