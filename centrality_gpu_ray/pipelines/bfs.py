@@ -63,7 +63,8 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
     from centrality_gpu_ray.pipelines.exchange import aggregate_messages
 
     cfg = config or graph.config
-    graph.require_dense("bfs")
+    if getattr(graph, "sharded", False):
+        return _bfs_sharded(graph, source, cfg, metrics)
     n = graph.num_vertices
     src_idx = int(np.searchsorted(graph.node_ids, source))
     if src_idx >= n or graph.node_ids[src_idx] != source:
@@ -142,6 +143,58 @@ def bfs(graph: Graph, source: int, config: EngineConfig | None = None,
         "parent": pa.array(par_orig.astype(np.int64)),
         "disc_time": pa.array(disc),
     })
+
+
+def _bfs_sharded(graph: Graph, source: int, cfg: EngineConfig,
+                 metrics: dict | None):
+    """>dense_vertex_limit BFS: level + parent vectors live sharded in
+    the owner actors. Returns a Dataset of (node, level, parent) in
+    original ids (unreached -1; ``disc_time`` is dense-path only)."""
+    import ray
+
+    from centrality_gpu_ray.pipelines.vertexdict import (_DictReader,
+                                                         scores_dataset)
+
+    reader = _DictReader((graph.vdict.mins, graph.vdict.offsets,
+                          graph.vdict.block_refs))
+    src_arr = np.array([source], dtype=np.int64)
+    if source < int(graph.vdict.mins[0]):
+        raise ValueError(f"source {source} not in graph")
+    src_dense = int(reader.to_dense(src_arr)[0])
+    if (not 0 <= src_dense < graph.num_vertices
+            or int(reader.to_original(
+                np.array([src_dense], dtype=np.int64))[0]) != source):
+        raise ValueError(f"source {source} not in graph")
+
+    pool = graph.pool
+    pool.setup_owners_sharded(graph.num_vertices)
+    ray.get([a.owner_fill_state.remote(-1.0) for a in pool.actors])
+    ray.get([a.owner_fill_aux.remote(-1.0) for a in pool.actors])
+    ray.get([a.owner_set_value.remote(src_dense, 0.0) for a in pool.actors])
+
+    t0 = time.perf_counter()
+    depth, reached = 0, 1
+    while depth < cfg.max_supersteps:
+        new = pool.bfs_step_sharded(depth)
+        if new == 0:
+            break
+        reached += new
+        depth += 1
+    if metrics is not None:
+        metrics.update({"sec": time.perf_counter() - t0, "depth": depth,
+                        "reached": reached, "mode": "sharded"})
+
+    ds = scores_dataset(graph.vdict, pool, "level", aux_col="parent",
+                        aux_to_original=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "level": pa.array(t.column("level").to_numpy().astype(np.int64)),
+            "parent": t.column("parent"),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
 
 
 def approx_diameter(graph: Graph, num_samples: int = 32, seed: int = 42,

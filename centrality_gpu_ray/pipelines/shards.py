@@ -220,6 +220,50 @@ def _shard_class():
             self.state = new.astype(np.float64)
             return changed
 
+        def owner_fill_aux(self, value: float) -> bool:
+            """Secondary owner-resident vector (e.g. BFS parents)."""
+            self.aux = np.full(self.hi - self.lo, value, dtype=np.float64)
+            return True
+
+        def owner_get_aux(self) -> np.ndarray:
+            return self.aux
+
+        def shard_bfs_step(self, bounds: np.ndarray, level: np.ndarray,
+                           depth: float):
+            """Range-split (v, min candidate parent) partials for the
+            frontier at ``depth`` (level vector arrives assembled)."""
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0:
+                return tuple((z, z) for _ in range(len(bounds) - 1))
+            mask = (level[self.u] == depth) & (level[self.v] < 0)
+            if not mask.any():
+                return tuple((z, z) for _ in range(len(bounds) - 1))
+            v = self.v[mask].astype(np.int64)
+            u = self.u[mask].astype(np.int64)
+            order = np.lexsort((u, v))
+            v, u = v[order], u[order]
+            first = np.ones(v.size, dtype=bool)
+            first[1:] = v[1:] != v[:-1]
+            v, u = v[first], u[first]
+            cuts = np.searchsorted(v, bounds)
+            return tuple((v[cuts[i]:cuts[i + 1]], u[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def owner_combine_bfs(self, my_idx: int, depth: float,
+                              *shard_outs) -> int:
+            """Adopt newly-reached vertices in this range: level ←
+            depth+1, parent ← min candidate across shards."""
+            width = self.hi - self.lo
+            best = np.full(width, np.iinfo(np.int64).max, dtype=np.int64)
+            for out in shard_outs:
+                v, u = out[my_idx]
+                idx = v - self.lo
+                best[idx] = np.minimum(best[idx], u)
+            fresh = (best < np.iinfo(np.int64).max) & (self.state < 0)
+            self.state[fresh] = depth + 1
+            self.aux[fresh] = best[fresh]
+            return int(fresh.sum())
+
         def owner_write_chunk(self, path: str) -> int:
             """Checkpoint this owner's state chunk as parquet (atomic
             tmp→rename); per-partition resumability for sharded state."""
@@ -555,6 +599,19 @@ class ShardPool:
             for p in range(P)
         ]
         return int(sum(ray.get(changed_refs)))
+
+    def bfs_step_sharded(self, depth: int) -> int:
+        """One sharded BFS superstep; returns #vertices newly reached."""
+        import ray
+
+        P = len(self.actors)
+        lvl_refs = [a.owner_get_state.remote() for a in self.actors]
+        lvl_full = self._assembler().remote(*lvl_refs)
+        outs = [a.shard_bfs_step.remote(self.bounds, lvl_full, float(depth))
+                for a in self.actors]
+        new_refs = [self.actors[p].owner_combine_bfs.remote(
+            p, float(depth), *outs) for p in range(P)]
+        return int(sum(ray.get(new_refs)))
 
     def sssp_step(self) -> int:
         """One min-plus superstep over owner-resident distances;

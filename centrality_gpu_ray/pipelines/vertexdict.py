@@ -126,29 +126,43 @@ class _RemapSharded:
 
 
 def scores_dataset(vdict: VertexDict, pool, col: str,
-                   to_original_values: bool = False):
-    """Per-owner state chunks → Dataset of (node, col) rows without the
-    driver ever holding n rows. ``to_original_values=True`` additionally
-    maps the VALUES (dense vertex ids, e.g. CC labels) back to original
-    ids."""
+                   to_original_values: bool = False,
+                   aux_col: str | None = None,
+                   aux_to_original: bool = False):
+    """Per-owner state chunks → Dataset of (node, col[, aux_col]) rows
+    without the driver ever holding n rows. ``to_original_values=True``
+    maps the primary VALUES (dense vertex ids, e.g. CC labels) back to
+    original ids; ``aux_col`` additionally emits the owners' aux vector
+    (e.g. BFS parents), with ``aux_to_original`` mapping non-negative
+    aux values to original ids (negatives pass through)."""
     import ray
     import ray.data
 
     dict_meta = (vdict.mins, vdict.offsets, vdict.block_refs)
 
     @ray.remote
-    def emit(lo: int, hi: int, state: np.ndarray, meta):
+    def emit(lo: int, hi: int, state: np.ndarray, aux, meta):
         reader = _DictReader(meta)
         dense = np.arange(lo, hi, dtype=np.int64)
         vals = state
         if to_original_values:
             vals = reader.to_original(state.astype(np.int64))
-        return pa.table({"node": pa.array(reader.to_original(dense)),
-                         col: pa.array(vals)})
+        cols = {"node": pa.array(reader.to_original(dense)),
+                col: pa.array(vals)}
+        if aux is not None:
+            av = aux
+            if aux_to_original:
+                ai = aux.astype(np.int64)
+                mapped = reader.to_original(np.maximum(ai, 0))
+                av = np.where(ai >= 0, mapped, -1).astype(np.int64)
+            cols[aux_col] = pa.array(av)
+        return pa.table(cols)
 
     state_refs = [a.owner_get_state.remote() for a in pool.actors]
+    aux_refs = ([a.owner_get_aux.remote() for a in pool.actors]
+                if aux_col is not None else [None] * len(pool.actors))
     bounds = pool.bounds
     tabs = [emit.remote(int(bounds[i]), int(bounds[i + 1]), state_refs[i],
-                        dict_meta)
+                        aux_refs[i], dict_meta)
             for i in range(len(pool.actors))]
     return ray.data.from_arrow_refs(tabs)

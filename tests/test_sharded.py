@@ -141,6 +141,22 @@ def test_sharded_triangles_matches_dense():
     assert (merged["triangles_d"] == merged["triangles_s"]).all()
 
 
+def test_sharded_bfs_matches_dense(graphs):
+    from centrality_gpu_ray.pipelines.bfs import bfs
+
+    dense, sharded = graphs
+    src = 5
+    a = bfs(dense, src).to_pandas()
+    m = {}
+    b = bfs(sharded, src, EngineConfig(dense_vertex_limit=500),
+            metrics=m).to_pandas()
+    assert m["mode"] == "sharded"
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert (merged["level_d"] == merged["level_s"]).all()
+    assert (merged["parent_d"] == merged["parent_s"]).all()
+
+
 def test_sharded_components_matches_dense(graphs):
     dense, sharded = graphs
     a = connected_components(dense).to_pandas()
