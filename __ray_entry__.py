@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
         "revenue_by_mktsegment": rel.revenue_by_mktsegment,
+        "revenue_by_nation": rel.revenue_by_nation,
         "top_parts_by_quantity": rel.top_parts_by_quantity,
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly_windows,
@@ -518,6 +519,15 @@ def oracle_sql() -> dict[str, str]:
                        AS total_revenue_c,
                    CAST(COUNT(*) AS BIGINT) AS num_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1""",
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS total_revenue_c,
+                   CAST(COUNT(*) AS BIGINT) AS num_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1""",
         "top_parts_by_quantity": """
             SELECT l_partkey, SUM(l_quantity) AS total_qty

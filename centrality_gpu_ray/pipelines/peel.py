@@ -30,6 +30,7 @@ def peel(graph: Graph, k: int = 2, max_rounds: int | None = None):
     """
     import ray
 
+    graph.require_dense("peel")
     n = graph.num_vertices
     removed_round = np.full(n, -1, dtype=np.int64)
     s, d, _ = graph.local_arrays() if graph.mode == "local" else (None, None, None)

@@ -86,6 +86,36 @@ def revenue_by_mktsegment(sf_dir: str):
     return out.sort("c_mktsegment")
 
 
+def revenue_by_nation(sf_dir: str):
+    """3-table fact⋈dim⋈dim rollup (orders ⋈ customer ⋈ nation):
+    both dimensions broadcast once, the fact table streams — the
+    standard star-join shape at 100 TB (dims fit a node, facts never
+    leave their blocks)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dims_ref = ray.put((cust.sort_values("c_custkey"), nation))
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def join_batch(t: pd.DataFrame) -> pd.DataFrame:
+        c, nat = ray.get(dims_ref)
+        m = t.merge(c, left_on="o_custkey", right_on="c_custkey",
+                    how="inner")
+        m = m.merge(nat, left_on="c_nationkey", right_on="n_nationkey",
+                    how="inner")
+        m["total_c"] = np.round(m["o_totalprice"] * 100).astype(np.int64)
+        return m[["n_name", "total_c"]]
+
+    joined = orders.map_batches(join_batch, batch_format="pandas")
+    out = joined.groupby("n_name").aggregate(
+        Sum("total_c", alias_name="total_revenue_c"),
+        Count(alias_name="num_orders"))
+    return out.sort("n_name")
+
+
 def top_parts_by_quantity(sf_dir: str, k: int = 25):
     """Top-k with deterministic tie-break (O8): sort (−qty, key) + limit."""
     from ray.data.aggregate import Sum
