@@ -126,6 +126,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_pairs(sf_dir):
         return dd.simhash_dedup(_docs(sf_dir), max_hamming=3)
 
+    def multimodal_features(sf_dir):
+        """Multimodal binary-column plumbing end-to-end: deterministic
+        synthetic media table → decode stage (fake-codec path) →
+        feature-extract actor stage. Rows-only (binary payloads are not
+        SQL territory); the point is the schema/actor/batch plumbing."""
+        import ray.data
+
+        from centrality_gpu_ray.functions import multimodal as mm
+
+        ds = ray.data.from_arrow(mm.synth_media_table(num_rows=256, seed=5))
+        return mm.extract_features(mm.decode_media(ds))
+
     return {
         # graph engine (lineitem-derived tri-partite graph)
         "graph_edges": gq.lineitem_edges,
@@ -166,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": lambda sf: tx.fingerprints(_docs(sf)),
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_pairs": simhash_pairs,
+        "multimodal_features": multimodal_features,
         # embeddings
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,

@@ -71,12 +71,14 @@ def main():
             continue
         t0 = time.perf_counter()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
-            elapsed = time.perf_counter() - t0
+            raw = to_pandas(fn(sf_dir))
             if name not in oracles:
-                results[name] = {"status": "rows_only", "rows": len(got),
-                                 "sec": round(elapsed, 2)}
+                # rows-only: no canon (list-typed columns aren't sortable)
+                results[name] = {"status": "rows_only", "rows": len(raw),
+                                 "sec": round(time.perf_counter() - t0, 2)}
                 continue
+            got = canon(raw)
+            elapsed = time.perf_counter() - t0
             want = canon(con.sql(oracles[name]).df())
             status = "ok"
             detail = ""
