@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_quantity": rel.top_parts_by_quantity,
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly_windows,
+        "events_sliding": rel.events_sliding_windows,
         "user_sessions": rel.user_sessions,
         "lineitem_filter_project": rel.lineitem_filter_project,
         "order_priority_histogram": rel.order_priority_histogram,
@@ -558,6 +559,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
                        AS sum_value_m
             FROM events GROUP BY 1, 2""",
+        "events_sliding": """
+            WITH expanded AS (
+                SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                           - k.j * INTERVAL 15 MINUTE AS window_start,
+                       event_type,
+                       CAST(ROUND(value * 1000) AS BIGINT) AS value_m
+                FROM events
+                CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) k
+            )
+            SELECT window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(value_m) AS BIGINT) AS sum_value_m
+            FROM expanded GROUP BY 1, 2""",
         "user_sessions": """
             WITH o AS (
                 SELECT user_id, ts, event_id,

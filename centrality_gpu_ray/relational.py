@@ -164,6 +164,36 @@ def events_hourly_windows(sf_dir: str):
     return out.sort(["window_start", "event_type"])
 
 
+def events_sliding_windows(sf_dir: str, window_min: int = 60,
+                           slide_min: int = 15):
+    """Sliding event-time windows (60 min window, 15 min slide): each
+    event replicates into window/slide = 4 windows inside the batch
+    map (the standard stream-engine expansion), then one grouped
+    count/sum — integer-exact."""
+    from ray.data.aggregate import Count, Sum
+
+    k = window_min // slide_min
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=slide_min, unit="minute")
+        v_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
+        parts = []
+        for j in range(k):
+            w = pc.subtract(base, pa.scalar(j * slide_min * 60_000_000,
+                                            type=pa.duration("us")))
+            parts.append(pa.table({"window_start": w,
+                                   "event_type": t["event_type"],
+                                   "value_m": v_m}))
+        return pa.concat_tables(parts)
+
+    out = (ds.map_batches(expand, batch_format="pyarrow")
+           .groupby(["window_start", "event_type"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_m", alias_name="sum_value_m")))
+    return out.sort(["window_start", "event_type"])
+
+
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: sort-within-group + gap split
     (groupby(user).map_groups over ts-sorted groups)."""
