@@ -25,10 +25,15 @@ def _as_matrix(col) -> np.ndarray:
 
 
 def _matrix_from_arrow(col) -> np.ndarray:
-    """Embedding column (fixed-size or plain list) → (n, d) float64 with
-    a zero-copy flatten+reshape — no Python loop over rows."""
+    """Embedding column (fixed-size list, plain list, or Ray tensor
+    extension) → (n, d) float64 with a zero-copy flatten+reshape — no
+    Python loop over rows."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray's ArrowTensorArray (pandas ndarray columns land here)
+        return np.stack(col.to_numpy(zero_copy_only=False)) \
+            .astype(np.float64, copy=False)
     if pa.types.is_fixed_size_list(col.type):
         d = col.type.list_size
         flat = col.values.to_numpy(zero_copy_only=False)
@@ -184,35 +189,78 @@ def ann_lsh(emb_ds, queries: np.ndarray, k: int = 10, tables: int = 8,
             }))
         return pd.concat(frames, ignore_index=True)
 
-    def score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    def score_partition(tbl_in: pa.Table) -> pa.Table:
+        """Score MANY co-located buckets in one task (hash-partition
+        exchange instead of one Python call per bucket)."""
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if tbl_in.num_rows == 0:
+            return empty
         Qm, qm = ray.get(q_ref)
-        t = int(group["tbl"].iloc[0])
-        bucket = int(group["bucket"].iloc[0])
-        qids = qm.get((t, bucket))
-        if not qids:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "vec_id": pd.Series([], dtype=np.int64),
-                                 "score": pd.Series([], dtype=np.float64)})
-        M = _normalize(_as_matrix(group[vec_col].to_numpy()))
-        ids = group[id_col].to_numpy()
-        sims = Qm[qids] @ M.T
-        kk = min(k, sims.shape[1])
-        order = np.lexsort((ids[None, :].repeat(len(qids), 0), -sims), axis=1)[:, :kk]
-        return pd.DataFrame({
-            "query_id": np.repeat(np.asarray(qids, dtype=np.int64), kk),
-            "vec_id": ids[order.ravel()],
-            "score": np.take_along_axis(sims, order, axis=1).ravel(),
-        })
+        t_arr = tbl_in.column("tbl").to_numpy(zero_copy_only=False)
+        b_arr = tbl_in.column("bucket").to_numpy(zero_copy_only=False)
+        ids = tbl_in.column(id_col).to_numpy(zero_copy_only=False)
+        M = _normalize(_matrix_from_arrow(tbl_in.column(vec_col)))
+        order = np.lexsort((ids, b_arr, t_arr))
+        t_s, b_s, ids_s = t_arr[order], b_arr[order], ids[order]
+        M_s = M[order]
+        new_grp = np.r_[True, (t_s[1:] != t_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        starts = np.flatnonzero(new_grp)
+        bounds = np.r_[starts, t_s.size]
+        out_q, out_v, out_s = [], [], []
+        for gi in range(starts.size):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            qids = qm.get((int(t_s[lo]), int(b_s[lo])))
+            if not qids:
+                continue
+            sims = Qm[qids] @ M_s[lo:hi].T
+            kk = min(k, sims.shape[1])
+            o = np.lexsort((ids_s[None, lo:hi].repeat(len(qids), 0),
+                            -sims), axis=1)[:, :kk]
+            out_q.append(np.repeat(np.asarray(qids, dtype=np.int64), kk))
+            out_v.append(ids_s[lo:hi][o.ravel()])
+            out_s.append(np.take_along_axis(sims, o, axis=1).ravel())
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "score": pa.array(np.concatenate(out_s))})
 
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("vec_id").sort_values(
-            ["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
 
     exploded = emb_ds.select_columns([id_col, vec_col]).map_batches(
         explode, batch_format="pandas", batch_size=4096)
-    scored = exploded.groupby(["tbl", "bucket"]).map_groups(
-        score_bucket, batch_format="pandas")
-    return scored.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    scored = hash_partition_apply(exploded, ["tbl", "bucket"],
+                                  score_partition, num_partitions=16)
+    # driver-side vectorized merge (candidate rows only): dedupe
+    # (query, vec) across tables — duplicate scores are identical —
+    # then top-k by (-score, vec_id) per query
+    import ray.data
+
+    tabs = [b for b in scored.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")]
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "vec_id": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64()),
+                      "rank": pa.array([], type=pa.int64())})
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return ray.data.from_arrow(empty)
+    t = pa.concat_tables(tabs)
+    qi = t.column("query_id").to_numpy()
+    vi = t.column("vec_id").to_numpy()
+    sc = t.column("score").to_numpy()
+    packed = np.stack([qi, vi], axis=1)
+    _, keep_idx = np.unique(packed, axis=0, return_index=True)
+    qi, vi, sc = qi[keep_idx], vi[keep_idx], sc[keep_idx]
+    order = np.lexsort((vi, -sc, qi))
+    qi, vi, sc = qi[order], vi[order], sc[order]
+    pos = np.arange(qi.size) - np.searchsorted(qi, qi)
+    keep = pos < k
+    return ray.data.from_arrow(pa.table({
+        "query_id": pa.array(qi[keep]),
+        "vec_id": pa.array(vi[keep]),
+        "score": pa.array(sc[keep]),
+        "rank": pa.array((pos[keep] + 1).astype(np.int64)),
+    }))

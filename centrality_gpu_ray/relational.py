@@ -195,21 +195,43 @@ def events_sliding_windows(sf_dir: str, window_min: int = 60,
 
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30):
-    """Session windows per user: sort-within-group + gap split
-    (groupby(user).map_groups over ts-sorted groups)."""
+    """Session windows per user: hash-partition by user, then ONE
+    vectorized pass per partition handles every user in it (lexsort by
+    (user, ts, event_id); session break = new user OR gap > threshold;
+    sessions = cumsum of breaks; per-session rows via reduceat) — no
+    per-group Python (Ray's map_groups runs one Python call per user)."""
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds().fillna(0) > gap_minutes * 60
-        g["session_seq"] = gaps.cumsum().astype(np.int64)
-        out = g.groupby("session_seq").agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("event_id", "count"))
-        return out.reset_index(drop=True)
+    def sessionize_part(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "n_events": pa.array([], type=pa.int64()),
+            })
+        uid = tbl.column("user_id").to_numpy(zero_copy_only=False)
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]")
+        eid = tbl.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts.view(np.int64), uid))
+        uid_s, ts_s = uid[order], ts[order]
+        t_int = ts_s.view(np.int64)
+        brk = np.ones(uid_s.size, dtype=bool)
+        brk[1:] = (uid_s[1:] != uid_s[:-1]) | \
+            (t_int[1:] - t_int[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.r_[starts, uid_s.size])
+        return pa.table({
+            "user_id": pa.array(uid_s[starts].astype(np.int64)),
+            "session_start": pa.array(ts_s[starts]),
+            "n_events": pa.array(counts.astype(np.int64)),
+        })
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    out = hash_partition_apply(ds, ["user_id"], sessionize_part,
+                               num_partitions=16)
     return out.sort(["user_id", "session_start"])
 
 
