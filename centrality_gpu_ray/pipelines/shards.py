@@ -343,10 +343,26 @@ def _shard_class():
 
         def shard_gather_sum(self, bounds: np.ndarray, weighted: bool,
                              w: np.ndarray):
-            c = w[self.u]
-            if weighted:
-                c = c * self.w
-            sums = np.add.reduceat(c, self.seg) if c.size else c
+            # segment-aligned chunking keeps the gathered message vector
+            # c cache-resident instead of round-tripping it through DRAM
+            # (write 8B + reduceat re-read 8B per message saved)
+            if self.u.size == 0:
+                sums = np.empty(0, dtype=np.float64)
+            else:
+                seg = self.seg
+                sums = np.empty(seg.size, dtype=np.float64)
+                CH = 1 << 20
+                s0 = 0
+                while s0 < seg.size:
+                    lo = seg[s0]
+                    s1 = int(np.searchsorted(seg, lo + CH, side="left"))
+                    s1 = max(s1, s0 + 1)
+                    hi = seg[s1] if s1 < seg.size else self.u.size
+                    c = w[self.u[lo:hi]]
+                    if weighted:
+                        c = c * self.w[lo:hi]
+                    sums[s0:s1] = np.add.reduceat(c, seg[s0:s1] - lo)
+                    s0 = s1
             if self.rep_fold > 1:
                 sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
             cuts = np.searchsorted(self.uniq_v, bounds)
