@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly_windows,
         "events_sliding": rel.events_sliding_windows,
+        "events_asof_orders": rel.events_asof_orders,
         "user_sessions": rel.user_sessions,
         "lineitem_filter_project": rel.lineitem_filter_project,
         "order_priority_histogram": rel.order_priority_histogram,
@@ -572,6 +573,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(value_m) AS BIGINT) AS sum_value_m
             FROM expanded GROUP BY 1, 2""",
+        "events_asof_orders": """
+            WITH ranked AS (
+                SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
+                FROM events e JOIN orders o
+                  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+            SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice
+            FROM events e
+            LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)""",
         "user_sessions": """
             WITH o AS (
                 SELECT user_id, ts, event_id,

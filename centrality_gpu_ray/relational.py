@@ -278,3 +278,21 @@ def supplier_nation_join(sf_dir: str):
 
     out = supp.map_batches(join_batch, batch_format="pandas")
     return out.sort("s_suppkey")
+
+
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event picks the latest order of the same
+    customer at or before the event's timestamp (ties on o_orderdate
+    broken by largest o_orderkey — deterministic, oracle-hashable).
+    One co-partitioned exchange on the customer key, vectorized
+    union-lexsort merge per partition (`stages/temporal.py`)."""
+    from centrality_gpu_ray.stages.temporal import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    out = asof_join(ev, od, left_on="ts", right_on="o_orderdate",
+                    left_by="user_id", right_by="o_custkey",
+                    right_cols=["o_orderkey", "o_totalprice"],
+                    tiebreak="o_orderkey", num_partitions=16)
+    return out.sort("event_id")

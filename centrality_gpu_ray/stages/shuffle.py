@@ -408,3 +408,68 @@ def hash_distinct(ds, keys: list[str], num_partitions: int = 32):
         reduced = [reduce_part.remote(*[s[p] for s in shard_lists])
                    for p in range(num_partitions)]
     return ray.data.from_arrow_refs(reduced)
+
+
+def hash_copartition_apply(left_ds, right_ds, left_keys: list[str],
+                           right_keys: list[str], reduce_fn,
+                           num_partitions: int = 32):
+    """Co-partition two Datasets by value-equal keys and apply
+    ``reduce_fn(left_tbl, right_tbl)`` once per partition.
+
+    The exchange behind key-local binary operators (as-of join, range
+    join, per-key zip): both sides are hash-split on their own key
+    columns with the same value-based hash, so rows with equal key
+    VALUES meet in exactly one reducer regardless of column names.
+    ``reduce_fn`` must return a ``pyarrow.Table`` with one fixed schema
+    (it is also called on (empty, empty) partitions, so make the empty
+    result typed)."""
+    import ray
+    import ray.data
+
+    def _split(tbl: pa.Table, keys: list[str]):
+        h = _key_hash(tbl, keys) % num_partitions
+        order = np.argsort(h, kind="stable")
+        sorted_tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(h[order], np.arange(num_partitions + 1))
+        return [sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                for i in range(num_partitions)]
+
+    @ray.remote(num_returns=num_partitions)
+    def map_split(keys, block):
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        shards = _split(tbl, keys)
+        return tuple(shards) if num_partitions > 1 else shards[0]
+
+    @ray.remote
+    def reduce_part(n_left: int, *shards):
+        lt = [s for s in shards[:n_left] if s.num_rows]
+        rt = [s for s in shards[n_left:] if s.num_rows]
+        left = pa.concat_tables(lt) if lt else shards[0].slice(0, 0)
+        right = (pa.concat_tables(rt) if rt
+                 else shards[n_left].slice(0, 0))
+        return reduce_fn(left, right)
+
+    left_blocks = _nonempty_block_refs(left_ds.materialize())
+    right_blocks = _nonempty_block_refs(right_ds.materialize())
+    if not left_blocks or not right_blocks:
+        # a fully-empty side still needs a schema carrier in the reducer:
+        # fall back to one local call on empty typed tables
+        l_empty = (ray.get(left_blocks[0]).slice(0, 0) if left_blocks
+                   else pa.table({k: pa.array([], type=pa.int64())
+                                  for k in left_keys}))
+        r_empty = (ray.get(right_blocks[0]).slice(0, 0) if right_blocks
+                   else pa.table({k: pa.array([], type=pa.int64())
+                                  for k in right_keys}))
+        return ray.data.from_arrow(reduce_fn(l_empty, r_empty))
+
+    left_shards = [map_split.remote(left_keys, b) for b in left_blocks]
+    right_shards = [map_split.remote(right_keys, b) for b in right_blocks]
+
+    def shard(lists, p):
+        return [(s[p] if num_partitions > 1 else s) for s in lists]
+
+    reduced = [reduce_part.remote(len(left_shards),
+                                  *shard(left_shards, p),
+                                  *shard(right_shards, p))
+               for p in range(num_partitions)]
+    return ray.data.from_arrow_refs(reduced)

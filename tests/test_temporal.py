@@ -1,0 +1,79 @@
+"""As-of join: backward-inclusive pick, deterministic tie-break,
+unmatched-left nulls, partition invariance, pandas merge_asof parity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from centrality_gpu_ray.stages.temporal import asof_join
+
+
+def _run(left, right, num_partitions, **kw):
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    left_on="t", right_on="rt", left_by="k", right_by="rk",
+                    right_cols=["val"], num_partitions=num_partitions, **kw)
+    return (out.to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+
+
+def test_basic_backward_inclusive_and_nulls():
+    left = pa.table({"k": [1, 1, 1, 2, 3], "t": [5, 10, 20, 7, 9]})
+    right = pa.table({"rk": [1, 1, 2], "rt": [5, 15, 8], "val": [100, 200, 300]})
+    res = _run(left, right, num_partitions=4)
+    # k=1: t=5 matches rt=5 (inclusive); t=10 -> rt=5; t=20 -> rt=15
+    # k=2: t=7 < rt=8 -> null; k=3: no right rows -> null
+    assert res["val"].tolist()[:3] == [100, 100, 200]
+    assert res["val"].isna().tolist() == [False, False, False, True, True]
+
+
+def test_tiebreak_largest_wins():
+    left = pa.table({"k": [7], "t": [50]})
+    right = pa.table({"rk": [7, 7, 7], "rt": [50, 50, 40],
+                      "val": [1, 9, 5]})
+    res = _run(left, right, num_partitions=2)
+    assert res["val"].tolist() == [9]  # equal rt=50 tie -> largest val
+
+
+def test_partition_invariance_and_merge_asof_parity():
+    rng = np.random.default_rng(23)
+    n_l, n_r = 4_000, 2_500
+    left = pa.table({"k": rng.integers(0, 60, n_l),
+                     "t": rng.integers(0, 10_000, n_l)})
+    # unique (rk, rt) so pandas merge_asof (which keeps the last row
+    # among equal times, i.e. input order) agrees with our largest-val
+    # tie-break without ambiguity
+    rk = rng.integers(0, 80, n_r)
+    rt = rng.permutation(n_r * 4)[:n_r]
+    right = pa.table({"rk": rk, "rt": rt,
+                      "val": rng.integers(0, 1_000_000, n_r)})
+    res1 = _run(left, right, num_partitions=1)
+    res8 = _run(left, right, num_partitions=8)
+    pd.testing.assert_frame_equal(res1, res8)
+
+    l_df = left.to_pandas().sort_values("t").reset_index(drop=True)
+    r_df = right.to_pandas().sort_values("rt").reset_index(drop=True)
+    exp = (pd.merge_asof(l_df, r_df, left_on="t", right_on="rt",
+                         left_by="k", right_by="rk", direction="backward")
+           .drop(columns=["rt"]).sort_values(["k", "t"])
+           .reset_index(drop=True))
+    got = res8.sort_values(["k", "t"]).reset_index(drop=True)
+    # duplicate (k, t) left rows make row order within a group ambiguous
+    # only if their picks differ — they can't (same key+time), so sort
+    # on val too for a stable frame compare
+    exp = exp.sort_values(["k", "t", "val"]).reset_index(drop=True)
+    got = got.sort_values(["k", "t", "val"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "t", "val"]],
+                                  exp[["k", "t", "val"]],
+                                  check_dtype=False)
+
+
+def test_timestamp_columns():
+    ts = pa.array([pd.Timestamp("2024-01-01 10:00"),
+                   pd.Timestamp("2024-01-01 12:00")])
+    rts = pa.array([pd.Timestamp("2024-01-01 09:00"),
+                    pd.Timestamp("2024-01-01 11:00")])
+    left = pa.table({"k": [1, 1], "t": ts})
+    right = pa.table({"rk": [1, 1], "rt": rts, "val": [10, 20]})
+    res = _run(left, right, num_partitions=2)
+    assert res["val"].tolist() == [10, 20]
