@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly_windows,
         "events_sliding": rel.events_sliding_windows,
         "events_asof_orders": rel.events_asof_orders,
+        "events_range_60m": rel.events_range_self,
         "user_sessions": rel.user_sessions,
         "lineitem_filter_project": rel.lineitem_filter_project,
         "order_priority_histogram": rel.order_priority_histogram,
@@ -584,6 +585,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_totalprice
             FROM events e
             LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)""",
+        "events_range_60m": """
+            SELECT a.event_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_win,
+                   CAST(SUM(CAST(ROUND(b.value * 1000) AS BIGINT)) AS BIGINT)
+                       AS sum_value_m
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts - INTERVAL 60 MINUTE AND b.ts <= a.ts
+            GROUP BY a.event_id""",
         "user_sessions": """
             WITH o AS (
                 SELECT user_id, ts, event_id,

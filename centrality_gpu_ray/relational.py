@@ -296,3 +296,42 @@ def events_asof_orders(sf_dir: str):
                     right_cols=["o_orderkey", "o_totalprice"],
                     tiebreak="o_orderkey", num_partitions=16)
     return out.sort("event_id")
+
+
+def events_range_self(sf_dir: str, window_min: int = 60):
+    """Range (interval) join, self-join flavor: every event matched to
+    the SAME user's events in the preceding ``window_min`` minutes
+    (inclusive both ends — each event matches at least itself), then
+    aggregated per event: match count + milli-scaled value sum. The
+    per-user rolling-activity feature every abuse / trending pipeline
+    computes. One co-partitioned exchange on the user key + a
+    vectorized searchsorted expansion
+    (`stages/temporal.py::range_join`); the per-event aggregate runs
+    per BLOCK (batch_size=None) — an event's matches never span
+    partitions because the join partitions by its user, so no second
+    shuffle is needed."""
+    from centrality_gpu_ray.stages.temporal import range_join
+
+    left = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    right = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    joined = range_join(left, right, left_on="ts", right_on="ts",
+                        left_by="user_id", right_by="user_id",
+                        right_cols=["value"],
+                        before=window_min * 60 * 10**6, after=0,
+                        num_partitions=16)
+
+    def agg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.chunked_array([[]], pa.int64()),
+                             "n_win": pa.chunked_array([[]], pa.int64()),
+                             "sum_value_m": pa.chunked_array([[]], pa.int64())})
+        v_m = pc.cast(pc.round(pc.multiply(t["value"], 1000.0)), pa.int64())
+        g = (pa.table({"event_id": t["event_id"], "value_m": v_m})
+             .group_by("event_id")
+             .aggregate([([], "count_all"), ("value_m", "sum")]))
+        return pa.table({"event_id": g["event_id"],
+                         "n_win": pc.cast(g["count_all"], pa.int64()),
+                         "sum_value_m": g["value_m_sum"]})
+
+    out = joined.map_batches(agg, batch_size=None, batch_format="pyarrow")
+    return out.sort("event_id")

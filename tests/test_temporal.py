@@ -1,5 +1,6 @@
 """As-of join: backward-inclusive pick, deterministic tie-break,
-unmatched-left nulls, partition invariance, pandas merge_asof parity."""
+unmatched-left nulls, partition invariance, pandas merge_asof parity.
+Range join: brute-force parity, inclusivity, truncation logging."""
 
 import numpy as np
 import pandas as pd
@@ -7,7 +8,7 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from centrality_gpu_ray.stages.temporal import asof_join
+from centrality_gpu_ray.stages.temporal import asof_join, range_join
 
 
 def _run(left, right, num_partitions, **kw):
@@ -66,6 +67,65 @@ def test_partition_invariance_and_merge_asof_parity():
     pd.testing.assert_frame_equal(got[["k", "t", "val"]],
                                   exp[["k", "t", "val"]],
                                   check_dtype=False)
+
+
+def _run_range(left, right, num_partitions, **kw):
+    out = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     left_on="t", right_on="rt", left_by="k", right_by="rk",
+                     right_cols=["val"], num_partitions=num_partitions, **kw)
+    df = out.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_range_join_brute_force_parity():
+    rng = np.random.default_rng(7)
+    n_l, n_r = 1_500, 2_000
+    left = pa.table({"k": rng.integers(0, 40, n_l),
+                     "t": rng.integers(0, 5_000, n_l)})
+    right = pa.table({"rk": rng.integers(0, 50, n_r),
+                      "rt": rng.integers(0, 5_000, n_r),
+                      "val": rng.integers(0, 10_000, n_r)})
+    got1 = _run_range(left, right, 1, before=100, after=30)
+    got8 = _run_range(left, right, 8, before=100, after=30)
+    pd.testing.assert_frame_equal(got1, got8)
+
+    l_df, r_df = left.to_pandas(), right.to_pandas()
+    exp = l_df.merge(r_df, left_on="k", right_on="rk")
+    exp = exp[(exp["rt"] >= exp["t"] - 100) & (exp["rt"] <= exp["t"] + 30)]
+    exp = (exp[["k", "t", "val"]]
+           .sort_values(["k", "t", "val"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got8[["k", "t", "val"]].astype("int64"), exp.astype("int64"))
+
+
+def test_range_join_inclusive_bounds_and_inner():
+    left = pa.table({"k": [1, 1, 2], "t": [100, 500, 100]})
+    right = pa.table({"rk": [1, 1, 1, 1], "rt": [90, 100, 110, 111],
+                      "val": [1, 2, 3, 4]})
+    # before=10, after=10 -> t=100 matches rt in [90, 110] inclusive
+    res = _run_range(left, right, 4, before=10, after=10)
+    assert res[res["t"] == 100]["val"].tolist() == [1, 2, 3]
+    # t=500 has no matches and k=2 has no right rows: inner join drops both
+    assert set(res["t"]) == {100}
+
+
+def test_range_join_truncation_logs(caplog):
+    # in-process on the partition fn — the warning fires in Ray workers
+    # in the distributed path, where caplog can't see it
+    import logging
+
+    from centrality_gpu_ray.stages.temporal import _range_match
+
+    left = pa.table({"k": [5], "t": [50]})
+    right = pa.table({"rk": [5] * 10, "rt": list(range(41, 51)),
+                      "val": list(range(10))})
+    with caplog.at_level(logging.WARNING,
+                         logger="centrality_gpu_ray.stages.temporal"):
+        res = _range_match(left, right, "t", "rt", "k", "rk", ["val"],
+                           before=100, after=0, max_matches_per_row=4)
+    # truncated to the EARLIEST 4 matches, and loudly
+    assert res["val"].to_pylist() == [0, 1, 2, 3]
+    assert any("truncating" in r.message for r in caplog.records)
 
 
 def test_timestamp_columns():
