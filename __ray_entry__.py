@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_articulation_points": gq.lineitem_articulation_points,
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,
+        "graph_closeness": gq.lineitem_closeness,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
         "corpus_pagerank": corpus_pagerank,
@@ -355,6 +356,45 @@ def _sssp_oracle_sql(rounds: int = 40) -> str:
     return "".join(parts)
 
 
+def _closeness_oracle_sql(k: int = 8, rounds: int = 16) -> str:
+    """Multi-source unweighted BFS (sources = top-k degree, ties →
+    smaller id) as chained materialized rounds carrying a source
+    column, then per-source integer aggregates. ``rounds`` bounds
+    source eccentricity — hubs of the co-occurrence graph sit near the
+    center (depth ≲ 10 at test scales; converged state is stable under
+    extra rounds). harmonic term floor(1e6/d + 0.5) matches the
+    engine's half-up micro-rounding bit-exactly (same IEEE division)."""
+    parts = [_GRAPH_EDGES_CTE, f"""
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        srcs AS MATERIALIZED (
+            SELECT node AS s FROM deg
+            ORDER BY degree DESC, node LIMIT {k}),
+        b0 AS MATERIALIZED (
+            SELECT sr.s, d.node,
+                   CASE WHEN d.node = sr.s THEN CAST(0 AS BIGINT) END AS dist
+            FROM srcs sr CROSS JOIN deg d)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        f{i} AS MATERIALIZED (
+            SELECT l.s, se.b AS node, MIN(l.dist + 1) AS nd
+            FROM se JOIN b{i} l ON l.node = se.a
+            WHERE l.dist IS NOT NULL GROUP BY l.s, se.b),
+        b{i + 1} AS MATERIALIZED (
+            SELECT b.s, b.node, LEAST(b.dist, f.nd) AS dist
+            FROM b{i} b LEFT JOIN f{i} f
+              ON f.s = b.s AND f.node = b.node)""")
+    parts.append(f"""
+        SELECT s AS source,
+               CAST(COUNT(dist) AS BIGINT) AS n_reached,
+               CAST(SUM(dist) AS BIGINT) AS dist_sum,
+               CAST(COALESCE(SUM(CASE WHEN dist > 0 THEN
+                   CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT) END), 0)
+                   AS BIGINT) AS harmonic_micro
+        FROM b{rounds} GROUP BY s""")
+    return "".join(parts)
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
     """Iterative k-core peel mirroring peel.py exactly: each round
     dooms not-yet-removed vertices with 0 < current-degree < k over the
@@ -405,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _lp_oracle_sql(),
         "graph_sssp": _sssp_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),
+        "graph_closeness": _closeness_oracle_sql(),
         "doc_sha256": """
             SELECT doc_id, sha256(COALESCE(text, NULL)) AS content_sha256
             FROM documents""",

@@ -191,6 +191,18 @@ def lineitem_articulation_points(sf_dir: str):
     return articulation_points(lineitem_graph(sf_dir))
 
 
+def lineitem_closeness(sf_dir: str, k: int = 8):
+    """Sampled closeness/harmonic centrality: one distributed BFS from
+    each of the ``k`` top-degree vertices (ties → smaller id), integer
+    distance aggregates per source (``pipelines/closeness.py``)."""
+    from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
+
+    top = lineitem_top_degree(sf_dir, k=k).to_pandas()
+    g = lineitem_graph(sf_dir)
+    t = closeness_from_sources(g, top["node"].tolist())
+    return t.sort_by("source")
+
+
 def nation_betweenness(sf_dir: str):
     """Exact BC on the small customer–nation bipartite graph (conformance
     of the Brandes actor pool on real tables; nodes: nation n →

@@ -161,3 +161,38 @@ def test_betweenness_test2_test4_vs_networkx_free_oracle():
             acc += _single_source_dependencies(R, C, s, d, g.num_vertices, src)
         t = betweenness_centrality(g, concurrency=2).to_pandas().sort_values("node")
         assert np.allclose(t["bc"].values, acc, atol=1e-9)
+
+
+def test_closeness_vs_brute_force_bfs():
+    from collections import deque
+
+    from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
+
+    for name in ["test2", "test4", "test5"]:
+        g = _graph(name)
+        s, d, _ = g.local_arrays()
+        adj = {}
+        for a, b in zip(s, d):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        sources = [int(x) for x in g.node_ids]
+        got = closeness_from_sources(g, sources).to_pandas().set_index("source")
+        for si, src in enumerate(sources):
+            dist = {si: 0}
+            # brute-force BFS in dense-index space
+            q = deque([si])
+            idx_of = {int(v): i for i, v in enumerate(g.node_ids)}
+            dense_adj = {idx_of[a]: {idx_of[b] for b in nb}
+                         for a, nb in adj.items()}
+            while q:
+                u = q.popleft()
+                for w in dense_adj.get(u, ()):
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            dvals = np.array(list(dist.values()))
+            row = got.loc[src]
+            assert row["n_reached"] == len(dist)
+            assert row["dist_sum"] == dvals.sum()
+            expect_h = int(np.floor(1e6 / dvals[dvals > 0] + 0.5).sum())
+            assert row["harmonic_micro"] == expect_h
