@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,
         "graph_closeness": gq.lineitem_closeness,
+        "graph_eigenvector_fixed": gq.lineitem_eigenvector_fixed,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
         "corpus_pagerank": corpus_pagerank,
@@ -286,6 +287,32 @@ def _pr_fixed_oracle_sql(supersteps: int = 12, alpha: float = 0.85,
     parts.append(f"""
         SELECT node, CAST(FLOOR(r * 1000000 + 0.5) AS BIGINT) AS pr_micro
         FROM r{supersteps}""")
+    return "".join(parts)
+
+
+def _eigen_fixed_oracle_sql(supersteps: int = 12) -> str:
+    """Power iteration for exactly ``supersteps`` rounds (uniform init,
+    L1 normalization each round), emitted as floor(x*1e9+0.5)
+    nano-units. Summation-order float noise is ~1e-16 relative on
+    values ~1e-4, far below the 0.5-nano rounding boundary."""
+    parts = [_GRAPH_EDGES_CTE, """
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        x0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT n FROM nv) AS x FROM deg)"""]
+    for i in range(supersteps):
+        parts.append(f""",
+        g{i} AS MATERIALIZED (
+            SELECT se.b AS node, SUM(l.x) AS gx
+            FROM se JOIN x{i} l ON l.node = se.a GROUP BY se.b),
+        t{i} AS MATERIALIZED (SELECT SUM(gx) AS s FROM g{i}),
+        x{i + 1} AS MATERIALIZED (
+            SELECT d.node, COALESCE(g.gx, 0.0) / (SELECT s FROM t{i}) AS x
+            FROM deg d LEFT JOIN g{i} g USING (node))""")
+    parts.append(f"""
+        SELECT node, CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT) AS ev_nano
+        FROM x{supersteps}""")
     return "".join(parts)
 
 
@@ -446,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),
         "graph_closeness": _closeness_oracle_sql(),
+        "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
         "doc_sha256": """
             SELECT doc_id, sha256(COALESCE(text, NULL)) AS content_sha256
             FROM documents""",

@@ -144,6 +144,22 @@ def lineitem_pagerank_weighted_fixed(sf_dir: str, supersteps: int = 12):
     })
 
 
+def lineitem_eigenvector_fixed(sf_dir: str, supersteps: int = 12):
+    """Eigenvector centrality (L1-normalized power iteration) for
+    exactly ``supersteps`` rounds, integer nano-units — SQL-checkable
+    like the fixed PageRank variants."""
+    from centrality_gpu_ray.pipelines.eigenvector import eigenvector_centrality
+
+    g = lineitem_graph(sf_dir)
+    cfg = EngineConfig(tolerance=0.0, max_supersteps=supersteps)
+    t = eigenvector_centrality(g, cfg)
+    ev = t.column("eigenvector").to_numpy()
+    return pa.table({
+        "node": t.column("node"),
+        "ev_nano": pa.array(np.floor(ev * 1e9 + 0.5).astype(np.int64)),
+    })
+
+
 def lineitem_bcc_labels(sf_dir: str):
     """Per-edge biconnected-component labels over the lineitem graph."""
     from centrality_gpu_ray.pipelines.bicc import bcc_labels

@@ -5,6 +5,8 @@ from centrality_gpu_ray.pipelines.labelprop import label_propagation
 from centrality_gpu_ray.pipelines.triangles import triangle_counts
 from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
 from centrality_gpu_ray.pipelines.bicc import articulation_points, bcc_labels
+from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
+from centrality_gpu_ray.pipelines.eigenvector import eigenvector_centrality
 
 __all__ = [
     "Graph",
@@ -15,4 +17,6 @@ __all__ = [
     "betweenness_centrality",
     "articulation_points",
     "bcc_labels",
+    "closeness_from_sources",
+    "eigenvector_centrality",
 ]

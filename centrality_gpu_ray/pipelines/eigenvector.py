@@ -1,0 +1,89 @@
+"""Eigenvector centrality — power iteration on the (symmetrized)
+adjacency, L1-normalized each superstep.
+
+The third classical centrality family next to PageRank and
+betweenness; the reference computes only BC/degree
+(``kernels_free.cu:245-259``), so this is an engine extension with the
+same superstep structure as PageRank minus damping/dangling: per
+superstep one gather ``y = A·x`` (optionally weight-scaled) and one
+global normalization ``x ← y / Σy``. Reuses the PageRank exchange
+verbatim — broadcast contribution vector + resident-shard
+``gather_sum`` (owners) or the salted shuffle combine — so every
+scale/fault property of that path (pinned edge blocks, pre-aggregated
+messages, no O(n) driver serial section in owners mode) carries over.
+
+Convergence: the L1 delta between successive normalized vectors; with
+``tolerance=0`` runs exactly ``max_supersteps`` iterations — the
+SQL-checkable fixed variant (power iteration is a deterministic linear
+recurrence, so fixed-step outputs are comparable in integer
+nano-units).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.exchange import aggregate_messages, dense_from_pairs
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.pipelines.pagerank import _Contribs
+
+
+def eigenvector_centrality(graph: Graph, config: EngineConfig | None = None,
+                           weighted: bool = False,
+                           metrics: dict | None = None) -> pa.Table:
+    """Returns ``(node, eigenvector)`` with the L1-normalized dominant
+    eigenvector estimate after power iteration."""
+    import ray
+
+    cfg = config or graph.config
+    if getattr(graph, "sharded", False):
+        raise NotImplementedError(
+            "eigenvector_centrality is not wired for sharded-state graphs "
+            "yet; its gather is identical to sharded PageRank's "
+            "(pipelines/shards.py::pr_step without damping), so wire it "
+            "there rather than densifying the vector here")
+    n = graph.num_vertices
+    x = np.full(n, 1.0 / n, dtype=np.float64)
+    t0 = time.perf_counter()
+    step, delta = 0, np.inf
+    while step < cfg.max_supersteps and delta > cfg.tolerance:
+        if graph.mode == "local":
+            s, d, we = graph.local_arrays()
+            y = np.zeros(n, dtype=np.float64)
+            if weighted:
+                np.add.at(y, d, x[s] * we)
+                np.add.at(y, s, x[d] * we)
+            else:
+                np.add.at(y, d, x[s])
+                np.add.at(y, s, x[d])
+        else:
+            w_ref = ray.put(x)
+            if cfg.combine == "shuffle":
+                msgs = graph.edges.map_batches(_Contribs(w_ref, weighted),
+                                               batch_format="pyarrow",
+                                               batch_size=cfg.batch_size)
+                combined = aggregate_messages(msgs, agg="sum",
+                                              salt_buckets=cfg.salt_buckets)
+                y = dense_from_pairs(combined, n, init=0.0)
+            else:
+                y = graph.pool.gather_sum(w_ref, n, weighted=weighted)
+        total = float(y.sum())
+        if total <= 0.0:  # edgeless graph: stay uniform
+            break
+        new = y / total
+        delta = float(np.abs(new - x).sum())
+        x = new
+        step += 1
+    elapsed = time.perf_counter() - t0
+    if metrics is not None:
+        metrics.update({
+            "supersteps": step, "l1_delta": delta, "sec": elapsed,
+            "edges_processed": 2 * graph.num_edges * step,
+            "edges_per_sec": (2 * graph.num_edges * step) / max(elapsed, 1e-9),
+            "mode": graph.mode,
+        })
+    return graph.scores_table(x, "eigenvector")

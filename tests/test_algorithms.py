@@ -196,3 +196,37 @@ def test_closeness_vs_brute_force_bfs():
             assert row["dist_sum"] == dvals.sum()
             expect_h = int(np.floor(1e6 / dvals[dvals > 0] + 0.5).sum())
             assert row["harmonic_micro"] == expect_h
+
+
+def test_eigenvector_modes_agree_and_match_numpy():
+    from centrality_gpu_ray.pipelines.eigenvector import eigenvector_centrality
+
+    for name in ["test2", "test4"]:
+        g_loc = _graph(name, mode="local", tolerance=0.0, max_supersteps=12)
+        g_dist = _graph(name, mode="distributed", tolerance=0.0,
+                        max_supersteps=12)
+        t_loc = eigenvector_centrality(g_loc).to_pandas().sort_values("node")
+        t_dist = eigenvector_centrality(g_dist).to_pandas().sort_values("node")
+        assert np.allclose(t_loc["eigenvector"].values,
+                           t_dist["eigenvector"].values, atol=1e-12)
+
+        # independent driver-side power iteration (dense matmul)
+        s, d, _ = g_loc.local_arrays()
+        n = g_loc.num_vertices
+        A = np.zeros((n, n))
+        A[s, d] = 1.0
+        A[d, s] = 1.0
+        x = np.full(n, 1.0 / n)
+        for _ in range(12):
+            y = A @ x
+            x = y / y.sum()
+        assert np.allclose(t_loc["eigenvector"].values, x, atol=1e-12)
+
+        # converged run aligns with numpy's dominant eigenvector
+        g_conv = _graph(name, mode="local", tolerance=1e-14,
+                        max_supersteps=5000)
+        t_conv = eigenvector_centrality(g_conv).to_pandas().sort_values("node")
+        w, v = np.linalg.eigh(A)
+        dom = np.abs(v[:, np.argmax(w)])
+        dom = dom / dom.sum()
+        assert np.allclose(t_conv["eigenvector"].values, dom, atol=1e-6)
