@@ -91,6 +91,10 @@ def run_bench() -> dict:
     timed("connected_components", lambda: __import__(
         "centrality_gpu_ray.pipelines.components", fromlist=["connected_components"]
     ).connected_components(g, cfg))
+    timed("eigenvector_fixed12", lambda: __import__(
+        "centrality_gpu_ray.pipelines.eigenvector", fromlist=["eigenvector_centrality"]
+    ).eigenvector_centrality(g, EngineConfig(tolerance=0.0, max_supersteps=12,
+                                             salt_buckets=8)))
     tri_metrics: dict = {}
     timed("triangles", lambda: __import__(
         "centrality_gpu_ray.pipelines.triangles", fromlist=["triangle_counts"]

@@ -41,11 +41,7 @@ def eigenvector_centrality(graph: Graph, config: EngineConfig | None = None,
 
     cfg = config or graph.config
     if getattr(graph, "sharded", False):
-        raise NotImplementedError(
-            "eigenvector_centrality is not wired for sharded-state graphs "
-            "yet; its gather is identical to sharded PageRank's "
-            "(pipelines/shards.py::pr_step without damping), so wire it "
-            "there rather than densifying the vector here")
+        return _eigenvector_sharded(graph, cfg, weighted, metrics)
     n = graph.num_vertices
     x = np.full(n, 1.0 / n, dtype=np.float64)
     t0 = time.perf_counter()
@@ -87,3 +83,24 @@ def eigenvector_centrality(graph: Graph, config: EngineConfig | None = None,
             "mode": graph.mode,
         })
     return graph.scores_table(x, "eigenvector")
+
+
+def _eigenvector_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
+                         metrics: dict | None):
+    """>dense_vertex_limit path: state stays owner-resident
+    (``shards.py::ev_step`` — gather, global-sum, scale), the driver
+    handles O(P) scalars per superstep. Returns a Dataset of
+    (node, eigenvector)."""
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    pool = graph.pool
+    pool.setup_owners_sharded(graph.num_vertices, weighted)
+    t0 = time.perf_counter()
+    step, delta = 0, np.inf
+    while step < cfg.max_supersteps and delta > cfg.tolerance:
+        delta = pool.ev_step(weighted)
+        step += 1
+    if metrics is not None:
+        metrics.update({"supersteps": step, "l1_delta": delta,
+                        "sec": time.perf_counter() - t0, "mode": "sharded"})
+    return scores_dataset(graph.vdict, pool, "eigenvector")

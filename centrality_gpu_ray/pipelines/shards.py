@@ -321,6 +321,26 @@ def _shard_class():
             self.state = new
             return delta
 
+        def owner_combine_accum(self, my_idx: int, *shard_outs) -> float:
+            """Assemble this range's raw gather chunk (no scaling) and
+            return its local sum — phase 1 of a normalized power-
+            iteration superstep (the global Σy needs all owners)."""
+            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for out in shard_outs:  # uniq_v unique per part
+                uniq_v, sums = out[my_idx]
+                acc[uniq_v - self.lo] += sums
+            self._pending = acc
+            return float(acc.sum())
+
+        def owner_scale_pending(self, total: float) -> float:
+            """Phase 2: normalize the pending chunk by the global sum,
+            commit it as the new state, return the local L1 delta."""
+            new = self._pending / total
+            self._pending = None
+            delta = float(np.abs(new - self.state).sum())
+            self.state = new
+            return delta
+
         def owner_combine_min(self, my_idx: int, *shard_outs) -> int:
             new = self.state.copy()
             for out in shard_outs:  # uniq_v unique per part
@@ -583,6 +603,26 @@ class ShardPool:
             for p in range(P)
         ]
         return float(sum(ray.get(delta_refs)))
+
+    def ev_step(self, weighted: bool = False) -> float:
+        """One normalized power-iteration superstep (eigenvector
+        centrality) over owner-resident state; returns global L1 delta.
+        Two driver sync points (global Σy, then delta), each O(P)
+        scalars — still no O(n) driver section."""
+        import ray
+
+        P = len(self.actors)
+        st_refs = [a.owner_get_state.remote() for a in self.actors]
+        w_full = self._assembler().remote(*st_refs)
+        outs = [a.shard_gather_sum.remote(self.bounds, weighted, w_full)
+                for a in self.actors]
+        total = float(sum(ray.get(
+            [self.actors[p].owner_combine_accum.remote(p, *outs)
+             for p in range(P)])))
+        if total <= 0.0:
+            return 0.0
+        return float(sum(ray.get(
+            [a.owner_scale_pending.remote(total) for a in self.actors])))
 
     def cc_step(self) -> int:
         """One owner-combined min-label superstep; returns #changed."""

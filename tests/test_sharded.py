@@ -169,3 +169,22 @@ def test_sharded_components_matches_dense(graphs):
     assert (merged["component_dense"] == merged["component_sharded"]).all()
     # two components: the chorded ring and the chain
     assert b["component"].nunique() == 2
+
+
+def test_sharded_eigenvector_matches_dense(graphs):
+    from centrality_gpu_ray.pipelines.eigenvector import eigenvector_centrality
+
+    dense, sharded = graphs
+    a = eigenvector_centrality(
+        dense, EngineConfig(tolerance=0.0, max_supersteps=15)).to_pandas()
+    m = {}
+    b = eigenvector_centrality(
+        sharded, EngineConfig(tolerance=0.0, max_supersteps=15,
+                              dense_vertex_limit=500),
+        metrics=m).to_pandas()
+    assert m["mode"] == "sharded"
+    assert m["supersteps"] == 15
+    merged = a.merge(b, on="node", suffixes=("_dense", "_sharded"))
+    assert len(merged) == dense.num_vertices
+    assert np.allclose(merged["eigenvector_dense"],
+                       merged["eigenvector_sharded"], atol=1e-12)
