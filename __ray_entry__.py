@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kcore": gq.lineitem_kcore,
         "graph_closeness": gq.lineitem_closeness,
         "graph_eigenvector_fixed": gq.lineitem_eigenvector_fixed,
+        "graph_edge_support": gq.lineitem_edge_support,
+        "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
         "corpus_pagerank": corpus_pagerank,
@@ -586,6 +588,37 @@ def oracle_sql() -> dict[str, str]:
             ),
             pv AS (SELECT node, COUNT(*) AS t FROM credits GROUP BY node)
             SELECT d.node, CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles
+            FROM deg d LEFT JOIN pv ON d.node = pv.node""",
+        "graph_edge_support": _GRAPH_EDGES_CTE + """
+            , tri AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM edges e1
+                JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            epairs AS (
+                SELECT a AS u, b AS v FROM tri
+                UNION ALL SELECT a, c FROM tri
+                UNION ALL SELECT b, c FROM tri
+            ),
+            sup AS (SELECT u, v, COUNT(*) AS c FROM epairs GROUP BY u, v)
+            SELECT e.src, e.dst, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+            FROM edges e LEFT JOIN sup s ON s.u = e.src AND s.v = e.dst""",
+        "graph_clustering": _GRAPH_EDGES_CTE + """
+            , tri AS (
+                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                FROM edges e1
+                JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+            ),
+            credits AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ),
+            pv AS (SELECT node, COUNT(*) AS t FROM credits GROUP BY node)
+            SELECT d.node, CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles,
+                   CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS wedges
             FROM deg d LEFT JOIN pv ON d.node = pv.node""",
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,

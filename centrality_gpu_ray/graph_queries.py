@@ -102,6 +102,35 @@ def lineitem_triangles_pervertex(sf_dir: str):
     return triangle_counts(g)
 
 
+def lineitem_edge_support(sf_dir: str):
+    """Per-edge triangle support (k-truss building block): (src, dst,
+    support) for every canonical edge, zero-support edges included."""
+    from centrality_gpu_ray.pipelines.triangles import edge_support
+
+    g = lineitem_graph(sf_dir)
+    out = edge_support(g)
+    if isinstance(out, pa.Table):
+        return out.sort_by([("src", "ascending"), ("dst", "ascending")])
+    return out.sort(["src", "dst"])
+
+
+def lineitem_clustering(sf_dir: str):
+    """Per-vertex clustering-coefficient numerator/denominator in exact
+    integers: (node, triangles, wedges) with wedges = deg·(deg−1)/2;
+    the coefficient triangles/wedges is derivable exactly."""
+    from centrality_gpu_ray.pipelines.triangles import triangle_counts
+
+    g = lineitem_graph(sf_dir)
+    t = triangle_counts(g)
+    tri = t.column("triangles").to_numpy()
+    deg = g.out_degree.astype(np.int64)
+    return pa.table({
+        "node": t.column("node"),
+        "triangles": pa.array(tri.astype(np.int64)),
+        "wedges": pa.array(deg * (deg - 1) // 2),
+    })
+
+
 def lineitem_pagerank(sf_dir: str, mode: str = "auto"):
     from centrality_gpu_ray.pipelines.pagerank import pagerank
 

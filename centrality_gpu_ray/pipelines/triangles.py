@@ -341,6 +341,130 @@ def _count_sharded(graph: Graph, cfg: EngineConfig, metrics: dict | None):
     return out
 
 
+def edge_support(graph: Graph, config: EngineConfig | None = None,
+                 metrics: dict | None = None):
+    """Per-edge triangle support: for every canonical edge (src < dst)
+    the number of triangles containing it — the k-truss building block
+    (an edge is in the k-truss iff support ≥ k−2). Same oriented-wedge
+    semi-join as :func:`triangle_counts`, but each matched wedge
+    credits its THREE edges (apex–x, apex–y, x–y) instead of its three
+    vertices, and the counts aggregate per packed edge key rather than
+    per vertex. Returns ``(src, dst, support)`` in original ids
+    (zero-support edges included); a ``pa.Table`` in local mode, a
+    Dataset otherwise."""
+    cfg = config or graph.config
+    if getattr(graph, "sharded", False):
+        raise NotImplementedError(
+            "edge_support is not wired for sharded-state graphs yet; the "
+            "Dataset-shaped path below needs only the sharded orientation "
+            "from _count_sharded (degree lookup joins) in place of the "
+            "broadcast degree vector")
+    t0 = time.perf_counter()
+    deg = graph.out_degree
+    n = graph.num_vertices
+
+    if graph.mode == "local":
+        s, d, _ = graph.local_arrays()
+        a, b = _orient(s, d, deg)
+        apex, x, y = _wedges_from_adj(a, b)
+        canon = _pack(s, d, n)
+        order = np.argsort(canon)
+        canon_sorted = canon[order]
+        support = np.zeros(canon.size, dtype=np.int64)
+        if apex.size and canon.size:
+            wk = _pack(x, y, n)
+            idx = np.minimum(np.searchsorted(canon_sorted, wk),
+                             canon_sorted.size - 1)
+            match = canon_sorted[idx] == wk
+            am, xm, ym = apex[match], x[match], y[match]
+            keys3 = np.concatenate([_pack(am, xm, n), _pack(am, ym, n),
+                                    wk[match]])
+            uniq, cnt = np.unique(keys3, return_counts=True)
+            pos = np.searchsorted(canon_sorted, uniq)
+            support[order[pos]] = cnt
+        if metrics is not None:
+            metrics.update({"sec": time.perf_counter() - t0, "mode": "local"})
+        return pa.table({
+            "src": pa.array(graph.node_ids[s], type=pa.int64()),
+            "dst": pa.array(graph.node_ids[d], type=pa.int64()),
+            "support": pa.array(support),
+        })
+
+    import ray
+
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_lookup_join,
+                                                   hash_partition_apply,
+                                                   hash_semi_join)
+
+    P = cfg.num_partitions
+    deg_ref = ray.put(deg)
+
+    def orient_batch(batch: pa.Table, _deg_ref=deg_ref) -> pa.Table:
+        dg = ray.get(_deg_ref)
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        a, b = _orient(s, d, dg)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    oriented = graph.edges.map_batches(orient_batch, batch_format="pyarrow",
+                                       batch_size=cfg.batch_size).materialize()
+
+    def wedge_part(tbl: pa.Table) -> pa.Table:
+        apex, x, y = _wedges_from_adj(
+            tbl.column("a").to_numpy(zero_copy_only=False),
+            tbl.column("b").to_numpy(zero_copy_only=False))
+        return pa.table({"apex": pa.array(apex),
+                         "key": pa.array(_pack(x, y, n))})
+
+    def edge_keys(tbl: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.array(
+            _pack(tbl.column("a").to_numpy(),
+                  tbl.column("b").to_numpy(), n))})
+
+    wedges = hash_partition_apply(oriented, ["a"], wedge_part,
+                                  num_partitions=P)
+    keys_ds = oriented.map_batches(edge_keys, batch_format="pyarrow",
+                                   batch_size=cfg.batch_size)
+    matched = hash_semi_join(wedges, keys_ds, on="key", num_partitions=P)
+
+    def tri_edge_credits(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        apex = batch.column("apex").to_numpy()
+        xx = key // np.int64(n)
+        yy = key % np.int64(n)
+        keys3 = np.concatenate([_pack(apex, xx, n), _pack(apex, yy, n), key])
+        uniq, cnt = np.unique(keys3, return_counts=True)
+        return pa.table({"key": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    sup = hash_aggregate(matched.map_batches(tri_edge_credits,
+                                             batch_format="pyarrow"),
+                         ["key"], [("c", "sum")], num_partitions=P)
+
+    ids_ref = ray.put(graph.node_ids)
+
+    def canon_rows(batch: pa.Table, _ids_ref=ids_ref) -> pa.Table:
+        ids = ray.get(_ids_ref)
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        return pa.table({"key": pa.array(_pack(s, d, n)),
+                         "src": pa.array(ids[s], type=pa.int64()),
+                         "dst": pa.array(ids[d], type=pa.int64())})
+
+    canon_ds = graph.edges.map_batches(canon_rows, batch_format="pyarrow",
+                                       batch_size=cfg.batch_size)
+    out = hash_lookup_join(canon_ds, sup, "key", "key", {"c": "support"},
+                           num_partitions=P, outer_fill={"support": 0})
+    out = out.map_batches(
+        lambda t: pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                            "support": t.column("support").cast(pa.int64())}),
+        batch_format="pyarrow")
+    if metrics is not None:
+        metrics.update({"sec": time.perf_counter() - t0, "mode": graph.mode})
+    return out
+
+
 def _wedge_credit_packed(n: int):
     """Credit apex + both endpoints of each matched (packed) wedge."""
 

@@ -230,3 +230,36 @@ def test_eigenvector_modes_agree_and_match_numpy():
         dom = np.abs(v[:, np.argmax(w)])
         dom = dom / dom.sum()
         assert np.allclose(t_conv["eigenvector"].values, dom, atol=1e-6)
+
+
+def test_edge_support_modes_and_brute_force():
+    from itertools import combinations
+
+    from centrality_gpu_ray.pipelines.triangles import edge_support
+
+    for name in ["test2", "test4"]:
+        g_loc = _graph(name, mode="local")
+        t_loc = (edge_support(g_loc).to_pandas()
+                 .sort_values(["src", "dst"]).reset_index(drop=True))
+        g_dist = _graph(name, mode="distributed")
+        out = edge_support(g_dist)
+        t_dist = (out.to_pandas().sort_values(["src", "dst"])
+                  .reset_index(drop=True))
+        assert t_loc.equals(t_dist)
+
+        # brute force: adjacency sets, support = |N(u) ∩ N(v)|
+        s, d, _ = g_loc.local_arrays()
+        ids = g_loc.node_ids
+        adj = {}
+        for a, b in zip(ids[s], ids[d]):
+            adj.setdefault(int(a), set()).add(int(b))
+            adj.setdefault(int(b), set()).add(int(a))
+        for row in t_loc.itertuples():
+            expect = len(adj[row.src] & adj[row.dst])
+            assert row.support == expect, (row.src, row.dst)
+        # every triangle contributes 3 edge-credits
+        total_tri = t_loc["support"].sum() // 3
+        from centrality_gpu_ray.pipelines.triangles import triangle_counts
+        m = {}
+        triangle_counts(g_loc, metrics=m)
+        assert total_tri == m["total_triangles"]
