@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_closeness": gq.lineitem_closeness,
         "graph_eigenvector_fixed": gq.lineitem_eigenvector_fixed,
         "graph_edge_support": gq.lineitem_edge_support,
+        "graph_ktruss": gq.lineitem_ktruss,
         "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
@@ -385,6 +386,47 @@ def _sssp_oracle_sql(rounds: int = 40) -> str:
     return "".join(parts)
 
 
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 20) -> str:
+    """Iterative k-truss edge peel mirroring truss.py: each round dooms
+    surviving edges whose triangle support over the surviving edge set
+    is < k−2. 20 chained rounds cover the 14 the engine needs at
+    sf0.01 (a converged state is stable under extra rounds); the edge
+    set collapses after round 0 so later rounds are cheap."""
+    parts = [_GRAPH_EDGES_CTE, """
+        , e0 AS MATERIALIZED (SELECT src, dst FROM edges),
+        out0 AS MATERIALIZED (
+            SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS dst,
+                   CAST(NULL AS BIGINT) AS rr WHERE 1 = 0)"""]
+    for r in range(rounds):
+        parts.append(f""",
+        tri{r} AS MATERIALIZED (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM e{r} e1
+            JOIN e{r} e2 ON e2.src = e1.src AND e2.dst > e1.dst
+            JOIN e{r} e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+        sup{r} AS MATERIALIZED (
+            SELECT u, v, COUNT(*) AS c FROM (
+                SELECT a AS u, b AS v FROM tri{r}
+                UNION ALL SELECT a, c FROM tri{r}
+                UNION ALL SELECT b, c FROM tri{r}) GROUP BY u, v),
+        doom{r} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{r} e
+            LEFT JOIN sup{r} s ON s.u = e.src AND s.v = e.dst
+            WHERE COALESCE(s.c, 0) < {k - 2}),
+        out{r + 1} AS MATERIALIZED (
+            SELECT * FROM out{r}
+            UNION ALL SELECT src, dst, CAST({r} AS BIGINT) FROM doom{r}),
+        e{r + 1} AS MATERIALIZED (
+            SELECT e.src, e.dst FROM e{r} e
+            LEFT JOIN doom{r} x ON x.src = e.src AND x.dst = e.dst
+            WHERE x.src IS NULL)""")
+    parts.append(f"""
+        SELECT src, dst, rr AS round_removed FROM out{rounds}
+        UNION ALL
+        SELECT src, dst, CAST(-1 AS BIGINT) FROM e{rounds}""")
+    return "".join(parts)
+
+
 def _closeness_oracle_sql(k: int = 8, rounds: int = 16) -> str:
     """Multi-source unweighted BFS (sources = top-k degree, ties →
     smaller id) as chained materialized rounds carrying a source
@@ -476,6 +518,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_oracle_sql(),
         "graph_closeness": _closeness_oracle_sql(),
         "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
+        "graph_ktruss": _ktruss_oracle_sql(),
         "doc_sha256": """
             SELECT doc_id, sha256(COALESCE(text, NULL)) AS content_sha256
             FROM documents""",

@@ -131,6 +131,18 @@ def lineitem_clustering(sf_dir: str):
     })
 
 
+def lineitem_ktruss(sf_dir: str, k: int = 4):
+    """k-truss edge peel: (src, dst, round_removed), −1 for edges in
+    the k-truss (``pipelines/truss.py``)."""
+    from centrality_gpu_ray.pipelines.truss import ktruss
+
+    g = lineitem_graph(sf_dir)
+    out = ktruss(g, k=k)
+    if isinstance(out, pa.Table):
+        return out.sort_by([("src", "ascending"), ("dst", "ascending")])
+    return out.sort(["src", "dst"])
+
+
 def lineitem_pagerank(sf_dir: str, mode: str = "auto"):
     from centrality_gpu_ray.pipelines.pagerank import pagerank
 

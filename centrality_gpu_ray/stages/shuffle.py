@@ -357,8 +357,29 @@ def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
     rows_mat = rows_ds.materialize()
     row_blocks = _nonempty_block_refs(rows_mat)
     dict_blocks = _nonempty_block_refs(dict_ds.materialize())
-    if not row_blocks or not dict_blocks:
+    if not row_blocks:
         return rows_mat.limit(0)
+    if not dict_blocks:
+        # empty dictionary: inner join drops everything, but the outer
+        # variants must keep every row with its default/fill values
+        # (regression: k-truss round with zero surviving triangles)
+        if not (outer_default_row_key or outer_fill is not None):
+            return rows_mat.limit(0)
+
+        @ray.remote
+        def fill_block(block):
+            tbl = (block if isinstance(block, pa.Table)
+                   else pa.Table.from_pandas(block))
+            own = tbl.column(row_key).to_numpy(zero_copy_only=False)
+            cols = {c: tbl.column(c) for c in tbl.column_names}
+            for _, dst in attach.items():
+                fillv = (own if outer_default_row_key
+                         else np.full(own.size, outer_fill[dst]))
+                cols[dst] = pa.array(fillv)
+            return pa.table(cols)
+
+        return ray.data.from_arrow_refs(
+            [fill_block.remote(b) for b in row_blocks])
     row_shards = [map_rows.remote(b) for b in row_blocks]
     dict_shards = [map_dict.remote(b) for b in dict_blocks]
 

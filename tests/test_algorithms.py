@@ -263,3 +263,45 @@ def test_edge_support_modes_and_brute_force():
         m = {}
         triangle_counts(g_loc, metrics=m)
         assert total_tri == m["total_triangles"]
+
+
+def test_ktruss_modes_and_brute_force():
+    from centrality_gpu_ray.pipelines.truss import ktruss
+
+    def brute(edges, k):
+        # edges: set of (u, v) tuples u<v; returns {(u,v): round or -1}
+        alive = set(edges)
+        removed = {}
+        r = 0
+        while True:
+            adj = {}
+            for u, v in alive:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            doomed = [e for e in alive
+                      if len(adj[e[0]] & adj[e[1]]) < k - 2]
+            if not doomed:
+                break
+            for e in doomed:
+                removed[e] = r
+                alive.discard(e)
+            r += 1
+        for e in alive:
+            removed[e] = -1
+        return removed
+
+    for name in ["test2", "test4"]:
+        for k in (3, 4):
+            g_loc = _graph(name, mode="local")
+            t_loc = (ktruss(g_loc, k=k).to_pandas()
+                     .sort_values(["src", "dst"]).reset_index(drop=True))
+            g_dist = _graph(name, mode="distributed")
+            t_dist = (ktruss(g_dist, k=k).to_pandas()
+                      .sort_values(["src", "dst"]).reset_index(drop=True))
+            assert t_loc.equals(t_dist), (name, k)
+
+            edges = set(zip(t_loc["src"], t_loc["dst"]))
+            expect = brute(edges, k)
+            for row in t_loc.itertuples():
+                assert expect[(row.src, row.dst)] == row.round_removed, \
+                    (name, k, row.src, row.dst)

@@ -141,3 +141,25 @@ def test_hash_partition_apply_groups_colocated():
                                ["g"], per_group_sum,
                                num_partitions=4).to_pandas().sort_values("g")
     assert dict(zip(out["g"], out["s"])) == {1: 30, 2: 6, 3: 7}
+
+
+def test_hash_lookup_join_empty_dict_outer_fill():
+    import pyarrow as pa
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
+
+    rows = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.chunked_array([[]], pa.int64()),
+                  "c": pa.chunked_array([[]], pa.int64())}))
+    # outer_fill keeps every row with the fill value
+    out = hash_lookup_join(rows, empty, "k", "k", {"c": "c"},
+                           num_partitions=4, outer_fill={"c": 0})
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["c"].tolist() == [0, 0, 0]
+    assert df["x"].tolist() == [10, 20, 30]
+    # inner stays empty
+    inner = hash_lookup_join(rows, empty, "k", "k", {"c": "c"},
+                             num_partitions=4)
+    assert inner.count() == 0
