@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_eigenvector_fixed": gq.lineitem_eigenvector_fixed,
         "graph_edge_support": gq.lineitem_edge_support,
         "graph_ktruss": gq.lineitem_ktruss,
+        "graph_katz_fixed": gq.lineitem_katz_fixed,
         "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
@@ -316,6 +317,30 @@ def _eigen_fixed_oracle_sql(supersteps: int = 12) -> str:
     parts.append(f"""
         SELECT node, CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT) AS ev_nano
         FROM x{supersteps}""")
+    return "".join(parts)
+
+
+def _katz_fixed_oracle_sql(supersteps: int = 8, alpha: float = 1e-4,
+                           beta: float = 1.0) -> str:
+    """Katz recurrence x ← β + α·A·x from x₀ = β for exactly
+    ``supersteps`` rounds, micro-unit output (α·λ_max ≪ 1 at these
+    scales, so values stay O(1) and float noise ≪ the 0.5 µ boundary)."""
+    parts = [_GRAPH_EDGES_CTE, f"""
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        k0 AS MATERIALIZED (
+            SELECT node, CAST({beta} AS DOUBLE) AS x FROM deg)"""]
+    for i in range(supersteps):
+        parts.append(f""",
+        g{i} AS MATERIALIZED (
+            SELECT se.b AS node, SUM(l.x) AS gx
+            FROM se JOIN k{i} l ON l.node = se.a GROUP BY se.b),
+        k{i + 1} AS MATERIALIZED (
+            SELECT d.node, {beta} + {alpha} * COALESCE(g.gx, 0.0) AS x
+            FROM deg d LEFT JOIN g{i} g USING (node))""")
+    parts.append(f"""
+        SELECT node, CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS katz_micro
+        FROM k{supersteps}""")
     return "".join(parts)
 
 
@@ -519,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _closeness_oracle_sql(),
         "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
         "graph_ktruss": _ktruss_oracle_sql(),
+        "graph_katz_fixed": _katz_fixed_oracle_sql(),
         "doc_sha256": """
             SELECT doc_id, sha256(COALESCE(text, NULL)) AS content_sha256
             FROM documents""",

@@ -201,6 +201,22 @@ def lineitem_eigenvector_fixed(sf_dir: str, supersteps: int = 12):
     })
 
 
+def lineitem_katz_fixed(sf_dir: str, supersteps: int = 8,
+                        alpha: float = 1e-4, beta: float = 1.0):
+    """Katz centrality for exactly ``supersteps`` rounds, integer
+    micro-units — SQL-checkable."""
+    from centrality_gpu_ray.pipelines.eigenvector import katz_centrality
+
+    g = lineitem_graph(sf_dir)
+    cfg = EngineConfig(tolerance=0.0, max_supersteps=supersteps)
+    t = katz_centrality(g, alpha=alpha, beta=beta, config=cfg)
+    kz = t.column("katz").to_numpy()
+    return pa.table({
+        "node": t.column("node"),
+        "katz_micro": pa.array(np.floor(kz * 1e6 + 0.5).astype(np.int64)),
+    })
+
+
 def lineitem_bcc_labels(sf_dir: str):
     """Per-edge biconnected-component labels over the lineitem graph."""
     from centrality_gpu_ray.pipelines.bicc import bcc_labels

@@ -85,6 +85,57 @@ def eigenvector_centrality(graph: Graph, config: EngineConfig | None = None,
     return graph.scores_table(x, "eigenvector")
 
 
+def katz_centrality(graph: Graph, alpha: float = 1e-4, beta: float = 1.0,
+                    config: EngineConfig | None = None,
+                    weighted: bool = False,
+                    metrics: dict | None = None) -> pa.Table:
+    """Katz centrality ``x ← β + α·A·x`` from ``x₀ = β`` — attenuated
+    walk counting, the damped cousin of eigenvector centrality (same
+    gather, no normalization; converges for α < 1/λ_max). Fixed
+    supersteps with ``tolerance=0`` give the SQL-checkable variant."""
+    import ray
+
+    cfg = config or graph.config
+    if getattr(graph, "sharded", False):
+        raise NotImplementedError(
+            "katz_centrality is not wired for sharded-state graphs yet; "
+            "it is ev_step (shards.py) with a beta shift instead of "
+            "normalization")
+    n = graph.num_vertices
+    x = np.full(n, beta, dtype=np.float64)
+    t0 = time.perf_counter()
+    step, delta = 0, np.inf
+    while step < cfg.max_supersteps and delta > cfg.tolerance:
+        if graph.mode == "local":
+            s, d, we = graph.local_arrays()
+            y = np.zeros(n, dtype=np.float64)
+            if weighted:
+                np.add.at(y, d, x[s] * we)
+                np.add.at(y, s, x[d] * we)
+            else:
+                np.add.at(y, d, x[s])
+                np.add.at(y, s, x[d])
+        else:
+            w_ref = ray.put(x)
+            if cfg.combine == "shuffle":
+                msgs = graph.edges.map_batches(_Contribs(w_ref, weighted),
+                                               batch_format="pyarrow",
+                                               batch_size=cfg.batch_size)
+                combined = aggregate_messages(msgs, agg="sum",
+                                              salt_buckets=cfg.salt_buckets)
+                y = dense_from_pairs(combined, n, init=0.0)
+            else:
+                y = graph.pool.gather_sum(w_ref, n, weighted=weighted)
+        new = beta + alpha * y
+        delta = float(np.abs(new - x).sum())
+        x = new
+        step += 1
+    if metrics is not None:
+        metrics.update({"supersteps": step, "l1_delta": delta,
+                        "sec": time.perf_counter() - t0, "mode": graph.mode})
+    return graph.scores_table(x, "katz")
+
+
 def _eigenvector_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
                          metrics: dict | None):
     """>dense_vertex_limit path: state stays owner-resident

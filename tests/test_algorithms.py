@@ -305,3 +305,26 @@ def test_ktruss_modes_and_brute_force():
             for row in t_loc.itertuples():
                 assert expect[(row.src, row.dst)] == row.round_removed, \
                     (name, k, row.src, row.dst)
+
+
+def test_katz_modes_agree_and_match_recurrence():
+    from centrality_gpu_ray.pipelines.eigenvector import katz_centrality
+
+    for name in ["test2", "test4"]:
+        cfgkw = dict(tolerance=0.0, max_supersteps=8)
+        g_loc = _graph(name, mode="local", **cfgkw)
+        g_dist = _graph(name, mode="distributed", **cfgkw)
+        t_loc = katz_centrality(g_loc, alpha=0.05).to_pandas().sort_values("node")
+        t_dist = katz_centrality(g_dist, alpha=0.05).to_pandas().sort_values("node")
+        assert np.allclose(t_loc["katz"].values, t_dist["katz"].values,
+                           atol=1e-12)
+
+        s, d, _ = g_loc.local_arrays()
+        n = g_loc.num_vertices
+        A = np.zeros((n, n))
+        A[s, d] = 1.0
+        A[d, s] = 1.0
+        x = np.ones(n)
+        for _ in range(8):
+            x = 1.0 + 0.05 * (A @ x)
+        assert np.allclose(t_loc["katz"].values, x, atol=1e-10)
