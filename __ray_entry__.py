@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edge_support": gq.lineitem_edge_support,
         "graph_ktruss": gq.lineitem_ktruss,
         "graph_katz_fixed": gq.lineitem_katz_fixed,
+        "graph_ppr_fixed": gq.lineitem_ppr_fixed,
         "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
@@ -317,6 +318,40 @@ def _eigen_fixed_oracle_sql(supersteps: int = 12) -> str:
     parts.append(f"""
         SELECT node, CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT) AS ev_nano
         FROM x{supersteps}""")
+    return "".join(parts)
+
+
+def _ppr_fixed_oracle_sql(supersteps: int = 12, alpha: float = 0.85,
+                          k: int = 4) -> str:
+    """Personalized PageRank (teleport uniform over the top-k-degree
+    vertices, ties → smaller id) for exactly ``supersteps`` rounds,
+    micro-units. No dangling term (deg CTE has no degree-0 vertices)."""
+    parts = [_GRAPH_EDGES_CTE, f"""
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        srcs AS MATERIALIZED (
+            SELECT node AS s FROM deg
+            ORDER BY degree DESC, node LIMIT {k}),
+        tvec AS MATERIALIZED (
+            SELECT d.node,
+                   CASE WHEN sr.s IS NOT NULL
+                        THEN 1.0 / {k} ELSE 0.0 END AS t
+            FROM deg d LEFT JOIN srcs sr ON sr.s = d.node),
+        p0 AS MATERIALIZED (SELECT node, t AS r FROM tvec)"""]
+    for i in range(supersteps):
+        parts.append(f""",
+        c{i} AS MATERIALIZED (
+            SELECT se.b AS node, SUM(l.r / d.degree) AS g
+            FROM se JOIN p{i} l ON l.node = se.a
+                    JOIN deg d ON d.node = se.a
+            GROUP BY se.b),
+        p{i + 1} AS MATERIALIZED (
+            SELECT t.node,
+                   (1.0 - {alpha}) * t.t + {alpha} * COALESCE(c.g, 0.0) AS r
+            FROM tvec t LEFT JOIN c{i} c USING (node))""")
+    parts.append(f"""
+        SELECT node, CAST(FLOOR(r * 1000000 + 0.5) AS BIGINT) AS ppr_micro
+        FROM p{supersteps}""")
     return "".join(parts)
 
 
@@ -545,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
         "graph_ktruss": _ktruss_oracle_sql(),
         "graph_katz_fixed": _katz_fixed_oracle_sql(),
+        "graph_ppr_fixed": _ppr_fixed_oracle_sql(),
         "doc_sha256": """
             SELECT doc_id, sha256(COALESCE(text, NULL)) AS content_sha256
             FROM documents""",

@@ -169,6 +169,23 @@ def lineitem_pagerank_fixed(sf_dir: str, supersteps: int = 12):
     })
 
 
+def lineitem_ppr_fixed(sf_dir: str, supersteps: int = 12, k: int = 4):
+    """Personalized PageRank from the ``k`` top-degree vertices
+    (uniform teleport over them), exactly ``supersteps`` rounds,
+    integer micro-units — SQL-checkable."""
+    from centrality_gpu_ray.pipelines.pagerank import pagerank
+
+    top = lineitem_top_degree(sf_dir, k=k).to_pandas()
+    g = lineitem_graph(sf_dir)
+    cfg = EngineConfig(tolerance=0.0, max_supersteps=supersteps)
+    t = pagerank(g, cfg, personalization={int(v): 1.0 for v in top["node"]})
+    pr = t.column("pagerank").to_numpy()
+    return pa.table({
+        "node": t.column("node"),
+        "ppr_micro": pa.array(np.floor(pr * 1e6 + 0.5).astype(np.int64)),
+    })
+
+
 def lineitem_pagerank_weighted_fixed(sf_dir: str, supersteps: int = 12):
     """Weighted PageRank (rank distributed over incident edge weights /
     strength) for exactly ``supersteps`` iterations, integer

@@ -77,7 +77,8 @@ class _Contribs:
 
 def _superstep_local(graph: Graph, rank: np.ndarray, alpha: float,
                      inv_deg: np.ndarray, dangling: np.ndarray,
-                     weighted: bool = False) -> np.ndarray:
+                     weighted: bool = False,
+                     tele: np.ndarray | None = None) -> np.ndarray:
     s, d, we = graph.local_arrays()
     n = graph.num_vertices
     w = rank * inv_deg
@@ -89,12 +90,15 @@ def _superstep_local(graph: Graph, rank: np.ndarray, alpha: float,
         np.add.at(new, d, w[s])
         np.add.at(new, s, w[d])
     dangling_mass = rank[dangling].sum() if dangling.size else 0.0
+    if tele is not None:
+        return (1.0 - alpha) * tele + alpha * (new + dangling_mass * tele)
     return (1.0 - alpha) / n + alpha * (new + dangling_mass / n)
 
 
 def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
                            inv_deg: np.ndarray, dangling: np.ndarray,
-                           cfg: EngineConfig, weighted: bool = False) -> np.ndarray:
+                           cfg: EngineConfig, weighted: bool = False,
+                           tele: np.ndarray | None = None) -> np.ndarray:
     import ray
 
     w_ref = ray.put(rank * inv_deg)
@@ -112,22 +116,54 @@ def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
         # resident-shard actor pool: one reduceat per shard per superstep
         gathered = graph.pool.gather_sum(w_ref, n, weighted=weighted)
     dangling_mass = rank[dangling].sum() if dangling.size else 0.0
+    if tele is not None:
+        return (1.0 - alpha) * tele + alpha * (gathered + dangling_mass * tele)
     return (1.0 - alpha) / n + alpha * (gathered + dangling_mass / n)
 
 
 def pagerank(graph: Graph, config: EngineConfig | None = None,
-             weighted: bool = False, metrics: dict | None = None) -> pa.Table:
+             weighted: bool = False, metrics: dict | None = None,
+             personalization: dict | None = None) -> pa.Table:
     """Run PageRank to convergence; returns ``(node, pagerank)``.
 
     ``weighted=True`` distributes each vertex's rank over its incident
     edge weights (strength) instead of uniformly over neighbors — the
     natural semantics for co-occurrence-count edges. (The reference's
     live GPU kernels ignore weights entirely, ``kernels_free.cu:245-259``;
-    only its dead CPU Dijkstra path was weighted — SURVEY.md §1.1.)"""
+    only its dead CPU Dijkstra path was weighted — SURVEY.md §1.1.)
+
+    ``personalization``: ``{original_node_id: weight}`` — replaces the
+    uniform teleport with the normalized given vector (personalized
+    PageRank); dangling mass follows the same vector. The
+    resident-owners fast path keeps its scalar teleport, so PPR runs
+    the driver-combined superstep instead (pool gather_sum or salted
+    shuffle — the teleport vector stays a driver-side dense vector)."""
     cfg = config or graph.config
     n = graph.num_vertices
     if getattr(graph, "sharded", False):
+        if personalization is not None:
+            raise NotImplementedError(
+                "personalized PageRank is not wired for sharded-state "
+                "graphs yet; ship the teleport chunks to the owners like "
+                "setup_owners_sharded ships degrees")
         return _pagerank_sharded(graph, cfg, weighted, metrics)
+    tele = None
+    if personalization is not None:
+        nodes = np.fromiter(personalization.keys(), dtype=np.int64)
+        wts = np.fromiter((personalization[k] for k in nodes),
+                          dtype=np.float64)
+        idx = np.searchsorted(graph.node_ids, nodes)
+        idx = np.minimum(idx, n - 1)
+        ok = graph.node_ids[idx] == nodes
+        if not ok.all():
+            raise ValueError(
+                f"personalization nodes not in graph: {nodes[~ok][:5]}")
+        tele = np.zeros(n, dtype=np.float64)
+        tele[idx] = wts
+        total = tele.sum()
+        if total <= 0:
+            raise ValueError("personalization weights must sum > 0")
+        tele /= total
     deg = graph.strength if weighted else graph.out_degree
     dangling = np.flatnonzero(deg == 0)
     inv_deg = np.zeros(n, dtype=np.float64)
@@ -136,7 +172,9 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
 
     ckpt = CheckpointManager(cfg.checkpoint_dir, "pagerank", cfg.checkpoint_every,
                              cfg.num_partitions)
-    start_step, rank = 0, np.full(n, 1.0 / n, dtype=np.float64)
+    start_step = 0
+    rank = tele.copy() if tele is not None else np.full(n, 1.0 / n,
+                                                        dtype=np.float64)
     resumed = ckpt.resume()
     if resumed is not None:
         start_step, manifest, state = resumed
@@ -152,7 +190,8 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
     t0 = time.perf_counter()
     step = start_step
     delta = np.inf
-    owners = graph.mode != "local" and cfg.combine == "owners"
+    owners = (graph.mode != "local" and cfg.combine == "owners"
+              and tele is None)
     if owners:
         # Pregel-style resident state: rank chunks live in the owner
         # actors; per superstep the driver only launches calls and sums
@@ -170,10 +209,10 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
         while step < cfg.max_supersteps and delta > cfg.tolerance:
             if graph.mode == "local":
                 new = _superstep_local(graph, rank, cfg.damping, inv_deg,
-                                       dangling, weighted)
+                                       dangling, weighted, tele)
             else:
                 new = _superstep_distributed(graph, rank, cfg.damping, inv_deg,
-                                             dangling, cfg, weighted)
+                                             dangling, cfg, weighted, tele)
             delta = float(np.abs(new - rank).sum())
             rank = new
             ckpt.maybe_write(step, graph.scores_table(rank, "pagerank"),

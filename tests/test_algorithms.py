@@ -328,3 +328,39 @@ def test_katz_modes_agree_and_match_recurrence():
         for _ in range(8):
             x = 1.0 + 0.05 * (A @ x)
         assert np.allclose(t_loc["katz"].values, x, atol=1e-10)
+
+
+def test_personalized_pagerank_modes_and_recurrence():
+    for name in ["test2", "test4"]:
+        cfgkw = dict(tolerance=0.0, max_supersteps=12)
+        g_loc = _graph(name, mode="local", **cfgkw)
+        srcs = [int(g_loc.node_ids[0]), int(g_loc.node_ids[2])]
+        pers = {srcs[0]: 3.0, srcs[1]: 1.0}
+        cfg = EngineConfig(tolerance=0.0, max_supersteps=12)
+        t_loc = pagerank(g_loc, cfg, personalization=pers).to_pandas() \
+            .sort_values("node")
+        g_dist = _graph(name, mode="distributed", **cfgkw)
+        t_dist = pagerank(g_dist, cfg, personalization=pers).to_pandas() \
+            .sort_values("node")
+        assert np.allclose(t_loc["pagerank"].values, t_dist["pagerank"].values,
+                           atol=1e-12)
+        assert t_loc["pagerank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+        # independent dense recurrence
+        s, d, _ = g_loc.local_arrays()
+        n = g_loc.num_vertices
+        A = np.zeros((n, n))
+        A[s, d] = 1.0
+        A[d, s] = 1.0
+        deg = A.sum(axis=1)
+        tele = np.zeros(n)
+        tele[0], tele[2] = 0.75, 0.25
+        x = tele.copy()
+        for _ in range(12):
+            x = 0.15 * tele + 0.85 * (A.T @ (x / deg))
+        assert np.allclose(t_loc["pagerank"].values, x, atol=1e-12)
+
+    # unknown personalization node raises
+    with pytest.raises(ValueError):
+        pagerank(_graph("test2", mode="local"), EngineConfig(),
+                 personalization={10**9: 1.0})
