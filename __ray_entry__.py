@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ktruss": gq.lineitem_ktruss,
         "graph_katz_fixed": gq.lineitem_katz_fixed,
         "graph_ppr_fixed": gq.lineitem_ppr_fixed,
+        "graph_assortativity": gq.lineitem_assortativity,
         "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
@@ -521,7 +522,8 @@ def _closeness_oracle_sql(k: int = 8, rounds: int = 16) -> str:
                CAST(SUM(dist) AS BIGINT) AS dist_sum,
                CAST(COALESCE(SUM(CASE WHEN dist > 0 THEN
                    CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT) END), 0)
-                   AS BIGINT) AS harmonic_micro
+                   AS BIGINT) AS harmonic_micro,
+               CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS ecc
         FROM b{rounds} GROUP BY s""")
     return "".join(parts)
 
@@ -581,6 +583,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": _ktruss_oracle_sql(),
         "graph_katz_fixed": _katz_fixed_oracle_sql(),
         "graph_ppr_fixed": _ppr_fixed_oracle_sql(),
+        "graph_assortativity": _GRAPH_EDGES_CTE + """
+            , se AS (SELECT src AS a, dst AS b FROM edges
+                     UNION ALL SELECT dst, src FROM edges)
+            SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                   CAST(SUM(da.degree) AS BIGINT) AS s_x,
+                   CAST(SUM(da.degree * da.degree) AS BIGINT) AS s_xx,
+                   CAST(SUM(da.degree * db.degree) AS BIGINT) AS s_xy
+            FROM se JOIN deg da ON da.node = se.a
+                    JOIN deg db ON db.node = se.b""",
         "doc_sha256": """
             SELECT doc_id, sha256(COALESCE(text, NULL)) AS content_sha256
             FROM documents""",

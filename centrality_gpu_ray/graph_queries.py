@@ -293,6 +293,41 @@ def lineitem_closeness(sf_dir: str, k: int = 8):
     return t.sort_by("source")
 
 
+def lineitem_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics over the directed
+    (symmetrized) edge list, exact integers in one row: ``(m2, s_x,
+    s_xx, s_xy)`` with m2 = 2·edges, s_x = Σ deg(u), s_xx = Σ deg(u)²,
+    s_xy = Σ deg(u)·deg(v). The Pearson coefficient
+    (m2·s_xy − s_x²) / (m2·s_xx − s_x²) is derivable exactly. Partial
+    sums per edge block against the broadcast degree vector; the
+    driver adds O(blocks) scalars."""
+    import ray
+
+    g = lineitem_graph(sf_dir)
+    deg = g.out_degree.astype(np.int64)
+    deg_ref = ray.put(deg)
+
+    def part(t: pa.Table, _ref=deg_ref) -> pa.Table:
+        dg = ray.get(_ref)
+        du = dg[t.column("s").to_numpy()]
+        dv = dg[t.column("d").to_numpy()]
+        return pa.table({
+            "m2": pa.array([2 * len(du)], type=pa.int64()),
+            "s_x": pa.array([int(du.sum() + dv.sum())], type=pa.int64()),
+            "s_xx": pa.array([int((du * du).sum() + (dv * dv).sum())],
+                             type=pa.int64()),
+            "s_xy": pa.array([2 * int((du * dv).sum())], type=pa.int64()),
+        })
+
+    tot = {"m2": 0, "s_x": 0, "s_xx": 0, "s_xy": 0}
+    for b in (g.edges.map_batches(part, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        for k in tot:
+            tot[k] += int(np.asarray(b.column(k)).sum())
+    return pa.table({k: pa.array([v], type=pa.int64())
+                     for k, v in tot.items()})
+
+
 def nation_betweenness(sf_dir: str):
     """Exact BC on the small customer–nation bipartite graph (conformance
     of the Brandes actor pool on real tables; nodes: nation n →

@@ -17,6 +17,8 @@ multi-source chained-rounds SQL oracle:
 - ``n_reached``  — vertices at finite distance (incl. the source)
 - ``dist_sum``   — Σ d(s, v) over reached v (closeness =
   (n_reached−1)/dist_sum, derivable exactly)
+- ``ecc``        — max finite distance (source eccentricity; the
+  sampled-diameter sketch A6 reads max/median of this column)
 - ``harmonic_micro`` — Σ_{d>0} floor(1e6/d + 0.5): micro-unit harmonic
   centrality with half-up rounding per term (identical IEEE division
   and floor on both engine and SQL sides → bit-stable)
@@ -34,20 +36,22 @@ from centrality_gpu_ray.pipelines.bfs import bfs
 from centrality_gpu_ray.pipelines.graph import Graph
 
 
-def _level_aggregates(levels: np.ndarray) -> tuple[int, int, int]:
+def _level_aggregates(levels: np.ndarray) -> tuple[int, int, int, int]:
     reached = levels >= 0
     pos = levels[levels > 0].astype(np.float64)
     harmonic = np.floor(1e6 / pos + 0.5).astype(np.int64).sum() if pos.size else 0
-    return int(reached.sum()), int(levels[reached].sum()), int(harmonic)
+    ecc = int(levels[reached].max()) if reached.any() else 0
+    return int(reached.sum()), int(levels[reached].sum()), int(harmonic), ecc
 
 
 def closeness_from_sources(graph: Graph, sources, config: EngineConfig | None = None,
                            metrics: dict | None = None) -> pa.Table:
-    """``(source, n_reached, dist_sum, harmonic_micro)`` for each source
-    (original node ids), one distributed BFS per source."""
+    """``(source, n_reached, dist_sum, harmonic_micro, ecc)`` for each
+    source (original node ids), one distributed BFS per source."""
     cfg = config or graph.config
     t0 = time.perf_counter()
-    rows = {"source": [], "n_reached": [], "dist_sum": [], "harmonic_micro": []}
+    rows = {"source": [], "n_reached": [], "dist_sum": [],
+            "harmonic_micro": [], "ecc": []}
     depths = []
     for s in sources:
         m: dict = {}
@@ -55,11 +59,11 @@ def closeness_from_sources(graph: Graph, sources, config: EngineConfig | None = 
         depths.append(m.get("depth", -1))
         if isinstance(out, pa.Table):
             levels = out.column("level").to_numpy()
-            n_reached, dist_sum, harmonic = _level_aggregates(levels)
+            n_reached, dist_sum, harmonic, ecc = _level_aggregates(levels)
         else:
             # sharded path: Dataset of (node, level, ...) — reduce to three
             # scalars via per-block partials; driver sums O(blocks) rows
-            n_reached = dist_sum = harmonic = 0
+            n_reached = dist_sum = harmonic = ecc = 0
             for b in out.map_batches(
                     lambda t: pa.table({"p": pa.array(
                         [list(_level_aggregates(t.column("level").to_numpy()))],
@@ -69,10 +73,12 @@ def closeness_from_sources(graph: Graph, sources, config: EngineConfig | None = 
                     n_reached += part[0]
                     dist_sum += part[1]
                     harmonic += part[2]
+                    ecc = max(ecc, part[3])
         rows["source"].append(int(s))
         rows["n_reached"].append(n_reached)
         rows["dist_sum"].append(dist_sum)
         rows["harmonic_micro"].append(harmonic)
+        rows["ecc"].append(ecc)
     if metrics is not None:
         metrics.update({"sec": time.perf_counter() - t0,
                         "sources": len(rows["source"]),

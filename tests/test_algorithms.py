@@ -196,6 +196,7 @@ def test_closeness_vs_brute_force_bfs():
             assert row["dist_sum"] == dvals.sum()
             expect_h = int(np.floor(1e6 / dvals[dvals > 0] + 0.5).sum())
             assert row["harmonic_micro"] == expect_h
+            assert row["ecc"] == dvals.max()
 
 
 def test_eigenvector_modes_agree_and_match_numpy():
