@@ -341,6 +341,86 @@ def _count_sharded(graph: Graph, cfg: EngineConfig, metrics: dict | None):
     return out
 
 
+def oriented_edges_ds(graph: Graph, cfg: EngineConfig):
+    """Materialized Dataset of degree-ordered oriented edges (a, b) —
+    broadcast degree vector on dense graphs, co-partitioned degree
+    lookup joins on sharded ones (no O(n) driver vector)."""
+    import ray
+
+    if not getattr(graph, "sharded", False):
+        deg_ref = ray.put(graph.out_degree)
+
+        def orient_batch(batch: pa.Table, _deg_ref=deg_ref) -> pa.Table:
+            dg = ray.get(_deg_ref)
+            s = batch.column("s").to_numpy()
+            d = batch.column("d").to_numpy()
+            a, b = _orient(s, d, dg)
+            return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+        return graph.edges.map_batches(orient_batch, batch_format="pyarrow",
+                                       batch_size=cfg.batch_size).materialize()
+
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate, hash_lookup_join
+
+    P = cfg.num_partitions
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate([t.column("s").to_numpy(),
+                            t.column("d").to_numpy()])
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    deg_ds = hash_aggregate(
+        graph.edges.map_batches(deg_partial, batch_format="pyarrow"),
+        ["v"], [("c", "sum")], num_partitions=P)
+    pairs = graph.edges.map_batches(
+        lambda t: t.select(["s", "d"]), batch_format="pyarrow")
+    with_ds = hash_lookup_join(pairs, deg_ds, "s", "v", {"c": "_deg_s"},
+                               num_partitions=P)
+    with_dd = hash_lookup_join(with_ds, deg_ds, "d", "v", {"c": "_deg_d"},
+                               num_partitions=P)
+
+    def orient_b(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy()
+        d = t.column("d").to_numpy()
+        gs = t.column("_deg_s").to_numpy()
+        gd = t.column("_deg_d").to_numpy()
+        swap = (gd < gs) | ((gd == gs) & (d < s))
+        return pa.table({"a": pa.array(np.where(swap, d, s)),
+                         "b": pa.array(np.where(swap, s, d))})
+
+    return with_dd.map_batches(orient_b, batch_format="pyarrow",
+                               batch_size=cfg.batch_size).materialize()
+
+
+def original_ids_mapper(graph: Graph):
+    """Returns f(dense_id_array) → original-id array usable inside
+    map_batches tasks: a broadcast node_ids gather on dense graphs, a
+    distributed-dictionary reader on sharded ones."""
+    import ray
+
+    if not getattr(graph, "sharded", False):
+        ids_ref = ray.put(graph.node_ids)
+
+        def to_orig(dense: np.ndarray) -> np.ndarray:
+            return ray.get(ids_ref)[dense]
+
+        return to_orig
+
+    from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+
+    meta = (graph.vdict.mins, graph.vdict.offsets, graph.vdict.block_refs)
+    reader_box: list = []
+
+    def to_orig(dense: np.ndarray) -> np.ndarray:
+        if not reader_box:
+            reader_box.append(_DictReader(meta))
+        return reader_box[0].to_original(dense.astype(np.int64))
+
+    return to_orig
+
+
 def edge_support(graph: Graph, config: EngineConfig | None = None,
                  metrics: dict | None = None):
     """Per-edge triangle support: for every canonical edge (src < dst)
@@ -353,17 +433,11 @@ def edge_support(graph: Graph, config: EngineConfig | None = None,
     (zero-support edges included); a ``pa.Table`` in local mode, a
     Dataset otherwise."""
     cfg = config or graph.config
-    if getattr(graph, "sharded", False):
-        raise NotImplementedError(
-            "edge_support is not wired for sharded-state graphs yet; the "
-            "Dataset-shaped path below needs only the sharded orientation "
-            "from _count_sharded (degree lookup joins) in place of the "
-            "broadcast degree vector")
     t0 = time.perf_counter()
-    deg = graph.out_degree
     n = graph.num_vertices
 
-    if graph.mode == "local":
+    if not getattr(graph, "sharded", False) and graph.mode == "local":
+        deg = graph.out_degree
         s, d, _ = graph.local_arrays()
         a, b = _orient(s, d, deg)
         apex, x, y = _wedges_from_adj(a, b)
@@ -390,25 +464,13 @@ def edge_support(graph: Graph, config: EngineConfig | None = None,
             "support": pa.array(support),
         })
 
-    import ray
-
     from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
                                                    hash_lookup_join,
                                                    hash_partition_apply,
                                                    hash_semi_join)
 
     P = cfg.num_partitions
-    deg_ref = ray.put(deg)
-
-    def orient_batch(batch: pa.Table, _deg_ref=deg_ref) -> pa.Table:
-        dg = ray.get(_deg_ref)
-        s = batch.column("s").to_numpy()
-        d = batch.column("d").to_numpy()
-        a, b = _orient(s, d, dg)
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
-
-    oriented = graph.edges.map_batches(orient_batch, batch_format="pyarrow",
-                                       batch_size=cfg.batch_size).materialize()
+    oriented = oriented_edges_ds(graph, cfg)
 
     def wedge_part(tbl: pa.Table) -> pa.Table:
         apex, x, y = _wedges_from_adj(
@@ -442,15 +504,14 @@ def edge_support(graph: Graph, config: EngineConfig | None = None,
                                              batch_format="pyarrow"),
                          ["key"], [("c", "sum")], num_partitions=P)
 
-    ids_ref = ray.put(graph.node_ids)
+    to_orig = original_ids_mapper(graph)
 
-    def canon_rows(batch: pa.Table, _ids_ref=ids_ref) -> pa.Table:
-        ids = ray.get(_ids_ref)
+    def canon_rows(batch: pa.Table, _to_orig=to_orig) -> pa.Table:
         s = batch.column("s").to_numpy()
         d = batch.column("d").to_numpy()
         return pa.table({"key": pa.array(_pack(s, d, n)),
-                         "src": pa.array(ids[s], type=pa.int64()),
-                         "dst": pa.array(ids[d], type=pa.int64())})
+                         "src": pa.array(_to_orig(s), type=pa.int64()),
+                         "dst": pa.array(_to_orig(d), type=pa.int64())})
 
     canon_ds = graph.edges.map_batches(canon_rows, batch_format="pyarrow",
                                        batch_size=cfg.batch_size)

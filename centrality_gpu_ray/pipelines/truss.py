@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
 from centrality_gpu_ray.pipelines.graph import Graph
-from centrality_gpu_ray.pipelines.triangles import _orient, _pack, _wedges_from_adj
+from centrality_gpu_ray.pipelines.triangles import _orient, _pack, _wedges_from_adj  # noqa: F401
 
 
 def _support_for_alive(a: np.ndarray, b: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -52,18 +52,12 @@ def ktruss(graph: Graph, k: int = 4, config: EngineConfig | None = None,
     """Returns ``(src, dst, round_removed)`` per canonical edge
     (original ids); −1 = the edge survives in the k-truss."""
     cfg = config or graph.config
-    if getattr(graph, "sharded", False):
-        raise NotImplementedError(
-            "ktruss is not wired for sharded-state graphs yet; the "
-            "Dataset-shaped round below only needs the sharded orientation "
-            "(degree lookup joins, see triangles.py::_count_sharded) in "
-            "place of the broadcast degree vector")
     t0 = time.perf_counter()
     n = graph.num_vertices
-    deg = graph.out_degree
     thresh = k - 2
 
-    if graph.mode == "local":
+    if not getattr(graph, "sharded", False) and graph.mode == "local":
+        deg = graph.out_degree
         s, d, _ = graph.local_arrays()
         a, b = _orient(s, d, deg)
         m = a.size
@@ -102,9 +96,8 @@ def _ktruss_distributed(graph: Graph, thresh: int, cfg: EngineConfig,
     wedge shuffle + one support aggregate + a filter; doomed edges are
     unioned into the result lazily. Driver work per round: two scalar
     counts."""
-    import ray
-    import ray.data
-
+    from centrality_gpu_ray.pipelines.triangles import (original_ids_mapper,
+                                                        oriented_edges_ds)
     from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
                                                    hash_lookup_join,
                                                    hash_partition_apply,
@@ -112,18 +105,9 @@ def _ktruss_distributed(graph: Graph, thresh: int, cfg: EngineConfig,
 
     n = graph.num_vertices
     P = cfg.num_partitions
-    deg_ref = ray.put(graph.out_degree)
-    ids_ref = ray.put(graph.node_ids)
+    to_orig = original_ids_mapper(graph)
 
-    def orient_batch(batch: pa.Table, _deg_ref=deg_ref) -> pa.Table:
-        dg = ray.get(_deg_ref)
-        s = batch.column("s").to_numpy()
-        d = batch.column("d").to_numpy()
-        a, b = _orient(s, d, dg)
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
-
-    cur = graph.edges.map_batches(orient_batch, batch_format="pyarrow",
-                                  batch_size=cfg.batch_size).materialize()
+    cur = oriented_edges_ds(graph, cfg)
     doomed_parts: list = []
     rounds = 0
     while rounds < cfg.max_supersteps:
@@ -198,14 +182,13 @@ def _ktruss_distributed(graph: Graph, thresh: int, cfg: EngineConfig,
     for part in doomed_parts:
         out = out.union(part)
 
-    def finish(t: pa.Table, _ids_ref=ids_ref) -> pa.Table:
-        ids = ray.get(_ids_ref)
+    def finish(t: pa.Table, _to_orig=to_orig) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
         b = t.column("b").to_numpy(zero_copy_only=False)
         lo = np.minimum(a, b)
         hi = np.maximum(a, b)
-        return pa.table({"src": pa.array(ids[lo], type=pa.int64()),
-                         "dst": pa.array(ids[hi], type=pa.int64()),
+        return pa.table({"src": pa.array(_to_orig(lo), type=pa.int64()),
+                         "dst": pa.array(_to_orig(hi), type=pa.int64()),
                          "round_removed": t.column("round_removed")})
 
     out = out.map_batches(finish, batch_format="pyarrow")

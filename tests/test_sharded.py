@@ -188,3 +188,35 @@ def test_sharded_eigenvector_matches_dense(graphs):
     assert len(merged) == dense.num_vertices
     assert np.allclose(merged["eigenvector_dense"],
                        merged["eigenvector_sharded"], atol=1e-12)
+
+
+def test_sharded_edge_support_and_ktruss_match_dense():
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.triangles import edge_support
+    from centrality_gpu_ray.pipelines.truss import ktruss
+
+    # triangle-rich ring + (i, i+2) chords (see triangles test above)
+    n = 900
+    src = list(range(n)) + list(range(n))
+    dst = [(i + 1) % n for i in range(n)] + [(i + 2) % n for i in range(n)]
+    s = np.array(src, dtype=np.int64) * 13 + 1
+    d = np.array(dst, dtype=np.int64) * 13 + 1
+    tbl = pa.table({"src": pa.array(s), "dst": pa.array(d),
+                    "weight": pa.array(np.ones(s.size, dtype=np.int64))})
+    dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
+    sharded = Graph(ray.data.from_arrow(tbl),
+                    config=EngineConfig(dense_vertex_limit=300))
+    assert sharded.sharded
+    a = (edge_support(dense).to_pandas()
+         .sort_values(["src", "dst"]).reset_index(drop=True))
+    b = (edge_support(sharded).to_pandas()
+         .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert a.equals(b)
+    assert (a["support"] > 0).any()
+
+    ta = (ktruss(dense, k=3).to_pandas()
+          .sort_values(["src", "dst"]).reset_index(drop=True))
+    tb = (ktruss(sharded, k=3).to_pandas()
+          .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert ta.equals(tb)
