@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": gq.lineitem_components,
         "graph_labelprop": gq.lineitem_labelprop,
         "graph_betweenness_nation": gq.nation_betweenness,
+        "graph_betweenness_weighted_nation": gq.nation_betweenness_weighted,
         "graph_articulation_points": gq.lineitem_articulation_points,
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,

@@ -348,3 +348,28 @@ def nation_betweenness(sf_dir: str):
 
     g = Graph(ds.map_batches(explode, batch_format="pyarrow"))
     return betweenness_centrality(g, concurrency=2)
+
+
+def nation_betweenness_weighted(sf_dir: str):
+    """Weighted exact BC on the customer–nation graph with varied
+    deterministic edge weights (c mod 3 + 1) so shortest paths actually
+    differ from hop counts — the reference's intended-but-dead weighted
+    semantics (apsp_graph.cpp:107-172). Rows-only driver check; the
+    weighted kernel is golden-tested in tests/test_weighted_bc.py."""
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+    from centrality_gpu_ray.pipelines.graph import Graph
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        c = t.column("c_custkey").to_numpy().astype(np.int64) + 1000
+        n = t.column("c_nationkey").to_numpy().astype(np.int64)
+        w = (c % 3) + 1
+        return pa.table({"src": pa.array(n), "dst": pa.array(c),
+                         "weight": pa.array(w)})
+
+    g = Graph(ds.map_batches(explode, batch_format="pyarrow"))
+    return betweenness_centrality(g, concurrency=2, weighted=True)

@@ -97,10 +97,7 @@ def katz_centrality(graph: Graph, alpha: float = 1e-4, beta: float = 1.0,
 
     cfg = config or graph.config
     if getattr(graph, "sharded", False):
-        raise NotImplementedError(
-            "katz_centrality is not wired for sharded-state graphs yet; "
-            "it is ev_step (shards.py) with a beta shift instead of "
-            "normalization")
+        return _katz_sharded(graph, alpha, beta, cfg, weighted, metrics)
     n = graph.num_vertices
     x = np.full(n, beta, dtype=np.float64)
     t0 = time.perf_counter()
@@ -134,6 +131,28 @@ def katz_centrality(graph: Graph, alpha: float = 1e-4, beta: float = 1.0,
         metrics.update({"supersteps": step, "l1_delta": delta,
                         "sec": time.perf_counter() - t0, "mode": graph.mode})
     return graph.scores_table(x, "katz")
+
+
+def _katz_sharded(graph: Graph, alpha: float, beta: float, cfg: EngineConfig,
+                  weighted: bool, metrics: dict | None):
+    """Sharded Katz: owner-resident state initialized to β, one
+    ``katz_step`` per superstep (O(P) driver scalars)."""
+    import ray
+
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    pool = graph.pool
+    pool.setup_owners_sharded(graph.num_vertices, weighted)
+    ray.get([a.owner_fill_state.remote(beta) for a in pool.actors])
+    t0 = time.perf_counter()
+    step, delta = 0, np.inf
+    while step < cfg.max_supersteps and delta > cfg.tolerance:
+        delta = pool.katz_step(alpha, beta, weighted)
+        step += 1
+    if metrics is not None:
+        metrics.update({"supersteps": step, "l1_delta": delta,
+                        "sec": time.perf_counter() - t0, "mode": "sharded"})
+    return scores_dataset(graph.vdict, pool, "katz")
 
 
 def _eigenvector_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,

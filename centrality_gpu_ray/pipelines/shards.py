@@ -341,6 +341,15 @@ def _shard_class():
             self.state = new
             return delta
 
+        def owner_affine_pending(self, alpha: float, beta: float) -> float:
+            """Phase 2 (Katz variant): commit β + α·pending as the new
+            state, return the local L1 delta (no global normalization)."""
+            new = beta + alpha * self._pending
+            self._pending = None
+            delta = float(np.abs(new - self.state).sum())
+            self.state = new
+            return delta
+
         def owner_combine_min(self, my_idx: int, *shard_outs) -> int:
             new = self.state.copy()
             for out in shard_outs:  # uniq_v unique per part
@@ -623,6 +632,24 @@ class ShardPool:
             return 0.0
         return float(sum(ray.get(
             [a.owner_scale_pending.remote(total) for a in self.actors])))
+
+    def katz_step(self, alpha: float, beta: float,
+                  weighted: bool = False) -> float:
+        """One Katz superstep x ← β + α·A·x over owner-resident state;
+        returns global L1 delta. Same two-phase exchange as ev_step
+        minus the normalization barrier's global sum."""
+        import ray
+
+        P = len(self.actors)
+        st_refs = [a.owner_get_state.remote() for a in self.actors]
+        w_full = self._assembler().remote(*st_refs)
+        outs = [a.shard_gather_sum.remote(self.bounds, weighted, w_full)
+                for a in self.actors]
+        ray.get([self.actors[p].owner_combine_accum.remote(p, *outs)
+                 for p in range(P)])
+        return float(sum(ray.get(
+            [a.owner_affine_pending.remote(alpha, beta)
+             for a in self.actors])))
 
     def cc_step(self) -> int:
         """One owner-combined min-label superstep; returns #changed."""

@@ -220,3 +220,21 @@ def test_sharded_edge_support_and_ktruss_match_dense():
     tb = (ktruss(sharded, k=3).to_pandas()
           .sort_values(["src", "dst"]).reset_index(drop=True))
     assert ta.equals(tb)
+
+
+def test_sharded_katz_matches_dense(graphs):
+    from centrality_gpu_ray.pipelines.eigenvector import katz_centrality
+
+    dense, sharded = graphs
+    a = katz_centrality(dense, alpha=0.02,
+                        config=EngineConfig(tolerance=0.0,
+                                            max_supersteps=10)).to_pandas()
+    m = {}
+    b = katz_centrality(sharded, alpha=0.02,
+                        config=EngineConfig(tolerance=0.0, max_supersteps=10,
+                                            dense_vertex_limit=500),
+                        metrics=m).to_pandas()
+    assert m["mode"] == "sharded"
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert np.allclose(merged["katz_d"], merged["katz_s"], atol=1e-10)
