@@ -135,18 +135,15 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
     ``personalization``: ``{original_node_id: weight}`` — replaces the
     uniform teleport with the normalized given vector (personalized
     PageRank); dangling mass follows the same vector. The
-    resident-owners fast path keeps its scalar teleport, so PPR runs
-    the driver-combined superstep instead (pool gather_sum or salted
-    shuffle — the teleport vector stays a driver-side dense vector)."""
+    resident-owners fast path keeps its scalar teleport, so dense PPR
+    runs the driver-combined superstep instead; sharded PPR broadcasts
+    the k-entry sparse vector to the owners (``pool.set_teleport``) and
+    keeps the dense teleport chunks owner-resident."""
     cfg = config or graph.config
     n = graph.num_vertices
     if getattr(graph, "sharded", False):
-        if personalization is not None:
-            raise NotImplementedError(
-                "personalized PageRank is not wired for sharded-state "
-                "graphs yet; ship the teleport chunks to the owners like "
-                "setup_owners_sharded ships degrees")
-        return _pagerank_sharded(graph, cfg, weighted, metrics)
+        return _pagerank_sharded(graph, cfg, weighted, metrics,
+                                 personalization)
     tele = None
     if personalization is not None:
         nodes = np.fromiter(personalization.keys(), dtype=np.int64)
@@ -234,7 +231,8 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
 
 
 def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
-                      metrics: dict | None):
+                      metrics: dict | None,
+                      personalization: dict | None = None):
     """>dense_vertex_limit path: degrees, inv_deg, rank state and the
     result all live sharded in the owner actors; the driver does O(P)
     work per superstep and never holds an O(n) vector. Returns a
@@ -249,6 +247,31 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
     n = graph.num_vertices
     pool = graph.pool
     pool.setup_owners_sharded(n, weighted)
+    ppr = personalization is not None
+    if ppr:
+        # k ≪ n personalization entries: map original → dense ids via
+        # the distributed dictionary (O(k) driver work), normalize, and
+        # broadcast the sparse vector to the owners
+        from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+
+        reader = _DictReader((graph.vdict.mins, graph.vdict.offsets,
+                              graph.vdict.block_refs))
+        nodes = np.fromiter(personalization.keys(), dtype=np.int64)
+        wts = np.fromiter((personalization[k] for k in nodes),
+                          dtype=np.float64)
+        dense = reader.to_dense(nodes)
+        ok = (dense >= 0) & (dense < n)
+        back = np.full(nodes.size, -1, dtype=np.int64)
+        if ok.any():
+            back[ok] = reader.to_original(dense[ok])
+        ok &= back == nodes
+        if not ok.all():
+            raise ValueError(
+                f"personalization nodes not in graph: {nodes[~ok][:5]}")
+        total = wts.sum()
+        if total <= 0:
+            raise ValueError("personalization weights must sum > 0")
+        pool.set_teleport(dense, wts / total)
     start_step = 0
     if cfg.checkpoint_dir is not None:
         resumed = pool.resume_owners(cfg.checkpoint_dir, "pagerank_sharded")
@@ -257,7 +280,8 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
     t0 = _time.perf_counter()
     step, delta = start_step, np.inf
     while step < cfg.max_supersteps and delta > cfg.tolerance:
-        delta = pool.pr_step(cfg.damping, weighted)
+        delta = (pool.ppr_step(cfg.damping, weighted) if ppr
+                 else pool.pr_step(cfg.damping, weighted))
         if (cfg.checkpoint_dir is not None
                 and step % cfg.checkpoint_every == 0):
             pool.checkpoint_owners(cfg.checkpoint_dir, "pagerank_sharded",

@@ -341,6 +341,32 @@ def _shard_class():
             self.state = new
             return delta
 
+        def owner_set_teleport(self, idx: np.ndarray, wts: np.ndarray) -> bool:
+            """Install this range's slice of a (sparse, normalized)
+            teleport vector and init state to it — personalized
+            PageRank. ``idx``/``wts`` are the FULL k-entry dense-id
+            personalization (k ≪ n, broadcast to every owner)."""
+            tele = np.zeros(self.hi - self.lo, dtype=np.float64)
+            sel = (idx >= self.lo) & (idx < self.hi)
+            tele[idx[sel] - self.lo] = wts[sel]
+            self.tele = tele
+            self.state = tele.copy()
+            return True
+
+        def owner_combine_ppr(self, dangling_mass: float, alpha: float,
+                              my_idx: int, *shard_outs) -> float:
+            """PPR combine: teleport/dangling mass follow the resident
+            teleport chunk instead of the uniform 1/n scalar."""
+            new = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for out in shard_outs:
+                uniq_v, sums = out[my_idx]
+                new[uniq_v - self.lo] += sums
+            new = ((1.0 - alpha) * self.tele
+                   + alpha * (new + dangling_mass * self.tele))
+            delta = float(np.abs(new - self.state).sum())
+            self.state = new
+            return delta
+
         def owner_affine_pending(self, alpha: float, beta: float) -> float:
             """Phase 2 (Katz variant): commit β + α·pending as the new
             state, return the local L1 delta (no global normalization)."""
@@ -632,6 +658,30 @@ class ShardPool:
             return 0.0
         return float(sum(ray.get(
             [a.owner_scale_pending.remote(total) for a in self.actors])))
+
+    def set_teleport(self, dense_idx: np.ndarray, wts: np.ndarray):
+        """Broadcast the k-entry personalization to every owner."""
+        import ray
+
+        ray.get([a.owner_set_teleport.remote(dense_idx, wts)
+                 for a in self.actors])
+
+    def ppr_step(self, alpha: float, weighted: bool = False) -> float:
+        """One personalized-PageRank superstep (teleport chunks resident
+        in the owners); returns global L1 delta."""
+        import ray
+
+        P = len(self.actors)
+        wm_refs = [a.owner_make_w_mass.remote() for a in self.actors]
+        w_full, mass_total = self._assembler_wm().remote(*wm_refs)
+        outs = [a.shard_gather_sum.remote(self.bounds, weighted, w_full)
+                for a in self.actors]
+        delta_refs = [
+            self.actors[p].owner_combine_ppr.remote(mass_total, alpha, p,
+                                                    *outs)
+            for p in range(P)
+        ]
+        return float(sum(ray.get(delta_refs)))
 
     def katz_step(self, alpha: float, beta: float,
                   weighted: bool = False) -> float:

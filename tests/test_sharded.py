@@ -238,3 +238,25 @@ def test_sharded_katz_matches_dense(graphs):
     merged = a.merge(b, on="node", suffixes=("_d", "_s"))
     assert len(merged) == dense.num_vertices
     assert np.allclose(merged["katz_d"], merged["katz_s"], atol=1e-10)
+
+
+def test_sharded_personalized_pagerank_matches_dense(graphs):
+    dense, sharded = graphs
+    # sources with sparse original ids (x*17+5 relabeling)
+    srcs = {5: 2.0, 5 + 17 * 600: 1.0}
+    cfg_d = EngineConfig(tolerance=1e-10, max_supersteps=200)
+    a = pagerank(dense, cfg_d, personalization=srcs).to_pandas()
+    m = {}
+    b = pagerank(sharded,
+                 EngineConfig(tolerance=1e-10, max_supersteps=200,
+                              dense_vertex_limit=500),
+                 personalization=srcs, metrics=m).to_pandas()
+    assert m["mode"] == "sharded"
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert np.allclose(merged["pagerank_d"], merged["pagerank_s"],
+                       atol=1e-12)
+    # unknown node raises on the sharded path too
+    with pytest.raises(ValueError):
+        pagerank(sharded, EngineConfig(dense_vertex_limit=500),
+                 personalization={10**9: 1.0})
