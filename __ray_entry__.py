@@ -126,6 +126,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def simhash_pairs(sf_dir):
         return dd.simhash_dedup(_docs(sf_dir), max_hamming=3)
 
+    def doc_ngram_jaccard(sf_dir):
+        """Exact word-3-gram Jaccard for consecutive-id doc pairs in
+        integer micro-units — the standalone n-gram-Jaccard dedup
+        family, value-checked against a DuckDB set-intersection oracle
+        (texts reach the pairs via hash-partitioned lookup joins,
+        never a driver broadcast)."""
+        import numpy as np
+        import pyarrow as pa
+
+        docs = _docs(sf_dir)
+
+        def mk_pairs(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            return pa.table({"a": pa.array(ids.astype(np.int64)),
+                             "b": pa.array(ids.astype(np.int64) + 1)})
+
+        pairs = docs.map_batches(mk_pairs, batch_format="pyarrow")
+        out = dd.ngram_jaccard_pairs(docs, pairs, ngram=3)
+
+        def to_micro(t: pa.Table) -> pa.Table:
+            j = t.column("jaccard").to_numpy()
+            return pa.table({
+                "a": t.column("a"), "b": t.column("b"),
+                "jaccard_micro": pa.array(
+                    np.floor(j * 1e6 + 0.5).astype(np.int64)),
+            })
+
+        return out.map_batches(to_micro, batch_format="pyarrow").sort("a")
+
     def multimodal_features(sf_dir):
         """Multimodal binary-column plumbing end-to-end: deterministic
         synthetic media table → decode stage (fake-codec path) →
@@ -190,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": lambda sf: tx.fingerprints(_docs(sf)),
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_pairs": simhash_pairs,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
         "multimodal_features": multimodal_features,
         # embeddings
         "ann_topk": ann_topk,
@@ -737,6 +767,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.node, CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles,
                    CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS wedges
             FROM deg d LEFT JOIN pv ON d.node = pv.node""",
+        "doc_ngram_jaccard": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            expl AS (
+                SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 2)) AS i
+                FROM base WHERE len(ws) >= 3
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+                FROM expl
+                UNION
+                SELECT doc_id, array_to_string(ws, ' ')
+                FROM base WHERE len(ws) BETWEEN 1 AND 2
+            ),
+            sizes AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM grams GROUP BY doc_id
+            ),
+            pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            ),
+            inter AS (
+                SELECT p.a, p.b, CAST(COUNT(*) AS BIGINT) AS c
+                FROM pairs p
+                JOIN grams ga ON ga.doc_id = p.a
+                JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+                GROUP BY p.a, p.b
+            )
+            SELECT p.a, p.b,
+                   CAST(CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                                  - COALESCE(i.c, 0) = 0 THEN 0
+                             ELSE FLOOR(COALESCE(i.c, 0) * 1000000.0
+                                  / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                                     - COALESCE(i.c, 0)) + 0.5)
+                        END AS BIGINT) AS jaccard_micro
+            FROM pairs p
+            LEFT JOIN sizes sa ON sa.doc_id = p.a
+            LEFT JOIN sizes sb ON sb.doc_id = p.b
+            LEFT JOIN inter i ON i.a = p.a AND i.b = p.b""",
         "q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
