@@ -337,18 +337,66 @@ def lsh_candidate_pairs(sig_ds, bands: int = 16, rows: int = 4,
     return hash_distinct(pairs, ["a", "b"], num_partitions=num_partitions)
 
 
+def _rows_gram_sets(texts: list, ngram: int) -> tuple[np.ndarray, np.ndarray]:
+    """(row_id, gram_hash) pairs — the DISTINCT word-``ngram``-gram set
+    of every text, fully vectorized (one pandas split + explode + one
+    shift-windowed join over the flat token array; rows with fewer than
+    ``ngram`` tokens contribute their whole-text joined gram, matching
+    :func:`_word_ngrams`). Hashes are ``pd.util.hash_array`` of the gram
+    strings — identical to the per-row kernel it replaces."""
+    s = pd.Series(texts, dtype=object).fillna("")
+    toks = s.str.split()
+    lens = toks.str.len().fillna(0).to_numpy().astype(np.int64)
+    flat = np.asarray([t for row in toks for t in (row or [])], dtype=object)
+    starts = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    # full-length rows: windows of `ngram` consecutive tokens per row
+    counts = np.maximum(lens - ngram + 1, 0) * (lens >= ngram)
+    row_of = np.repeat(np.arange(lens.size, dtype=np.int64), counts)
+    first = np.repeat(starts[:-1], counts) + _ragged_arange_u(counts)
+    if first.size:
+        gram_strs = flat[first]
+        for j in range(1, ngram):
+            gram_strs = gram_strs + " " + flat[first + j]
+    else:
+        gram_strs = np.empty(0, dtype=object)
+    # short rows (1..ngram-1 tokens): one joined gram
+    short = np.flatnonzero((lens > 0) & (lens < ngram))
+    if short.size:
+        short_strs = np.asarray([" ".join(toks.iloc[i]) for i in short],
+                                dtype=object)
+        gram_strs = np.concatenate([gram_strs, short_strs])
+        row_of = np.concatenate([row_of, short])
+    if gram_strs.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    h = pd.util.hash_array(gram_strs)
+    # distinct per row: sort by (row, hash), keep run heads
+    order = np.lexsort((h, row_of))
+    r_s, h_s = row_of[order], h[order]
+    keep = np.ones(r_s.size, dtype=bool)
+    keep[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return r_s[keep], h_s[keep]
+
+
 def _jaccard_batch(batch: pa.Table, ngram: int) -> pa.Table:
     a = batch.column("a").to_numpy()
     b = batch.column("b").to_numpy()
-    ta = batch.column("_text_a").to_pylist()
-    tb = batch.column("_text_b").to_pylist()
-    sims = np.zeros(a.size)
-    for i in range(a.size):
-        ga = _word_ngrams(ta[i] or "", ngram)
-        gb = _word_ngrams(tb[i] or "", ngram)
-        inter = np.intersect1d(ga, gb, assume_unique=True).size
-        union = ga.size + gb.size - inter
-        sims[i] = inter / union if union else 0.0
+    k = a.size
+    texts = batch.column("_text_a").to_pylist() + \
+        batch.column("_text_b").to_pylist()
+    rows, hashes = _rows_gram_sets(texts, ngram)
+    sizes = np.bincount(rows, minlength=2 * k)
+    # intersection per pair: side-a row i and side-b row k+i fold to
+    # pair id i; within a side hashes are distinct, so a (pair, hash)
+    # value appearing twice after the fold is exactly one shared gram
+    pair_of = np.where(rows < k, rows, rows - k)
+    order = np.lexsort((hashes, pair_of))
+    p_s, h_s = pair_of[order], hashes[order]
+    dup = (p_s[1:] == p_s[:-1]) & (h_s[1:] == h_s[:-1])
+    inter = np.bincount(p_s[1:][dup], minlength=k).astype(np.float64)
+    union = sizes[:k] + sizes[k:] - inter
+    sims = np.divide(inter, union, out=np.zeros(k, dtype=np.float64),
+                     where=union > 0)
     return pa.table({"a": pa.array(a), "b": pa.array(b),
                      "jaccard": pa.array(sims)})
 
