@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": gq.lineitem_pagerank,
         "graph_pagerank_fixed": gq.lineitem_pagerank_fixed,
         "graph_components": gq.lineitem_components,
+        "graph_component_sizes": gq.lineitem_component_sizes,
         "graph_labelprop": gq.lineitem_labelprop,
         "graph_betweenness_nation": gq.nation_betweenness,
         "graph_betweenness_weighted_nation": gq.nation_betweenness_weighted,
@@ -255,7 +256,7 @@ deg AS (
 """
 
 
-def _cc_oracle_sql(rounds: int = 20) -> str:
+def _cc_oracle_sql(rounds: int = 20, sizes: bool = False) -> str:
     """Min-label fixpoint as a fixed chain of (neighbor-min +
     pointer-jump) rounds. With jumping (lab ← lab[lab]) label distances
     contract geometrically, so ``rounds=20`` covers any component the
@@ -281,7 +282,13 @@ def _cc_oracle_sql(rounds: int = 20) -> str:
                      FROM l{i} l
                      LEFT JOIN n{i} n USING (node)
                      LEFT JOIN j{i} j USING (node))""")
-    parts.append(f"""
+    if sizes:
+        parts.append(f"""
+        SELECT CAST(lab AS BIGINT) AS component,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM l{rounds} GROUP BY lab""")
+    else:
+        parts.append(f"""
         SELECT node, CAST(lab AS BIGINT) AS component FROM l{rounds}""")
     return "".join(parts)
 
@@ -604,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, degree FROM deg
             ORDER BY degree DESC, node LIMIT 20""",
         "graph_components": _cc_oracle_sql(),
+        "graph_component_sizes": _cc_oracle_sql(sizes=True),
         "graph_pagerank_fixed": _pr_fixed_oracle_sql(),
         "graph_pagerank_weighted_fixed": _pr_fixed_oracle_sql(weighted=True),
         "graph_labelprop": _lp_oracle_sql(),

@@ -247,6 +247,23 @@ def lineitem_components(sf_dir: str):
     return connected_components(lineitem_graph(sf_dir))
 
 
+def lineitem_component_sizes(sf_dir: str):
+    """(component, size) — the component-size histogram (reference A3)
+    as a value-checked query: exact-integer group counts over the CC
+    labels."""
+    from centrality_gpu_ray.pipelines.components import connected_components
+
+    import pyarrow.compute as pc
+
+    t = connected_components(lineitem_graph(sf_dir))
+    g = (pa.table({"component": t.column("component")})
+         .group_by("component").aggregate([([], "count_all")]))
+    return pa.table({
+        "component": g["component"],
+        "size": pc.cast(g["count_all"], pa.int64()),
+    }).sort_by("component")
+
+
 def lineitem_labelprop(sf_dir: str):
     from centrality_gpu_ray.pipelines.labelprop import label_propagation
 
