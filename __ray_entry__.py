@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,
         "graph_closeness": gq.lineitem_closeness,
+        "graph_closeness_weighted": gq.lineitem_closeness_weighted,
         "graph_eigenvector_fixed": gq.lineitem_eigenvector_fixed,
         "graph_edge_support": gq.lineitem_edge_support,
         "graph_ktruss": gq.lineitem_ktruss,
@@ -526,17 +527,20 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 20) -> str:
     return "".join(parts)
 
 
-def _closeness_oracle_sql(k: int = 8, rounds: int = 16) -> str:
-    """Multi-source unweighted BFS (sources = top-k degree, ties →
-    smaller id) as chained materialized rounds carrying a source
-    column, then per-source integer aggregates. ``rounds`` bounds
-    source eccentricity — hubs of the co-occurrence graph sit near the
-    center (depth ≲ 10 at test scales; converged state is stable under
-    extra rounds). harmonic term floor(1e6/d + 0.5) matches the
-    engine's half-up micro-rounding bit-exactly (same IEEE division)."""
+def _closeness_oracle_sql(k: int = 8, rounds: int = 16,
+                          weighted: bool = False) -> str:
+    """Multi-source BFS (or min-plus Bellman-Ford with ``weighted``)
+    from the top-k-degree sources as chained materialized rounds
+    carrying a source column, then per-source integer aggregates.
+    ``rounds`` bounds source eccentricity (weighted: relaxation hops) —
+    hubs sit near the center (≲ 10 at test scales; a converged state
+    is stable under extra rounds). harmonic term floor(1e6/d + 0.5)
+    matches the engine's half-up micro-rounding bit-exactly."""
+    step = "l.dist + se.w" if weighted else "l.dist + 1"
     parts = [_GRAPH_EDGES_CTE, f"""
-        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
-                 UNION ALL SELECT dst, src FROM edges),
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b, weight AS w
+                 FROM edges
+                 UNION ALL SELECT dst, src, weight FROM edges),
         srcs AS MATERIALIZED (
             SELECT node AS s FROM deg
             ORDER BY degree DESC, node LIMIT {k}),
@@ -547,7 +551,7 @@ def _closeness_oracle_sql(k: int = 8, rounds: int = 16) -> str:
     for i in range(rounds):
         parts.append(f""",
         f{i} AS MATERIALIZED (
-            SELECT l.s, se.b AS node, MIN(l.dist + 1) AS nd
+            SELECT l.s, se.b AS node, MIN({step}) AS nd
             FROM se JOIN b{i} l ON l.node = se.a
             WHERE l.dist IS NOT NULL GROUP BY l.s, se.b),
         b{i + 1} AS MATERIALIZED (
@@ -618,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),
         "graph_closeness": _closeness_oracle_sql(),
+        "graph_closeness_weighted": _closeness_oracle_sql(weighted=True),
         "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
         "graph_ktruss": _ktruss_oracle_sql(),
         "graph_katz_fixed": _katz_fixed_oracle_sql(),

@@ -345,6 +345,18 @@ def lineitem_assortativity(sf_dir: str):
                      for k, v in tot.items()})
 
 
+def lineitem_closeness_weighted(sf_dir: str, k: int = 8):
+    """Weighted sampled closeness: min-plus SSSP from each of the k
+    top-degree vertices over co-occurrence-count edge weights —
+    exact-integer distance aggregates per source."""
+    from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
+
+    top = lineitem_top_degree(sf_dir, k=k).to_pandas()
+    g = lineitem_graph(sf_dir)
+    t = closeness_from_sources(g, top["node"].tolist(), weighted=True)
+    return t.sort_by("source")
+
+
 def nation_betweenness(sf_dir: str):
     """Exact BC on the small customer–nation bipartite graph (conformance
     of the Brandes actor pool on real tables; nodes: nation n →

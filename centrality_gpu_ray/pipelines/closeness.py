@@ -45,28 +45,38 @@ def _level_aggregates(levels: np.ndarray) -> tuple[int, int, int, int]:
 
 
 def closeness_from_sources(graph: Graph, sources, config: EngineConfig | None = None,
-                           metrics: dict | None = None) -> pa.Table:
+                           metrics: dict | None = None,
+                           weighted: bool = False) -> pa.Table:
     """``(source, n_reached, dist_sum, harmonic_micro, ecc)`` for each
-    source (original node ids), one distributed BFS per source."""
+    source (original node ids), one distributed traversal per source —
+    unit-distance BFS by default, min-plus SSSP (``pipelines/sssp.py``)
+    with ``weighted=True`` (integer edge weights → exact integer
+    distance aggregates either way)."""
+    from centrality_gpu_ray.pipelines.sssp import sssp
+
     cfg = config or graph.config
+    col = "distance" if weighted else "level"
     t0 = time.perf_counter()
     rows = {"source": [], "n_reached": [], "dist_sum": [],
             "harmonic_micro": [], "ecc": []}
     depths = []
     for s in sources:
         m: dict = {}
-        out = bfs(graph, int(s), config=cfg, metrics=m)
-        depths.append(m.get("depth", -1))
+        if weighted:
+            out = sssp(graph, int(s), config=cfg, metrics=m)
+        else:
+            out = bfs(graph, int(s), config=cfg, metrics=m)
+        depths.append(m.get("depth", m.get("supersteps", -1)))
         if isinstance(out, pa.Table):
-            levels = out.column("level").to_numpy()
+            levels = out.column(col).to_numpy()
             n_reached, dist_sum, harmonic, ecc = _level_aggregates(levels)
         else:
             # sharded path: Dataset of (node, level, ...) — reduce to three
             # scalars via per-block partials; driver sums O(blocks) rows
             n_reached = dist_sum = harmonic = ecc = 0
             for b in out.map_batches(
-                    lambda t: pa.table({"p": pa.array(
-                        [list(_level_aggregates(t.column("level").to_numpy()))],
+                    lambda t, _c=col: pa.table({"p": pa.array(
+                        [list(_level_aggregates(t.column(_c).to_numpy()))],
                         type=pa.list_(pa.int64()))}),
                     batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
                 for part in b.column("p").to_pylist():

@@ -365,3 +365,34 @@ def test_personalized_pagerank_modes_and_recurrence():
     with pytest.raises(ValueError):
         pagerank(_graph("test2", mode="local"), EngineConfig(),
                  personalization={10**9: 1.0})
+
+
+def test_weighted_closeness_vs_bellman_ford():
+    from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
+
+    g = _graph("test4")
+    s, d, w = g.local_arrays()
+    n = g.num_vertices
+    INF = 10**15
+    # dense Bellman-Ford per source over the symmetrized weighted edges
+    sources = [int(x) for x in g.node_ids]
+    got = (closeness_from_sources(g, sources, weighted=True)
+           .to_pandas().set_index("source"))
+    for si in range(n):
+        dist = np.full(n, INF, dtype=np.int64)
+        dist[si] = 0
+        for _ in range(n):
+            nd = dist.copy()
+            np.minimum.at(nd, d, dist[s] + w)
+            np.minimum.at(nd, s, dist[d] + w)
+            if (nd == dist).all():
+                break
+            dist = nd
+        reach = dist < INF
+        row = got.loc[int(g.node_ids[si])]
+        assert row["n_reached"] == int(reach.sum())
+        assert row["dist_sum"] == int(dist[reach].sum())
+        assert row["ecc"] == int(dist[reach].max())
+        pos = dist[(dist > 0) & reach].astype(np.float64)
+        assert row["harmonic_micro"] == int(
+            np.floor(1e6 / pos + 0.5).sum()) if pos.size else True
