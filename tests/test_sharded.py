@@ -260,3 +260,21 @@ def test_sharded_personalized_pagerank_matches_dense(graphs):
     with pytest.raises(ValueError):
         pagerank(sharded, EngineConfig(dense_vertex_limit=500),
                  personalization={10**9: 1.0})
+
+
+def test_sharded_closeness_matches_dense(graphs):
+    from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
+
+    dense, sharded = graphs
+    srcs = [5, 5 + 17 * 300, 5000 * 17 + 5]  # two ring vertices + chain head
+    for weighted in (False, True):
+        a = closeness_from_sources(dense, srcs, weighted=weighted).to_pandas()
+        b = closeness_from_sources(
+            sharded, srcs,
+            config=EngineConfig(dense_vertex_limit=500),
+            weighted=weighted).to_pandas()
+        assert a.equals(b), weighted
+        # the chain component has 11 vertices; ring+chords reach 1200
+        byn = a.set_index("source")["n_reached"]
+        assert byn[5000 * 17 + 5] == 11
+        assert byn[5] == 1200
