@@ -85,7 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def doc_token_stats(sf_dir):
         return tx.token_stats(_docs(sf_dir)).select_columns(
-            ["doc_id", "n_chars", "n_tokens"])
+            ["doc_id", "n_chars", "n_tokens", "n_bpeish_tokens"])
 
     def doc_lang_counts(sf_dir):
         import ray.data
@@ -942,7 +942,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
                    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
                         ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+'))
-                        END AS BIGINT) AS n_tokens
+                        END AS BIGINT) AS n_tokens,
+                   CAST(LEN(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
+                        AS BIGINT) AS n_bpeish_tokens
             FROM documents""",
         "doc_lang_counts": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
