@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness_nation": gq.nation_betweenness,
         "graph_betweenness_weighted_nation": gq.nation_betweenness_weighted,
         "graph_articulation_points": gq.lineitem_articulation_points,
+        "graph_bridges": gq.lineitem_bridges,
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,
         "graph_closeness": gq.lineitem_closeness,

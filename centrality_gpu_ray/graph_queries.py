@@ -290,6 +290,16 @@ def lineitem_kcore(sf_dir: str, k: int = 3):
     return table
 
 
+def lineitem_bridges(sf_dir: str):
+    """(src, dst, is_bridge) — reference's per-edge bridges annotation
+    (graph_ear_decompos.h:46-50) as a query. Rows-only (bridge-finding
+    is not SQL territory); golden-tested in tests/test_bicc.py."""
+    from centrality_gpu_ray.pipelines.bicc import bridges
+
+    return bridges(lineitem_graph(sf_dir)).sort_by(
+        [("src", "ascending"), ("dst", "ascending")])
+
+
 def lineitem_articulation_points(sf_dir: str):
     """(node, is_articulation) over the part–supplier–order graph —
     the reference's BiCC capability (bicc.cpp:81-161) as a query."""

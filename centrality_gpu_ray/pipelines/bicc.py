@@ -241,6 +241,23 @@ def biconnected(graph: Graph, config: EngineConfig | None = None,
     return out
 
 
+def bridges(graph: Graph, config: EngineConfig | None = None,
+            metrics: dict | None = None) -> pa.Table:
+    """``(src, dst, is_bridge)`` per canonical edge — a bridge is an
+    edge alone in its biconnected component (reference keeps the same
+    per-edge ``bridges[m]`` annotation, ``graph_ear_decompos.h:46-50``).
+    Derived from :func:`bcc_labels` by a label-frequency count."""
+    t = bcc_labels(graph, config, metrics)
+    lab = t.column("bcc").to_numpy()
+    uniq, inv = np.unique(lab, return_inverse=True)
+    counts = np.bincount(inv)
+    return pa.table({
+        "src": t.column("src"),
+        "dst": t.column("dst"),
+        "is_bridge": pa.array(counts[inv] == 1),
+    })
+
+
 def articulation_points(graph: Graph, config: EngineConfig | None = None,
                         metrics: dict | None = None) -> pa.Table:
     """Returns ``(node, is_articulation)`` for every vertex (original

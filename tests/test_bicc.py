@@ -189,3 +189,42 @@ def test_bcc_partition_vs_tarjan():
                for _, grp in out.groupby("bcc")}
         want = tarjan_bccs(nodes, edges)
         assert got == want, (trial, len(got), len(want))
+
+
+def test_bridges_vs_brute_force():
+    from centrality_gpu_ray.pipelines.bicc import bridges
+
+    for name in ["test1", "test2", "test4", "test5"]:
+        g = Graph(fixture_dataset(name))
+        t = bridges(g).to_pandas()
+        s, d, _ = g.local_arrays()
+        ids = g.node_ids
+        edges = list(zip(ids[s], ids[d]))
+
+        def n_reachable(adj, start):
+            seen = {start}
+            stack = [start]
+            while stack:
+                u = stack.pop()
+                for w in adj.get(u, ()):
+                    if w not in seen:
+                        seen.add(w)
+                        stack.append(w)
+            return seen
+
+        def build_adj(skip):
+            adj = {}
+            for e in edges:
+                if e == skip:
+                    continue
+                adj.setdefault(e[0], set()).add(e[1])
+                adj.setdefault(e[1], set()).add(e[0])
+            return adj
+
+        base_adj = build_adj(None)
+        for row in t.itertuples():
+            e = (row.src, row.dst)
+            before = n_reachable(base_adj, row.src)
+            after = n_reachable(build_adj(e), row.src)
+            expect = len(after) < len(before)
+            assert bool(row.is_bridge) == expect, (name, e)
