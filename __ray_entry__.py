@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_closeness": gq.lineitem_closeness,
         "graph_closeness_weighted": gq.lineitem_closeness_weighted,
         "graph_eigenvector_fixed": gq.lineitem_eigenvector_fixed,
+        "graph_eigenvector_weighted_fixed":
+            lambda sf: gq.lineitem_eigenvector_fixed(sf, weighted=True),
         "graph_edge_support": gq.lineitem_edge_support,
         "graph_ktruss": gq.lineitem_ktruss,
         "graph_katz_fixed": gq.lineitem_katz_fixed,
@@ -336,21 +338,26 @@ def _pr_fixed_oracle_sql(supersteps: int = 12, alpha: float = 0.85,
     return "".join(parts)
 
 
-def _eigen_fixed_oracle_sql(supersteps: int = 12) -> str:
+def _eigen_fixed_oracle_sql(supersteps: int = 12,
+                            weighted: bool = False) -> str:
     """Power iteration for exactly ``supersteps`` rounds (uniform init,
     L1 normalization each round), emitted as floor(x*1e9+0.5)
     nano-units. Summation-order float noise is ~1e-16 relative on
-    values ~1e-4, far below the 0.5-nano rounding boundary."""
+    values ~1e-4, far below the 0.5-nano rounding boundary.
+    ``weighted`` multiplies each message by the co-occurrence weight."""
+    term = "SUM(l.x * se.w)" if weighted else "SUM(l.x)"
     parts = [_GRAPH_EDGES_CTE, """
-        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
-                 UNION ALL SELECT dst, src FROM edges),
+        , se AS MATERIALIZED (
+            SELECT src AS a, dst AS b, CAST(weight AS DOUBLE) AS w
+            FROM edges
+            UNION ALL SELECT dst, src, CAST(weight AS DOUBLE) FROM edges),
         nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
         x0 AS MATERIALIZED (
             SELECT node, 1.0 / (SELECT n FROM nv) AS x FROM deg)"""]
     for i in range(supersteps):
         parts.append(f""",
         g{i} AS MATERIALIZED (
-            SELECT se.b AS node, SUM(l.x) AS gx
+            SELECT se.b AS node, {term} AS gx
             FROM se JOIN x{i} l ON l.node = se.a GROUP BY se.b),
         t{i} AS MATERIALIZED (SELECT SUM(gx) AS s FROM g{i}),
         x{i + 1} AS MATERIALIZED (
@@ -625,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": _closeness_oracle_sql(),
         "graph_closeness_weighted": _closeness_oracle_sql(weighted=True),
         "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
+        "graph_eigenvector_weighted_fixed": _eigen_fixed_oracle_sql(weighted=True),
         "graph_ktruss": _ktruss_oracle_sql(),
         "graph_katz_fixed": _katz_fixed_oracle_sql(),
         "graph_ppr_fixed": _ppr_fixed_oracle_sql(),

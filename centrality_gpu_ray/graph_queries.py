@@ -202,15 +202,17 @@ def lineitem_pagerank_weighted_fixed(sf_dir: str, supersteps: int = 12):
     })
 
 
-def lineitem_eigenvector_fixed(sf_dir: str, supersteps: int = 12):
+def lineitem_eigenvector_fixed(sf_dir: str, supersteps: int = 12,
+                               weighted: bool = False):
     """Eigenvector centrality (L1-normalized power iteration) for
     exactly ``supersteps`` rounds, integer nano-units — SQL-checkable
-    like the fixed PageRank variants."""
+    like the fixed PageRank variants. ``weighted`` uses the
+    co-occurrence-count edge weights in the gather."""
     from centrality_gpu_ray.pipelines.eigenvector import eigenvector_centrality
 
     g = lineitem_graph(sf_dir)
     cfg = EngineConfig(tolerance=0.0, max_supersteps=supersteps)
-    t = eigenvector_centrality(g, cfg)
+    t = eigenvector_centrality(g, cfg, weighted=weighted)
     ev = t.column("eigenvector").to_numpy()
     return pa.table({
         "node": t.column("node"),

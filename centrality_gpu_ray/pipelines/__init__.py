@@ -2,11 +2,15 @@ from centrality_gpu_ray.pipelines.graph import Graph
 from centrality_gpu_ray.pipelines.pagerank import pagerank
 from centrality_gpu_ray.pipelines.components import connected_components
 from centrality_gpu_ray.pipelines.labelprop import label_propagation
-from centrality_gpu_ray.pipelines.triangles import triangle_counts
+from centrality_gpu_ray.pipelines.triangles import (edge_support,
+                                                    triangle_counts)
+from centrality_gpu_ray.pipelines.truss import ktruss
 from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
-from centrality_gpu_ray.pipelines.bicc import articulation_points, bcc_labels
+from centrality_gpu_ray.pipelines.bicc import (articulation_points,
+                                               bcc_labels, bridges)
 from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
-from centrality_gpu_ray.pipelines.eigenvector import eigenvector_centrality
+from centrality_gpu_ray.pipelines.eigenvector import (eigenvector_centrality,
+                                                      katz_centrality)
 
 __all__ = [
     "Graph",
@@ -14,9 +18,13 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_counts",
+    "edge_support",
+    "ktruss",
     "betweenness_centrality",
     "articulation_points",
     "bcc_labels",
+    "bridges",
     "closeness_from_sources",
     "eigenvector_centrality",
+    "katz_centrality",
 ]
