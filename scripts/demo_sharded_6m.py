@@ -1,5 +1,6 @@
 """Sharded-state demo at real scale: PageRank + connected components
-on a synthetic 6M-vertex graph — past ``dense_vertex_limit`` (5M), so
++ eigenvector centrality + personalized PageRank on a synthetic
+6M-vertex graph — past ``dense_vertex_limit`` (5M), so
 the vertex dictionary, per-vertex state, and results all stay
 distributed (no driver O(n) vector anywhere; see
 ``pipelines/vertexdict.py``).
@@ -40,6 +41,7 @@ def main():
 
     from centrality_gpu_ray.config import EngineConfig
     from centrality_gpu_ray.pipelines import (Graph, connected_components,
+                                              eigenvector_centrality,
                                               pagerank)
 
     @ray.remote
@@ -84,6 +86,21 @@ def main():
             batch_size=None, batch_format="pyarrow")])))
     cc_sec = time.perf_counter() - t0
 
+    m_ev: dict = {}
+    t0 = time.perf_counter()
+    ev = eigenvector_centrality(
+        g, EngineConfig(tolerance=0.0, max_supersteps=8), metrics=m_ev)
+    n_ev = ev.count()
+    ev_sec = time.perf_counter() - t0
+
+    m_ppr: dict = {}
+    t0 = time.perf_counter()
+    ppr = pagerank(g, EngineConfig(tolerance=1e-8, max_supersteps=60),
+                   metrics=m_ppr,
+                   personalization={5: 1.0, (N // 2) * 13 + 5: 1.0})
+    n_ppr = ppr.count()
+    ppr_sec = time.perf_counter() - t0
+
     print(json.dumps({
         "num_vertices": g.num_vertices,
         "num_edges": g.num_edges,
@@ -96,6 +113,12 @@ def main():
         "components": {"sec": round(cc_sec, 2),
                        "supersteps": m_cc.get("supersteps"),
                        "num_components": n_comp},
+        "eigenvector": {"sec": round(ev_sec, 2),
+                        "supersteps": m_ev.get("supersteps"),
+                        "result_rows": n_ev},
+        "personalized_pagerank": {"sec": round(ppr_sec, 2),
+                                  "supersteps": m_ppr.get("supersteps"),
+                                  "result_rows": n_ppr},
     }))
     ray.shutdown()
 
