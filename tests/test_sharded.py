@@ -278,3 +278,25 @@ def test_sharded_closeness_matches_dense(graphs):
         byn = a.set_index("source")["n_reached"]
         assert byn[5000 * 17 + 5] == 11
         assert byn[5] == 1200
+
+
+def test_sharded_weighted_eigenvector_and_katz_match_dense(graphs):
+    from centrality_gpu_ray.pipelines.eigenvector import (
+        eigenvector_centrality, katz_centrality)
+
+    dense, sharded = graphs
+    cfg_d = EngineConfig(tolerance=0.0, max_supersteps=8)
+    cfg_s = EngineConfig(tolerance=0.0, max_supersteps=8,
+                         dense_vertex_limit=500)
+    a = eigenvector_centrality(dense, cfg_d, weighted=True).to_pandas()
+    b = eigenvector_centrality(sharded, cfg_s, weighted=True).to_pandas()
+    m = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(m) == dense.num_vertices
+    assert np.allclose(m["eigenvector_d"], m["eigenvector_s"], atol=1e-12)
+
+    ka = katz_centrality(dense, alpha=0.01, config=cfg_d,
+                         weighted=True).to_pandas()
+    kb = katz_centrality(sharded, alpha=0.01, config=cfg_s,
+                         weighted=True).to_pandas()
+    km = ka.merge(kb, on="node", suffixes=("_d", "_s"))
+    assert np.allclose(km["katz_d"], km["katz_s"], atol=1e-10)
