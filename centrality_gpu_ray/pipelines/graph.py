@@ -179,15 +179,17 @@ class Graph:
         return self._strength
 
     def require_dense(self, op: str) -> None:
-        """Loud guard for operators whose sharded-state form is not
-        wired yet (PageRank and connected components are; see
-        ``pipelines/vertexdict.py``)."""
+        """Loud guard for the two operators whose sharded-state form is
+        not wired yet (exact Brandes BC and BiCC — both need a resident
+        whole-graph CSR per task; everything else, incl. PageRank/CC/
+        LP/SSSP/BFS/triangles/eigenvector/Katz/PPR/k-core/k-truss/
+        closeness, runs sharded — see ``pipelines/vertexdict.py``)."""
         if getattr(self, "sharded", False):
             raise NotImplementedError(
                 f"{op} is not wired for the sharded-state (> "
                 f"dense_vertex_limit={self.config.dense_vertex_limit}) "
-                "path yet; PageRank and connected_components are. Raise "
-                "config.dense_vertex_limit if the driver has RAM.")
+                "path yet (it needs a whole-graph CSR per worker). "
+                "Raise config.dense_vertex_limit if the driver has RAM.")
 
     def dense_index(self, nodes: np.ndarray) -> np.ndarray | None:
         """Original node ids → dense 0..n-1 indices, or None if any id is

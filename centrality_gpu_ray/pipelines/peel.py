@@ -30,7 +30,8 @@ def peel(graph: Graph, k: int = 2, max_rounds: int | None = None):
     """
     import ray
 
-    graph.require_dense("peel")
+    if getattr(graph, "sharded", False):
+        return _peel_sharded(graph, k, max_rounds)
     n = graph.num_vertices
     removed_round = np.full(n, -1, dtype=np.int64)
     s, d, _ = graph.local_arrays() if graph.mode == "local" else (None, None, None)
@@ -110,6 +111,109 @@ def _peel_distributed(graph: Graph, k: int, max_rounds: int | None):
         "dst": pa.array(graph.node_ids[core.column("d").to_numpy()]
                         if core.num_rows else np.empty(0, np.int64)),
     })
+    return table, core_edges
+
+
+def _peel_sharded(graph: Graph, k: int, max_rounds: int | None):
+    """>dense_vertex_limit peel: fully Dataset-shaped rounds — one
+    degree hash-aggregate + two doomed-set lookup joins per round, no
+    O(n) driver vector. The vertex dictionary is built from edges, so
+    there are no isolated vertices to special-case. Returns
+    ``(Dataset(node, round_removed), Dataset(src, dst))`` in original
+    ids (−1 = survives in the k-core)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.graph import _degree_partial
+    from centrality_gpu_ray.pipelines.triangles import original_ids_mapper
+    from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_lookup_join)
+
+    P = graph.config.num_partitions
+    edges = graph.edges.map_batches(lambda t: t.select(["s", "d"]),
+                                    batch_format="pyarrow").materialize()
+    doomed_parts: list = []
+    rnd = 0
+    while max_rounds is None or rnd < max_rounds:
+        deg_ds = hash_aggregate(
+            edges.map_batches(_degree_partial, batch_format="pyarrow"),
+            ["v"], [("c", "sum")], num_partitions=P)
+        doomed = deg_ds.map_batches(
+            lambda t: t.filter(pc.less(t.column("c"), k)).select(["v"]),
+            batch_format="pyarrow").materialize()
+        if doomed.count() == 0:
+            break
+        r = rnd
+
+        def tag(t: pa.Table, _r=r) -> pa.Table:
+            return pa.table({"v": t.column("v"), "round_removed": pa.array(
+                np.full(t.num_rows, _r, dtype=np.int64))})
+
+        doomed_parts.append(doomed.map_batches(
+            tag, batch_format="pyarrow").materialize())
+        doomed_m = doomed.map_batches(
+            lambda t: t.append_column("m", pa.array(
+                np.ones(t.num_rows, dtype=np.int64))),
+            batch_format="pyarrow").materialize()
+        with_s = hash_lookup_join(edges, doomed_m, "s", "v",
+                                  {"m": "_doom_s"}, num_partitions=P,
+                                  outer_fill={"_doom_s": 0})
+        with_sd = hash_lookup_join(with_s, doomed_m, "d", "v",
+                                   {"m": "_doom_d"}, num_partitions=P,
+                                   outer_fill={"_doom_d": 0})
+        edges = with_sd.map_batches(
+            lambda t: t.filter(pc.and_(
+                pc.equal(t.column("_doom_s"), 0),
+                pc.equal(t.column("_doom_d"), 0))).select(["s", "d"]),
+            batch_format="pyarrow").materialize()
+        rnd += 1
+
+    vd = graph.vdict
+    dict_meta = (vd.mins, vd.offsets, vd.block_refs)
+    offsets = vd.offsets
+
+    @ray.remote
+    def block_vertices(bidx: int, meta, lo: int, hi: int):
+        reader = _DictReader(meta)
+        dense = np.arange(lo, hi, dtype=np.int64)
+        return pa.table({"v": pa.array(dense),
+                         "node": pa.array(reader.to_original(dense))})
+
+    allv = ray.data.from_arrow_refs(
+        [block_vertices.remote(b, dict_meta, int(offsets[b]),
+                               int(offsets[b + 1]))
+         for b in range(len(vd.block_refs))])
+    doomed_all = doomed_parts[0] if doomed_parts else None
+    for part in (doomed_parts[1:] if doomed_parts else []):
+        doomed_all = doomed_all.union(part)
+    if doomed_all is None:
+        table = allv.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "round_removed": pa.array(np.full(
+                                    t.num_rows, -1, dtype=np.int64))}),
+            batch_format="pyarrow")
+    else:
+        table = hash_lookup_join(allv, doomed_all, "v", "v",
+                                 {"round_removed": "round_removed"},
+                                 num_partitions=P,
+                                 outer_fill={"round_removed": -1})
+        table = table.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "round_removed": t.column("round_removed")
+                                .cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    to_orig = original_ids_mapper(graph)
+
+    def finish_edges(t: pa.Table, _to_orig=to_orig) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(_to_orig(s), type=pa.int64()),
+                         "dst": pa.array(_to_orig(d), type=pa.int64())})
+
+    core_edges = edges.map_batches(finish_edges, batch_format="pyarrow")
     return table, core_edges
 
 

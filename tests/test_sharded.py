@@ -300,3 +300,20 @@ def test_sharded_weighted_eigenvector_and_katz_match_dense(graphs):
                          weighted=True).to_pandas()
     km = ka.merge(kb, on="node", suffixes=("_d", "_s"))
     assert np.allclose(km["katz_d"], km["katz_s"], atol=1e-10)
+
+
+def test_sharded_peel_matches_dense(graphs):
+    from centrality_gpu_ray.pipelines.peel import peel
+
+    dense, sharded = graphs
+    for k in (2, 3):
+        ta, ea = peel(dense, k=k)
+        tb_ds, eb_ds = peel(sharded, k=k)
+        a = (ta.to_pandas().sort_values("node").reset_index(drop=True))
+        b = (tb_ds.to_pandas().sort_values("node").reset_index(drop=True))
+        assert a.equals(b), k
+        eaa = (ea.to_pandas().sort_values(["src", "dst"])
+               .reset_index(drop=True))
+        ebb = (eb_ds.to_pandas().sort_values(["src", "dst"])
+               .reset_index(drop=True))
+        assert eaa.equals(ebb), k
