@@ -216,7 +216,9 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     import ray.data
 
     cfg = config or graph.config
-    graph.require_dense("betweenness_centrality")
+    if getattr(graph, "sharded", False):
+        return _betweenness_sampled_sharded(graph, cfg, max_sources,
+                                            weighted, metrics)
     t0 = time.perf_counter()
     n = graph.num_vertices
     s, d, w = graph.local_arrays()
@@ -269,3 +271,48 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
         "node": pa.array(graph.node_ids, type=pa.int64()),
         "bc": pa.array(bc),
     })
+
+
+def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
+                                 max_sources: int | None, weighted: bool,
+                                 metrics: dict | None):
+    """>dense_vertex_limit BC, SAMPLED sources only: per source a
+    level-synchronous forward pass (path counts) + backward dependency
+    passes over owner-resident level/sigma/delta vectors
+    (``shards.py::brandes_source_pass``) — O(P) driver work per
+    superstep, never an O(n) vector. Exact all-sources BC stays
+    dense-only: its per-worker cache-resident CSR is the whole point of
+    that path, and k ≪ n sampling is the only formulation that scales
+    past it."""
+    import time as _time
+
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    if weighted:
+        raise NotImplementedError(
+            "weighted BC is not wired for sharded-state graphs yet "
+            "(needs distance-bucketed forward passes, "
+            "_single_source_dependencies_weighted, over owner state)")
+    if max_sources is None:
+        raise NotImplementedError(
+            "exact all-sources BC on a sharded-state graph is "
+            "infeasible by design (n BFS passes over the exchange); "
+            "pass max_sources=k for sampled BC, or raise "
+            "config.dense_vertex_limit for the CSR path")
+    t0 = _time.perf_counter()
+    pool = graph.pool
+    pool.setup_owners_sharded(graph.num_vertices)
+    pool.brandes_init()
+    k = min(max_sources, graph.num_vertices)
+    depths = []
+    for src in range(k):
+        depths.append(pool.brandes_source_pass(src))
+    pool.brandes_commit()
+    elapsed = _time.perf_counter() - t0
+    if metrics is not None:
+        metrics.update({
+            "sec": elapsed, "sources": k,
+            "sources_per_sec": k / max(elapsed, 1e-9),
+            "max_depth": max(depths, default=0), "mode": "sharded",
+        })
+    return scores_dataset(graph.vdict, pool, "bc")

@@ -179,11 +179,13 @@ class Graph:
         return self._strength
 
     def require_dense(self, op: str) -> None:
-        """Loud guard for the two operators whose sharded-state form is
-        not wired yet (exact Brandes BC and BiCC — both need a resident
-        whole-graph CSR per task; everything else, incl. PageRank/CC/
-        LP/SSSP/BFS/triangles/eigenvector/Katz/PPR/k-core/k-truss/
-        closeness, runs sharded — see ``pipelines/vertexdict.py``)."""
+        """Loud guard for the one operator family whose sharded-state
+        form is not wired yet (BiCC/articulation — needs whole-forest
+        gluing; exact all-sources BC is dense-only BY DESIGN, but
+        sampled BC runs sharded via ``shards.py::brandes_source_pass``;
+        everything else — PageRank/CC/LP/SSSP/BFS/triangles/
+        eigenvector/Katz/PPR/k-core/k-truss/closeness — runs sharded,
+        see ``pipelines/vertexdict.py``)."""
         if getattr(self, "sharded", False):
             raise NotImplementedError(
                 f"{op} is not wired for the sharded-state (> "

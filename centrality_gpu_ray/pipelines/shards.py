@@ -341,6 +341,77 @@ def _shard_class():
             self.state = new
             return delta
 
+        # -- owner role: sampled Brandes (level/sigma/delta resident) ----
+        # Per source: level-synchronous forward BFS accumulating path
+        # counts, then backward dependency passes — each phase is the
+        # same assembled-broadcast + shard_gather_sum + range-combine
+        # exchange as PageRank, with masks applied owner-side. Only the
+        # SAMPLED variant lives here (k sources, k ≪ n); exact
+        # all-sources BC stays dense-only (whole-graph CSR per worker).
+
+        def owner_brandes_init(self) -> bool:
+            m = self.hi - self.lo
+            self.b_level = np.full(m, -1.0)
+            self.b_sigma = np.zeros(m)
+            self.b_delta = np.zeros(m)
+            self.b_bc = np.zeros(m)
+            return True
+
+        def owner_brandes_reset_source(self, src_dense: int) -> bool:
+            self.b_level.fill(-1.0)
+            self.b_sigma.fill(0.0)
+            self.b_delta.fill(0.0)
+            if self.lo <= src_dense < self.hi:
+                self.b_level[src_dense - self.lo] = 0.0
+                self.b_sigma[src_dense - self.lo] = 1.0
+            return True
+
+        def owner_make_sigma_frontier(self, depth: float) -> np.ndarray:
+            return np.where(self.b_level == depth, self.b_sigma, 0.0)
+
+        def owner_combine_brandes_fwd(self, depth: float, my_idx: int,
+                                      *shard_outs) -> int:
+            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for out in shard_outs:
+                uniq_v, sums = out[my_idx]
+                acc[uniq_v - self.lo] += sums
+            newly = (self.b_level == -1.0) & (acc > 0.0)
+            self.b_level[newly] = depth + 1.0
+            self.b_sigma[newly] = acc[newly]
+            return int(np.count_nonzero(newly))
+
+        def owner_make_delta_term(self, depth: float) -> np.ndarray:
+            # (1+delta)/sigma for vertices at the deeper level `depth`
+            out = np.zeros(self.hi - self.lo, dtype=np.float64)
+            mask = self.b_level == depth
+            out[mask] = (1.0 + self.b_delta[mask]) / self.b_sigma[mask]
+            return out
+
+        def owner_combine_brandes_bwd(self, depth: float, my_idx: int,
+                                      *shard_outs) -> bool:
+            # every edge between level `depth` and `depth+1` is a DAG
+            # edge in an unweighted BFS, so the plain neighbor gather
+            # masked to level==depth is exactly the predecessor sum
+            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for out in shard_outs:
+                uniq_v, sums = out[my_idx]
+                acc[uniq_v - self.lo] += sums
+            mask = self.b_level == depth
+            self.b_delta[mask] += self.b_sigma[mask] * acc[mask]
+            return True
+
+        def owner_brandes_accumulate(self, src_dense: int) -> bool:
+            add = self.b_delta
+            if self.lo <= src_dense < self.hi:
+                add = add.copy()
+                add[src_dense - self.lo] = 0.0
+            self.b_bc += add
+            return True
+
+        def owner_commit_bc(self) -> bool:
+            self.state = self.b_bc
+            return True
+
         def owner_set_teleport(self, idx: np.ndarray, wts: np.ndarray) -> bool:
             """Install this range's slice of a (sparse, normalized)
             teleport vector and init state to it — personalized
@@ -658,6 +729,52 @@ class ShardPool:
             return 0.0
         return float(sum(ray.get(
             [a.owner_scale_pending.remote(total) for a in self.actors])))
+
+    def brandes_init(self):
+        import ray
+
+        ray.get([a.owner_brandes_init.remote() for a in self.actors])
+
+    def brandes_source_pass(self, src_dense: int) -> int:
+        """One complete Brandes source: forward BFS with path counts,
+        then backward dependency passes; accumulates into the owners'
+        resident bc vector. Returns the BFS depth reached. Driver work:
+        O(P) calls per superstep, O(depth) supersteps."""
+        import ray
+
+        P = len(self.actors)
+        ray.get([a.owner_brandes_reset_source.remote(src_dense)
+                 for a in self.actors])
+        depth = 0.0
+        while True:
+            fr = [a.owner_make_sigma_frontier.remote(depth)
+                  for a in self.actors]
+            w_full = self._assembler().remote(*fr)
+            outs = [a.shard_gather_sum.remote(self.bounds, False, w_full)
+                    for a in self.actors]
+            new = sum(ray.get(
+                [self.actors[p].owner_combine_brandes_fwd.remote(
+                    depth, p, *outs) for p in range(P)]))
+            if new == 0:
+                break
+            depth += 1.0
+        d = depth
+        while d > 0.0:
+            dt = [a.owner_make_delta_term.remote(d) for a in self.actors]
+            w_full = self._assembler().remote(*dt)
+            outs = [a.shard_gather_sum.remote(self.bounds, False, w_full)
+                    for a in self.actors]
+            ray.get([self.actors[p].owner_combine_brandes_bwd.remote(
+                d - 1.0, p, *outs) for p in range(P)])
+            d -= 1.0
+        ray.get([a.owner_brandes_accumulate.remote(src_dense)
+                 for a in self.actors])
+        return int(depth)
+
+    def brandes_commit(self):
+        import ray
+
+        ray.get([a.owner_commit_bc.remote() for a in self.actors])
 
     def set_teleport(self, dense_idx: np.ndarray, wts: np.ndarray):
         """Broadcast the k-entry personalization to every owner."""

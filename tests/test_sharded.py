@@ -317,3 +317,29 @@ def test_sharded_peel_matches_dense(graphs):
         ebb = (eb_ds.to_pandas().sort_values(["src", "dst"])
                .reset_index(drop=True))
         assert eaa.equals(ebb), k
+
+
+def test_sharded_sampled_brandes_matches_dense(graphs):
+    from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+
+    dense, sharded = graphs
+    a = (betweenness_centrality(dense, max_sources=25, concurrency=2)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    m = {}
+    b_ds = betweenness_centrality(
+        sharded, EngineConfig(dense_vertex_limit=500), max_sources=25,
+        metrics=m)
+    b = b_ds.to_pandas().sort_values("node").reset_index(drop=True)
+    assert m["mode"] == "sharded"
+    assert m["sources"] == 25
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert np.allclose(merged["bc_d"], merged["bc_s"], atol=1e-9)
+    assert (merged["bc_d"] > 0).any()
+
+    # exact all-sources and weighted stay dense-only, loudly
+    with pytest.raises(NotImplementedError):
+        betweenness_centrality(sharded, EngineConfig(dense_vertex_limit=500))
+    with pytest.raises(NotImplementedError):
+        betweenness_centrality(sharded, EngineConfig(dense_vertex_limit=500),
+                               max_sources=5, weighted=True)
