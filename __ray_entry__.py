@@ -540,10 +540,13 @@ def _closeness_oracle_sql(k: int = 8, rounds: int = 16,
     """Multi-source BFS (or min-plus Bellman-Ford with ``weighted``)
     from the top-k-degree sources as chained materialized rounds
     carrying a source column, then per-source integer aggregates.
-    ``rounds`` bounds source eccentricity (weighted: relaxation hops) —
-    hubs sit near the center (≲ 10 at test scales; a converged state
-    is stable under extra rounds). harmonic term floor(1e6/d + 0.5)
-    matches the engine's half-up micro-rounding bit-exactly."""
+    ``rounds`` bounds source eccentricity; in the WEIGHTED case the
+    min-plus relaxation hop count is NOT bounded by the unweighted
+    eccentricity (a min-weight path can use ~w_max× more edges), so the
+    weighted oracle uses rounds=40 like _sssp_oracle_sql (engine needs
+    ~5 at sf0.01; a converged state is stable under extra rounds).
+    harmonic term floor(1e6/d + 0.5) matches the engine's half-up
+    micro-rounding bit-exactly."""
     step = "l.dist + se.w" if weighted else "l.dist + 1"
     parts = [_GRAPH_EDGES_CTE, f"""
         , se AS MATERIALIZED (SELECT src AS a, dst AS b, weight AS w
@@ -630,7 +633,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_sssp": _sssp_oracle_sql(),
         "graph_kcore": _kcore_oracle_sql(),
         "graph_closeness": _closeness_oracle_sql(),
-        "graph_closeness_weighted": _closeness_oracle_sql(weighted=True),
+        "graph_closeness_weighted": _closeness_oracle_sql(weighted=True,
+                                                          rounds=40),
         "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
         "graph_eigenvector_weighted_fixed": _eigen_fixed_oracle_sql(weighted=True),
         "graph_ktruss": _ktruss_oracle_sql(),

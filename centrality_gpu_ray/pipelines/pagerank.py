@@ -167,7 +167,11 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
     nz = deg > 0
     inv_deg[nz] = 1.0 / deg[nz]
 
-    ckpt = CheckpointManager(cfg.checkpoint_dir, "pagerank", cfg.checkpoint_every,
+    # PPR gets its own checkpoint namespace keyed by the teleport
+    # vector: resuming a plain-PR (or differently-personalized)
+    # checkpoint would silently continue the wrong recurrence
+    algo = "pagerank" if tele is None else f"ppr_{_tele_tag(personalization)}"
+    ckpt = CheckpointManager(cfg.checkpoint_dir, algo, cfg.checkpoint_every,
                              cfg.num_partitions)
     start_step = 0
     rank = tele.copy() if tele is not None else np.full(n, 1.0 / n,
@@ -248,6 +252,8 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
     pool = graph.pool
     pool.setup_owners_sharded(n, weighted)
     ppr = personalization is not None
+    algo = ("pagerank_sharded" if not ppr
+            else f"ppr_sharded_{_tele_tag(personalization)}")
     if ppr:
         # k ≪ n personalization entries: map original → dense ids via
         # the distributed dictionary (O(k) driver work), normalize, and
@@ -274,7 +280,7 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
         pool.set_teleport(dense, wts / total)
     start_step = 0
     if cfg.checkpoint_dir is not None:
-        resumed = pool.resume_owners(cfg.checkpoint_dir, "pagerank_sharded")
+        resumed = pool.resume_owners(cfg.checkpoint_dir, algo)
         if resumed is not None:
             start_step = resumed + 1
     t0 = _time.perf_counter()
@@ -284,7 +290,7 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
                  else pool.pr_step(cfg.damping, weighted))
         if (cfg.checkpoint_dir is not None
                 and step % cfg.checkpoint_every == 0):
-            pool.checkpoint_owners(cfg.checkpoint_dir, "pagerank_sharded",
+            pool.checkpoint_owners(cfg.checkpoint_dir, algo,
                                    step, {"l1_delta": delta})
         step += 1
     elapsed = _time.perf_counter() - t0
@@ -298,6 +304,15 @@ def _pagerank_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
             "mode": "sharded",
         })
     return scores_dataset(graph.vdict, pool, "pagerank")
+
+
+def _tele_tag(personalization: dict) -> str:
+    """Deterministic 12-hex tag of a personalization vector (sorted
+    (node, weight) pairs) — distinguishes checkpoint namespaces."""
+    import hashlib
+
+    items = sorted((int(k), float(v)) for k, v in personalization.items())
+    return hashlib.sha256(repr(items).encode()).hexdigest()[:12]
 
 
 def dense_from_pairs_from_state(state: pa.Table, graph: Graph) -> np.ndarray | None:

@@ -421,6 +421,50 @@ def original_ids_mapper(graph: Graph):
     return to_orig
 
 
+def _support_counts_ds(oriented, n: int, cfg: EngineConfig):
+    """Oriented-edge Dataset → per-packed-edge-key triangle-support
+    counts ``(key, c)``: apex-hash wedge generation, packed-key
+    semi-join against the edge set, per-triangle 3-edge credits,
+    hash-aggregated. Shared by :func:`edge_support` and the k-truss
+    peel rounds (``truss.py``) so the kernel can't diverge."""
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_partition_apply,
+                                                   hash_semi_join)
+
+    P = cfg.num_partitions
+
+    def wedge_part(tbl: pa.Table) -> pa.Table:
+        apex, x, y = _wedges_from_adj(
+            tbl.column("a").to_numpy(zero_copy_only=False),
+            tbl.column("b").to_numpy(zero_copy_only=False))
+        return pa.table({"apex": pa.array(apex),
+                         "key": pa.array(_pack(x, y, n))})
+
+    def edge_keys(tbl: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.array(
+            _pack(tbl.column("a").to_numpy(),
+                  tbl.column("b").to_numpy(), n))})
+
+    def tri_edge_credits(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy()
+        apex = batch.column("apex").to_numpy()
+        xx = key // np.int64(n)
+        yy = key % np.int64(n)
+        keys3 = np.concatenate([_pack(apex, xx, n), _pack(apex, yy, n), key])
+        uniq, cnt = np.unique(keys3, return_counts=True)
+        return pa.table({"key": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    wedges = hash_partition_apply(oriented, ["a"], wedge_part,
+                                  num_partitions=P)
+    keys_ds = oriented.map_batches(edge_keys, batch_format="pyarrow",
+                                   batch_size=cfg.batch_size)
+    matched = hash_semi_join(wedges, keys_ds, on="key", num_partitions=P)
+    return hash_aggregate(matched.map_batches(tri_edge_credits,
+                                              batch_format="pyarrow"),
+                          ["key"], [("c", "sum")], num_partitions=P)
+
+
 def edge_support(graph: Graph, config: EngineConfig | None = None,
                  metrics: dict | None = None):
     """Per-edge triangle support: for every canonical edge (src < dst)
@@ -464,45 +508,11 @@ def edge_support(graph: Graph, config: EngineConfig | None = None,
             "support": pa.array(support),
         })
 
-    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
-                                                   hash_lookup_join,
-                                                   hash_partition_apply,
-                                                   hash_semi_join)
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
 
     P = cfg.num_partitions
     oriented = oriented_edges_ds(graph, cfg)
-
-    def wedge_part(tbl: pa.Table) -> pa.Table:
-        apex, x, y = _wedges_from_adj(
-            tbl.column("a").to_numpy(zero_copy_only=False),
-            tbl.column("b").to_numpy(zero_copy_only=False))
-        return pa.table({"apex": pa.array(apex),
-                         "key": pa.array(_pack(x, y, n))})
-
-    def edge_keys(tbl: pa.Table) -> pa.Table:
-        return pa.table({"key": pa.array(
-            _pack(tbl.column("a").to_numpy(),
-                  tbl.column("b").to_numpy(), n))})
-
-    wedges = hash_partition_apply(oriented, ["a"], wedge_part,
-                                  num_partitions=P)
-    keys_ds = oriented.map_batches(edge_keys, batch_format="pyarrow",
-                                   batch_size=cfg.batch_size)
-    matched = hash_semi_join(wedges, keys_ds, on="key", num_partitions=P)
-
-    def tri_edge_credits(batch: pa.Table) -> pa.Table:
-        key = batch.column("key").to_numpy()
-        apex = batch.column("apex").to_numpy()
-        xx = key // np.int64(n)
-        yy = key % np.int64(n)
-        keys3 = np.concatenate([_pack(apex, xx, n), _pack(apex, yy, n), key])
-        uniq, cnt = np.unique(keys3, return_counts=True)
-        return pa.table({"key": pa.array(uniq),
-                         "c": pa.array(cnt.astype(np.int64))})
-
-    sup = hash_aggregate(matched.map_batches(tri_edge_credits,
-                                             batch_format="pyarrow"),
-                         ["key"], [("c", "sum")], num_partitions=P)
+    sup = _support_counts_ds(oriented, n, cfg)
 
     to_orig = original_ids_mapper(graph)
 

@@ -96,12 +96,10 @@ def _ktruss_distributed(graph: Graph, thresh: int, cfg: EngineConfig,
     wedge shuffle + one support aggregate + a filter; doomed edges are
     unioned into the result lazily. Driver work per round: two scalar
     counts."""
-    from centrality_gpu_ray.pipelines.triangles import (original_ids_mapper,
+    from centrality_gpu_ray.pipelines.triangles import (_support_counts_ds,
+                                                        original_ids_mapper,
                                                         oriented_edges_ds)
-    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
-                                                   hash_lookup_join,
-                                                   hash_partition_apply,
-                                                   hash_semi_join)
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
 
     n = graph.num_vertices
     P = cfg.num_partitions
@@ -111,38 +109,7 @@ def _ktruss_distributed(graph: Graph, thresh: int, cfg: EngineConfig,
     doomed_parts: list = []
     rounds = 0
     while rounds < cfg.max_supersteps:
-        def wedge_part(tbl: pa.Table) -> pa.Table:
-            apex, x, y = _wedges_from_adj(
-                tbl.column("a").to_numpy(zero_copy_only=False),
-                tbl.column("b").to_numpy(zero_copy_only=False))
-            return pa.table({"apex": pa.array(apex),
-                             "key": pa.array(_pack(x, y, n))})
-
-        def edge_keys(tbl: pa.Table) -> pa.Table:
-            return pa.table({"key": pa.array(
-                _pack(tbl.column("a").to_numpy(),
-                      tbl.column("b").to_numpy(), n))})
-
-        wedges = hash_partition_apply(cur, ["a"], wedge_part,
-                                      num_partitions=P)
-        keys_ds = cur.map_batches(edge_keys, batch_format="pyarrow",
-                                  batch_size=cfg.batch_size)
-        matched = hash_semi_join(wedges, keys_ds, on="key", num_partitions=P)
-
-        def tri_edge_credits(batch: pa.Table) -> pa.Table:
-            key = batch.column("key").to_numpy()
-            apex = batch.column("apex").to_numpy()
-            xx = key // np.int64(n)
-            yy = key % np.int64(n)
-            keys3 = np.concatenate([_pack(apex, xx, n), _pack(apex, yy, n),
-                                    key])
-            uniq, cnt = np.unique(keys3, return_counts=True)
-            return pa.table({"key": pa.array(uniq),
-                             "c": pa.array(cnt.astype(np.int64))})
-
-        sup = hash_aggregate(matched.map_batches(tri_edge_credits,
-                                                 batch_format="pyarrow"),
-                             ["key"], [("c", "sum")], num_partitions=P)
+        sup = _support_counts_ds(cur, n, cfg)
         with_sup = hash_lookup_join(cur.map_batches(
             lambda t: pa.table({"key": pa.array(
                 _pack(t.column("a").to_numpy(), t.column("b").to_numpy(), n)),

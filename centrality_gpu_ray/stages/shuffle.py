@@ -322,11 +322,18 @@ def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
                 return typed_empty()
             rows = pa.concat_tables(row_tabs)
             own = rows.column(row_key).to_numpy(zero_copy_only=False)
+            proto = shards[n_rows_shards]
             cols = {c: rows.column(c) for c in rows.column_names}
-            for _, dst in attach.items():
-                fillv = (own if outer_default_row_key
-                         else np.full(own.size, outer_fill[dst]))
-                cols[dst] = pa.array(fillv)
+            for src, dst in attach.items():
+                if outer_default_row_key:
+                    cols[dst] = pa.array(own)
+                else:
+                    # pin the fill to the dict column's Arrow type so
+                    # no-match partitions can't diverge in schema from
+                    # matched ones (e.g. int fill vs float64 dict)
+                    cols[dst] = pa.array(
+                        np.full(own.size, outer_fill[dst]),
+                        type=proto.schema.field(src).type)
             return pa.table(cols)
         rows = pa.concat_tables(row_tabs)
         d = pa.concat_tables(dict_tabs)
@@ -356,7 +363,8 @@ def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
 
     rows_mat = rows_ds.materialize()
     row_blocks = _nonempty_block_refs(rows_mat)
-    dict_blocks = _nonempty_block_refs(dict_ds.materialize())
+    dict_mat = dict_ds.materialize()
+    dict_blocks = _nonempty_block_refs(dict_mat)
     if not row_blocks:
         return rows_mat.limit(0)
     if not dict_blocks:
@@ -365,17 +373,30 @@ def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,
         # (regression: k-truss round with zero surviving triangles)
         if not (outer_default_row_key or outer_fill is not None):
             return rows_mat.limit(0)
+        # pin fill dtypes to the dict schema when it is known (a
+        # zero-block Dataset may still carry one); otherwise fall back
+        # to numpy inference — all current callers fill int64
+        try:
+            dict_schema = dict_mat.schema(fetch_if_missing=True)
+            dict_schema = getattr(dict_schema, "base_schema", dict_schema)
+        except Exception:
+            dict_schema = None
 
         @ray.remote
-        def fill_block(block):
+        def fill_block(block, _schema=dict_schema):
             tbl = (block if isinstance(block, pa.Table)
                    else pa.Table.from_pandas(block))
             own = tbl.column(row_key).to_numpy(zero_copy_only=False)
             cols = {c: tbl.column(c) for c in tbl.column_names}
-            for _, dst in attach.items():
-                fillv = (own if outer_default_row_key
-                         else np.full(own.size, outer_fill[dst]))
-                cols[dst] = pa.array(fillv)
+            for src, dst in attach.items():
+                if outer_default_row_key:
+                    cols[dst] = pa.array(own)
+                    continue
+                fillv = np.full(own.size, outer_fill[dst])
+                typ = None
+                if _schema is not None and src in getattr(_schema, "names", []):
+                    typ = _schema.field(src).type
+                cols[dst] = pa.array(fillv, type=typ)
             return pa.table(cols)
 
         return ray.data.from_arrow_refs(

@@ -396,3 +396,32 @@ def test_weighted_closeness_vs_bellman_ford():
         pos = dist[(dist > 0) & reach].astype(np.float64)
         assert row["harmonic_micro"] == int(
             np.floor(1e6 / pos + 0.5).sum()) if pos.size else True
+
+
+def test_ppr_checkpoint_namespace_isolated(tmp_path):
+    # a plain-PageRank checkpoint must never be silently resumed by a
+    # personalized run: distinct algorithm namespaces per teleport
+    # vector make the manager REFUSE the foreign state loudly
+    ck = str(tmp_path / "ck")
+    cfg = EngineConfig(tolerance=0.0, max_supersteps=10,
+                       checkpoint_dir=ck, checkpoint_every=2)
+    g = _graph("test4", mode="local")
+    pagerank(g, cfg)  # writes plain-PR checkpoints
+    pers = {int(g.node_ids[0]): 1.0}
+    with pytest.raises(ValueError, match="holds pagerank state"):
+        pagerank(_graph("test4", mode="local"), cfg, personalization=pers)
+
+    # a fresh dir with the SAME personalization resumes bit-identically
+    ck2 = str(tmp_path / "ck2")
+    cfg2 = EngineConfig(tolerance=0.0, max_supersteps=10,
+                        checkpoint_dir=ck2, checkpoint_every=2)
+    a = pagerank(_graph("test4", mode="local"), cfg2,
+                 personalization=pers).to_pandas().sort_values("node")
+    b = pagerank(_graph("test4", mode="local"), cfg2,
+                 personalization=pers).to_pandas().sort_values("node")
+    assert np.allclose(a["pagerank"].values, b["pagerank"].values,
+                       atol=1e-15)
+    # ...and a DIFFERENT personalization against that dir is refused
+    with pytest.raises(ValueError, match="holds ppr_"):
+        pagerank(_graph("test4", mode="local"), cfg2,
+                 personalization={int(g.node_ids[1]): 1.0})

@@ -163,3 +163,33 @@ def test_hash_lookup_join_empty_dict_outer_fill():
     inner = hash_lookup_join(rows, empty, "k", "k", {"c": "c"},
                              num_partitions=4)
     assert inner.count() == 0
+
+
+def test_hash_lookup_join_outer_fill_dtype_pinned_to_dict():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
+
+    rows = ray.data.from_arrow(pa.table({"k": list(range(12)),
+                                         "x": list(range(12))}))
+    # float64 dict that misses many keys: no-match partitions must emit
+    # float64 fills, not int64 (schema divergence across blocks)
+    fdict = ray.data.from_arrow(pa.table({"k": [3], "val": [2.5]}))
+    out = hash_lookup_join(rows, fdict, "k", "k", {"val": "val"},
+                           num_partitions=8, outer_fill={"val": 0})
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert df["val"].dtype == "float64"
+    assert df.loc[3, "val"] == 2.5
+    assert (df.drop(index=3)["val"] == 0.0).all()
+
+    # fully empty float dict: same pinning via the fast path
+    fempty = ray.data.from_arrow(
+        pa.table({"k": pa.chunked_array([[]], pa.int64()),
+                  "val": pa.chunked_array([[]], pa.float64())}))
+    out2 = hash_lookup_join(rows, fempty, "k", "k", {"val": "val"},
+                            num_partitions=4, outer_fill={"val": 0})
+    df2 = out2.to_pandas()
+    assert df2["val"].dtype == "float64"
+    assert (df2["val"] == 0.0).all()
