@@ -27,9 +27,8 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
-from centrality_gpu_ray.pipelines.exchange import aggregate_messages, dense_from_pairs
 from centrality_gpu_ray.pipelines.graph import Graph
-from centrality_gpu_ray.pipelines.pagerank import _Contribs
+from centrality_gpu_ray.pipelines.pagerank import gather_neighbor_sum
 
 
 def eigenvector_centrality(graph: Graph, config: EngineConfig | None = None,
@@ -37,8 +36,6 @@ def eigenvector_centrality(graph: Graph, config: EngineConfig | None = None,
                            metrics: dict | None = None) -> pa.Table:
     """Returns ``(node, eigenvector)`` with the L1-normalized dominant
     eigenvector estimate after power iteration."""
-    import ray
-
     cfg = config or graph.config
     if getattr(graph, "sharded", False):
         return _eigenvector_sharded(graph, cfg, weighted, metrics)
@@ -47,26 +44,7 @@ def eigenvector_centrality(graph: Graph, config: EngineConfig | None = None,
     t0 = time.perf_counter()
     step, delta = 0, np.inf
     while step < cfg.max_supersteps and delta > cfg.tolerance:
-        if graph.mode == "local":
-            s, d, we = graph.local_arrays()
-            y = np.zeros(n, dtype=np.float64)
-            if weighted:
-                np.add.at(y, d, x[s] * we)
-                np.add.at(y, s, x[d] * we)
-            else:
-                np.add.at(y, d, x[s])
-                np.add.at(y, s, x[d])
-        else:
-            w_ref = ray.put(x)
-            if cfg.combine == "shuffle":
-                msgs = graph.edges.map_batches(_Contribs(w_ref, weighted),
-                                               batch_format="pyarrow",
-                                               batch_size=cfg.batch_size)
-                combined = aggregate_messages(msgs, agg="sum",
-                                              salt_buckets=cfg.salt_buckets)
-                y = dense_from_pairs(combined, n, init=0.0)
-            else:
-                y = graph.pool.gather_sum(w_ref, n, weighted=weighted)
+        y = gather_neighbor_sum(graph, x, cfg, weighted)
         total = float(y.sum())
         if total <= 0.0:  # edgeless graph: stay uniform
             break
@@ -103,26 +81,7 @@ def katz_centrality(graph: Graph, alpha: float = 1e-4, beta: float = 1.0,
     t0 = time.perf_counter()
     step, delta = 0, np.inf
     while step < cfg.max_supersteps and delta > cfg.tolerance:
-        if graph.mode == "local":
-            s, d, we = graph.local_arrays()
-            y = np.zeros(n, dtype=np.float64)
-            if weighted:
-                np.add.at(y, d, x[s] * we)
-                np.add.at(y, s, x[d] * we)
-            else:
-                np.add.at(y, d, x[s])
-                np.add.at(y, s, x[d])
-        else:
-            w_ref = ray.put(x)
-            if cfg.combine == "shuffle":
-                msgs = graph.edges.map_batches(_Contribs(w_ref, weighted),
-                                               batch_format="pyarrow",
-                                               batch_size=cfg.batch_size)
-                combined = aggregate_messages(msgs, agg="sum",
-                                              salt_buckets=cfg.salt_buckets)
-                y = dense_from_pairs(combined, n, init=0.0)
-            else:
-                y = graph.pool.gather_sum(w_ref, n, weighted=weighted)
+        y = gather_neighbor_sum(graph, x, cfg, weighted)
         new = beta + alpha * y
         delta = float(np.abs(new - x).sum())
         x = new

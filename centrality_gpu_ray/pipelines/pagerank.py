@@ -75,34 +75,28 @@ class _Contribs:
         return pa.table({"v": pa.array(uniq), "c": pa.array(sums)})
 
 
-def _superstep_local(graph: Graph, rank: np.ndarray, alpha: float,
-                     inv_deg: np.ndarray, dangling: np.ndarray,
-                     weighted: bool = False,
-                     tele: np.ndarray | None = None) -> np.ndarray:
-    s, d, we = graph.local_arrays()
-    n = graph.num_vertices
-    w = rank * inv_deg
-    new = np.zeros(n, dtype=np.float64)
-    if weighted:
-        np.add.at(new, d, w[s] * we)
-        np.add.at(new, s, w[d] * we)
-    else:
-        np.add.at(new, d, w[s])
-        np.add.at(new, s, w[d])
-    dangling_mass = rank[dangling].sum() if dangling.size else 0.0
-    if tele is not None:
-        return (1.0 - alpha) * tele + alpha * (new + dangling_mass * tele)
-    return (1.0 - alpha) / n + alpha * (new + dangling_mass / n)
-
-
-def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
-                           inv_deg: np.ndarray, dangling: np.ndarray,
-                           cfg: EngineConfig, weighted: bool = False,
-                           tele: np.ndarray | None = None) -> np.ndarray:
+def gather_neighbor_sum(graph: Graph, w: np.ndarray, cfg: EngineConfig,
+                        weighted: bool = False) -> np.ndarray:
+    """One dense-path gather superstep ``y[v] = Σ_{u~v} w[u]``
+    (optionally × edge weight) — THE exchange every spectral/superstep
+    pipeline shares (PageRank, personalized PageRank, eigenvector,
+    Katz). Local mode: np.add.at over driver arrays. Distributed:
+    broadcast w once, then either the salted shuffle combine or the
+    resident-shard reduceat pool."""
     import ray
 
-    w_ref = ray.put(rank * inv_deg)
     n = graph.num_vertices
+    if graph.mode == "local":
+        s, d, we = graph.local_arrays()
+        y = np.zeros(n, dtype=np.float64)
+        if weighted:
+            np.add.at(y, d, w[s] * we)
+            np.add.at(y, s, w[d] * we)
+        else:
+            np.add.at(y, d, w[s])
+            np.add.at(y, s, w[d])
+        return y
+    w_ref = ray.put(w)
     if cfg.combine == "shuffle":
         # Ray-Data exchange with salted two-level groupby (the
         # sharded-state scale route, also the salting test surface)
@@ -111,14 +105,21 @@ def _superstep_distributed(graph: Graph, rank: np.ndarray, alpha: float,
                                        batch_size=cfg.batch_size)
         combined = aggregate_messages(msgs, agg="sum",
                                       salt_buckets=cfg.salt_buckets)
-        gathered = dense_from_pairs(combined, n, init=0.0)
-    else:
-        # resident-shard actor pool: one reduceat per shard per superstep
-        gathered = graph.pool.gather_sum(w_ref, n, weighted=weighted)
+        return dense_from_pairs(combined, n, init=0.0)
+    # resident-shard actor pool: one reduceat per shard per superstep
+    return graph.pool.gather_sum(w_ref, n, weighted=weighted)
+
+
+def _superstep(graph: Graph, rank: np.ndarray, alpha: float,
+               inv_deg: np.ndarray, dangling: np.ndarray,
+               cfg: EngineConfig, weighted: bool = False,
+               tele: np.ndarray | None = None) -> np.ndarray:
+    n = graph.num_vertices
+    new = gather_neighbor_sum(graph, rank * inv_deg, cfg, weighted)
     dangling_mass = rank[dangling].sum() if dangling.size else 0.0
     if tele is not None:
-        return (1.0 - alpha) * tele + alpha * (gathered + dangling_mass * tele)
-    return (1.0 - alpha) / n + alpha * (gathered + dangling_mass / n)
+        return (1.0 - alpha) * tele + alpha * (new + dangling_mass * tele)
+    return (1.0 - alpha) / n + alpha * (new + dangling_mass / n)
 
 
 def pagerank(graph: Graph, config: EngineConfig | None = None,
@@ -208,12 +209,8 @@ def pagerank(graph: Graph, config: EngineConfig | None = None,
         rank = graph.pool.collect_state()
     else:
         while step < cfg.max_supersteps and delta > cfg.tolerance:
-            if graph.mode == "local":
-                new = _superstep_local(graph, rank, cfg.damping, inv_deg,
-                                       dangling, weighted, tele)
-            else:
-                new = _superstep_distributed(graph, rank, cfg.damping, inv_deg,
-                                             dangling, cfg, weighted, tele)
+            new = _superstep(graph, rank, cfg.damping, inv_deg,
+                             dangling, cfg, weighted, tele)
             delta = float(np.abs(new - rank).sum())
             rank = new
             ckpt.maybe_write(step, graph.scores_table(rank, "pagerank"),
