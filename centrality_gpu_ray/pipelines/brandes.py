@@ -280,19 +280,17 @@ def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
     level-synchronous forward pass (path counts) + backward dependency
     passes over owner-resident level/sigma/delta vectors
     (``shards.py::brandes_source_pass``) — O(P) driver work per
-    superstep, never an O(n) vector. Exact all-sources BC stays
-    dense-only: its per-worker cache-resident CSR is the whole point of
-    that path, and k ≪ n sampling is the only formulation that scales
-    past it."""
+    superstep, never an O(n) vector. ``weighted=True`` runs min-plus
+    SSSP per source then distance-bucket sigma/delta sweeps with the
+    DAG test applied edge-side (``shards.py::wbc_source_pass``;
+    assumes distinct distances ≪ n — integer weights). Exact
+    all-sources BC stays dense-only: its per-worker cache-resident CSR
+    is the whole point of that path, and k ≪ n sampling is the only
+    formulation that scales past it."""
     import time as _time
 
     from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
 
-    if weighted:
-        raise NotImplementedError(
-            "weighted BC is not wired for sharded-state graphs yet "
-            "(needs distance-bucketed forward passes, "
-            "_single_source_dependencies_weighted, over owner state)")
     if max_sources is None:
         raise NotImplementedError(
             "exact all-sources BC on a sharded-state graph is "
@@ -306,7 +304,10 @@ def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
     k = min(max_sources, graph.num_vertices)
     depths = []
     for src in range(k):
-        depths.append(pool.brandes_source_pass(src))
+        if weighted:
+            depths.append(pool.wbc_source_pass(src, cfg.max_supersteps))
+        else:
+            depths.append(pool.brandes_source_pass(src))
     pool.brandes_commit()
     elapsed = _time.perf_counter() - t0
     if metrics is not None:

@@ -412,6 +412,55 @@ def _shard_class():
             self.state = self.b_bc
             return True
 
+        # -- weighted sampled Brandes (distance-bucket sweeps) -----------
+
+        def owner_wbc_start(self) -> np.ndarray:
+            """Capture this source's converged distances (self.state)
+            as the bucket key, reset sigma/delta, return the chunk's
+            distinct finite distances (the driver unions the small
+            per-owner sets into the global sweep schedule)."""
+            self.b_level = self.state.copy()
+            m = self.hi - self.lo
+            self.b_sigma = np.zeros(m)
+            self.b_delta = np.zeros(m)
+            fin = self.b_level[np.isfinite(self.b_level)]
+            return np.unique(fin)
+
+        def owner_wbc_set_sigma_source(self, src_dense: int) -> bool:
+            if self.lo <= src_dense < self.hi:
+                self.b_sigma[src_dense - self.lo] = 1.0
+            return True
+
+        def owner_get_wbc_dist(self) -> np.ndarray:
+            return self.b_level
+
+        def owner_make_sigma_bucket(self, dval: float) -> np.ndarray:
+            return np.where(self.b_level == dval, self.b_sigma, 0.0)
+
+        def owner_combine_wbc_fwd(self, my_idx: int, *shard_outs) -> bool:
+            # every DAG edge delivers exactly once (when its source's
+            # bucket is swept), so += accumulates exact path counts
+            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for out in shard_outs:
+                uniq_v, sums = out[my_idx]
+                acc[uniq_v - self.lo] += sums
+            self.b_sigma += acc
+            return True
+
+        def owner_make_delta_bucket(self, dval: float) -> np.ndarray:
+            out = np.zeros(self.hi - self.lo, dtype=np.float64)
+            mask = (self.b_level == dval) & (self.b_sigma > 0)
+            out[mask] = (1.0 + self.b_delta[mask]) / self.b_sigma[mask]
+            return out
+
+        def owner_combine_wbc_bwd(self, my_idx: int, *shard_outs) -> bool:
+            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            for out in shard_outs:
+                uniq_v, sums = out[my_idx]
+                acc[uniq_v - self.lo] += sums
+            self.b_delta += self.b_sigma * acc
+            return True
+
         def owner_set_teleport(self, idx: np.ndarray, wts: np.ndarray) -> bool:
             """Install this range's slice of a (sparse, normalized)
             teleport vector and init state to it — personalized
@@ -489,6 +538,39 @@ def _shard_class():
                         c = c * self.w[lo:hi]
                     sums[s0:s1] = np.add.reduceat(c, seg[s0:s1] - lo)
                     s0 = s1
+            if self.rep_fold > 1:
+                sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
+            cuts = np.searchsorted(self.uniq_v, bounds)
+            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
+                          sums[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def shard_gather_wdag_sum(self, bounds: np.ndarray,
+                                  dist: np.ndarray, x: np.ndarray,
+                                  reverse: bool):
+            """Weighted shortest-path-DAG gather: deliver ``x[u]`` only
+            over messages whose edge is a DAG edge — forward
+            ``dist[u] + w == dist[v]``, reverse ``dist[u] == dist[v] +
+            w``. ``x`` arrives pre-masked to the active distance bucket.
+            Costs one lazily-built per-message v array (+8 B/msg) on
+            first use — the price of edge-level DAG tests against
+            resident arrays."""
+            if self.u.size == 0:
+                z = np.empty(0, dtype=np.int64)
+                return tuple((z, z.astype(np.float64))
+                             for _ in range(len(bounds) - 1))
+            vexp = getattr(self, "_vexp", None)
+            if vexp is None:
+                seg_lengths = np.diff(np.append(self.seg, self.u.size))
+                uniq_tiled = (np.tile(self.uniq_v, self.rep_fold)
+                              if self.rep_fold > 1 else self.uniq_v)
+                vexp = np.repeat(uniq_tiled, seg_lengths)
+                self._vexp = vexp
+            du = dist[self.u]
+            dv = dist[vexp]
+            ok = (du == dv + self.w) if reverse else (du + self.w == dv)
+            c = x[self.u] * ok
+            sums = np.add.reduceat(c, self.seg) if c.size else c
             if self.rep_fold > 1:
                 sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
             cuts = np.searchsorted(self.uniq_v, bounds)
@@ -770,6 +852,58 @@ class ShardPool:
         ray.get([a.owner_brandes_accumulate.remote(src_dense)
                  for a in self.actors])
         return int(depth)
+
+    def wbc_source_pass(self, src_dense: int, max_supersteps: int) -> int:
+        """One weighted Brandes source: min-plus SSSP to fixpoint, then
+        forward sigma sweeps over ascending distinct distances and
+        backward delta sweeps descending (``shard_gather_wdag_sum``
+        applies the DAG test edge-side). Returns the number of distance
+        buckets. Assumes distinct-distance count ≪ n (integer weights:
+        bounded by weighted diameter) — documented sweep-schedule
+        assumption."""
+        import ray
+
+        P = len(self.actors)
+        ray.get([a.owner_fill_state.remote(float("inf"))
+                 for a in self.actors])
+        ray.get([a.owner_set_value.remote(src_dense, 0.0)
+                 for a in self.actors])
+        steps = 0
+        while self.sssp_step() > 0:
+            steps += 1
+            if steps > max_supersteps:
+                raise RuntimeError(
+                    f"weighted BC SSSP exceeded {max_supersteps} supersteps")
+        uniqs = ray.get([a.owner_wbc_start.remote() for a in self.actors])
+        ray.get([a.owner_wbc_set_sigma_source.remote(src_dense)
+                 for a in self.actors])
+        dvals = np.unique(np.concatenate(
+            [u for u in uniqs if u.size] or [np.zeros(1)]))
+        dist_refs = [a.owner_get_wbc_dist.remote() for a in self.actors]
+        dist_full = self._assembler().remote(*dist_refs)
+        for dval in dvals[:-1] if dvals.size else []:  # last bucket: no out-DAG edges
+            x_refs = [a.owner_make_sigma_bucket.remote(float(dval))
+                      for a in self.actors]
+            x_full = self._assembler().remote(*x_refs)
+            outs = [a.shard_gather_wdag_sum.remote(self.bounds, dist_full,
+                                                   x_full, False)
+                    for a in self.actors]
+            ray.get([self.actors[p].owner_combine_wbc_fwd.remote(p, *outs)
+                     for p in range(P)])
+        for dval in dvals[::-1]:
+            if dval == 0.0:
+                break  # the source bucket has no parents
+            x_refs = [a.owner_make_delta_bucket.remote(float(dval))
+                      for a in self.actors]
+            x_full = self._assembler().remote(*x_refs)
+            outs = [a.shard_gather_wdag_sum.remote(self.bounds, dist_full,
+                                                   x_full, True)
+                    for a in self.actors]
+            ray.get([self.actors[p].owner_combine_wbc_bwd.remote(p, *outs)
+                     for p in range(P)])
+        ray.get([a.owner_brandes_accumulate.remote(src_dense)
+                 for a in self.actors])
+        return int(dvals.size)
 
     def brandes_commit(self):
         import ray

@@ -337,9 +337,39 @@ def test_sharded_sampled_brandes_matches_dense(graphs):
     assert np.allclose(merged["bc_d"], merged["bc_s"], atol=1e-9)
     assert (merged["bc_d"] > 0).any()
 
-    # exact all-sources and weighted stay dense-only, loudly
+    # exact all-sources stays dense-only, loudly
     with pytest.raises(NotImplementedError):
         betweenness_centrality(sharded, EngineConfig(dense_vertex_limit=500))
-    with pytest.raises(NotImplementedError):
-        betweenness_centrality(sharded, EngineConfig(dense_vertex_limit=500),
-                               max_sources=5, weighted=True)
+
+
+def test_sharded_weighted_sampled_brandes_matches_dense():
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+
+    # varied integer weights so weighted shortest paths differ from hops
+    n = 600
+    i = np.arange(n, dtype=np.int64)
+    src = np.concatenate([i, i])
+    dst = np.concatenate([(i + 1) % n, (i * 7 + 3) % n])
+    w = (np.concatenate([i, i]) % 3) + 1
+    keep = src != dst
+    tbl = pa.table({"src": pa.array(src[keep] * 11 + 2),
+                    "dst": pa.array(dst[keep] * 11 + 2),
+                    "weight": pa.array(w[keep])})
+    dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
+    sharded = Graph(ray.data.from_arrow(tbl),
+                    config=EngineConfig(dense_vertex_limit=300))
+    assert sharded.sharded
+    a = (betweenness_centrality(dense, max_sources=12, weighted=True,
+                                concurrency=2)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    m = {}
+    b = (betweenness_centrality(sharded, EngineConfig(dense_vertex_limit=300),
+                                max_sources=12, weighted=True, metrics=m)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert m["mode"] == "sharded"
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert np.allclose(merged["bc_d"], merged["bc_s"], atol=1e-9)
+    assert (merged["bc_d"] > 0).any()
