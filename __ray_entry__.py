@@ -87,14 +87,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return tx.token_stats(_docs(sf_dir)).select_columns(
             ["doc_id", "n_chars", "n_tokens", "n_bpeish_tokens"])
 
-    def doc_lang_counts(sf_dir):
-        import ray.data
-        from ray.data.aggregate import Count
-
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                   columns=["lang"])
-        return ds.groupby("lang").aggregate(Count(alias_name="n")).sort("lang")
-
     def emb_near_dup_ids(sf_dir):
         import pyarrow as pa
 
@@ -106,9 +98,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ("cosine", pa.float64())])
         t = pa.concat_tables(parts) if parts else schema.empty_table()
         return t.select(["a", "b"])
-
-    def corpus_pagerank(sf_dir):
-        return entry()
 
     def doc_sha256(sf_dir):
         """The §2.7 per-row content-sha256 ingest invariant over the
@@ -167,23 +156,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(mm.synth_media_table(num_rows=256, seed=5))
         return mm.extract_features(mm.decode_media(ds))
 
+    # EXACTLY 50 entries: the driver emits CORRECTNESS rows for at most
+    # 50 queries, and round 2 registered 57 — the 7 silently unchecked
+    # were the ANN/MinHash/SimHash/ngram/multimodal family. Those now
+    # come FIRST (defense against any smaller cap), and 7 redundant
+    # entries were trimmed (each is a strict subset of a kept green
+    # query): graph_pagerank ≡ graph_pagerank_fixed (and had no oracle),
+    # corpus_pagerank ≡ entry() (driver smoke-checks it directly),
+    # graph_bridges is derivable from graph_bcc_labels (label count 1;
+    # pipelines/bicc.py::bridges stays, pytest-covered),
+    # graph_triangles_pervertex ⊂ graph_clustering (same triangles
+    # column + wedges), graph_component_sizes = groupby of
+    # graph_components, doc_lang_counts = groupby of a raw column
+    # (doc_language_id carries the real language-ID evidence),
+    # events_by_type ⊂ {q1_pricing, events_hourly} operator surface.
     return {
+        # training-data / embeddings family (driver-unchecked in r2 —
+        # first so they are inside any row cap)
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_pairs": simhash_pairs,
+        "doc_ngram_jaccard": doc_ngram_jaccard,
+        "multimodal_features": multimodal_features,
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "embedding_near_dup_ids": emb_near_dup_ids,
         # graph engine (lineitem-derived tri-partite graph)
         "graph_edges": gq.lineitem_edges,
         "graph_degrees": gq.lineitem_degrees,
         "graph_degree_histogram": gq.lineitem_degree_histogram,
         "graph_top_degree": gq.lineitem_top_degree,
         "graph_triangles_total": gq.lineitem_triangles_total,
-        "graph_triangles_pervertex": gq.lineitem_triangles_pervertex,
-        "graph_pagerank": gq.lineitem_pagerank,
         "graph_pagerank_fixed": gq.lineitem_pagerank_fixed,
         "graph_components": gq.lineitem_components,
-        "graph_component_sizes": gq.lineitem_component_sizes,
         "graph_labelprop": gq.lineitem_labelprop,
         "graph_betweenness_nation": gq.nation_betweenness,
         "graph_betweenness_weighted_nation": gq.nation_betweenness_weighted,
         "graph_articulation_points": gq.lineitem_articulation_points,
-        "graph_bridges": gq.lineitem_bridges,
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,
         "graph_closeness": gq.lineitem_closeness,
@@ -199,13 +207,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
         "graph_bcc_labels": gq.lineitem_bcc_labels,
-        "corpus_pagerank": corpus_pagerank,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
         "revenue_by_mktsegment": rel.revenue_by_mktsegment,
         "revenue_by_nation": rel.revenue_by_nation,
         "top_parts_by_quantity": rel.top_parts_by_quantity,
-        "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly_windows,
         "events_sliding": rel.events_sliding_windows,
         "events_asof_orders": rel.events_asof_orders,
@@ -218,18 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup_exact_ids": doc_dedup_exact_ids,
         "doc_sha256": doc_sha256,
         "doc_token_stats": doc_token_stats,
-        "doc_lang_counts": doc_lang_counts,
         "doc_quality": lambda sf: tx.quality_scores(_docs(sf)),
         "doc_language_id": lambda sf: tx.language_id(_docs(sf)),
         "doc_fingerprints": lambda sf: tx.fingerprints(_docs(sf)),
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "simhash_pairs": simhash_pairs,
-        "doc_ngram_jaccard": doc_ngram_jaccard,
-        "multimodal_features": multimodal_features,
-        # embeddings
-        "ann_topk": ann_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "embedding_near_dup_ids": emb_near_dup_ids,
     }
 
 
@@ -266,7 +263,15 @@ def _cc_oracle_sql(rounds: int = 20, sizes: bool = False) -> str:
     contract geometrically, so ``rounds=20`` covers any component the
     test scales produce (verified: fixpoint reached well before round
     20 at sf0.01; a plain WITH RECURSIVE closure would materialize
-    O(component²) rows on the giant co-occurrence component)."""
+    O(component²) rows on the giant co-occurrence component).
+
+    Self-verifying: if the last two rounds still differ (oracle NOT
+    converged — e.g. the gate ran at a larger sf than the round count
+    was tuned for), a loud sentinel row (-424242) is emitted, so an
+    unconverged oracle shows up as an extra-row mismatch with a
+    distinctive marker instead of masquerading as an engine bug (the
+    engine raises on its own non-convergence). Same pattern in the
+    sssp/kcore/ktruss/closeness oracles."""
     # AS MATERIALIZED everywhere: DuckDB 1.0 inlines plain CTEs, which
     # makes the chained rounds exponential in plan size (and re-opens
     # the parquet files per reference — "Too many open files")
@@ -286,14 +291,20 @@ def _cc_oracle_sql(rounds: int = 20, sizes: bool = False) -> str:
                      FROM l{i} l
                      LEFT JOIN n{i} n USING (node)
                      LEFT JOIN j{i} j USING (node))""")
+    sentinel = f"""
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM l{rounds} a JOIN l{rounds - 1} b
+                      USING (node) WHERE a.lab <> b.lab)"""
     if sizes:
         parts.append(f"""
         SELECT CAST(lab AS BIGINT) AS component,
                CAST(COUNT(*) AS BIGINT) AS size
-        FROM l{rounds} GROUP BY lab""")
+        FROM l{rounds} GROUP BY lab""" + sentinel)
     else:
         parts.append(f"""
-        SELECT node, CAST(lab AS BIGINT) AS component FROM l{rounds}""")
+        SELECT node, CAST(lab AS BIGINT) AS component FROM l{rounds}"""
+                     + sentinel)
     return "".join(parts)
 
 
@@ -490,7 +501,12 @@ def _sssp_oracle_sql(rounds: int = 40) -> str:
             FROM s{i} s LEFT JOIN m{i} m USING (node))""")
     parts.append(f"""
         SELECT node, CAST(COALESCE(dist, -1) AS BIGINT) AS distance
-        FROM s{rounds}""")
+        FROM s{rounds}
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM s{rounds} a JOIN s{rounds - 1} b
+                      USING (node)
+                      WHERE a.dist IS DISTINCT FROM b.dist)""")
     return "".join(parts)
 
 
@@ -531,7 +547,11 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 20) -> str:
     parts.append(f"""
         SELECT src, dst, rr AS round_removed FROM out{rounds}
         UNION ALL
-        SELECT src, dst, CAST(-1 AS BIGINT) FROM e{rounds}""")
+        SELECT src, dst, CAST(-1 AS BIGINT) FROM e{rounds}
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT),
+               CAST(-424242 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM doom{rounds - 1})""")
     return "".join(parts)
 
 
@@ -577,7 +597,14 @@ def _closeness_oracle_sql(k: int = 8, rounds: int = 16,
                    CAST(FLOOR(1000000.0 / dist + 0.5) AS BIGINT) END), 0)
                    AS BIGINT) AS harmonic_micro,
                CAST(COALESCE(MAX(dist), 0) AS BIGINT) AS ecc
-        FROM b{rounds} GROUP BY s""")
+        FROM b{rounds} GROUP BY s
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT),
+               CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT),
+               CAST(-424242 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM b{rounds} a JOIN b{rounds - 1} b
+                      ON a.s = b.s AND a.node = b.node
+                      WHERE a.dist IS DISTINCT FROM b.dist)""")
     return "".join(parts)
 
 
@@ -611,7 +638,10 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
             WHERE da.node IS NULL AND db.node IS NULL)""")
     parts.append(f"""
         SELECT d.node, CAST(COALESCE(rm.rr, -1) AS BIGINT) AS round_removed
-        FROM deg d LEFT JOIN rm{rounds} rm ON rm.node = d.node""")
+        FROM deg d LEFT JOIN rm{rounds} rm ON rm.node = d.node
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM doom{rounds - 1})""")
     return "".join(parts)
 
 
@@ -626,7 +656,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, degree FROM deg
             ORDER BY degree DESC, node LIMIT 20""",
         "graph_components": _cc_oracle_sql(),
-        "graph_component_sizes": _cc_oracle_sql(sizes=True),
         "graph_pagerank_fixed": _pr_fixed_oracle_sql(),
         "graph_pagerank_weighted_fixed": _pr_fixed_oracle_sql(weighted=True),
         "graph_labelprop": _lp_oracle_sql(),
@@ -709,6 +738,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(c_custkey + 1000 AS BIGINT) AS node,
                    CAST(0 AS DOUBLE) AS bc FROM customer""",
+        # The same closed form is WEIGHT-INVARIANT on a star forest:
+        # between two leaves of a center the unique path runs through
+        # the center whatever the edge weights, so weighted shortest
+        # paths coincide with the unweighted ones and the exact ordered-
+        # pair BC is identical. This upgrades the weighted-Brandes query
+        # from rows-only to value-hash-checked (the weighted kernel is
+        # additionally golden-tested against serial Dijkstra in
+        # tests/test_weighted_bc.py).
+        "graph_betweenness_weighted_nation": """
+            WITH k AS (SELECT c_nationkey AS nation,
+                              CAST(COUNT(*) AS DOUBLE) AS c
+                       FROM customer GROUP BY 1)
+            SELECT CAST(nation AS BIGINT) AS node,
+                   c * (c - 1) AS bc FROM k
+            UNION ALL
+            SELECT CAST(c_custkey + 1000 AS BIGINT) AS node,
+                   CAST(0 AS DOUBLE) AS bc FROM customer""",
         # every component is a single int/int division or a fixed
         # left-associative expression tree — float64 results are
         # bit-identical to the pandas/numpy side (no summation-order
@@ -747,21 +793,6 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e1
             JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
             JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst""",
-        "graph_triangles_pervertex": _GRAPH_EDGES_CTE + """
-            , tri AS (
-                SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
-                FROM edges e1
-                JOIN edges e2 ON e2.src = e1.src AND e2.dst > e1.dst
-                JOIN edges e3 ON e3.src = e1.dst AND e3.dst = e2.dst
-            ),
-            credits AS (
-                SELECT a AS node FROM tri
-                UNION ALL SELECT b FROM tri
-                UNION ALL SELECT c FROM tri
-            ),
-            pv AS (SELECT node, COUNT(*) AS t FROM credits GROUP BY node)
-            SELECT d.node, CAST(COALESCE(pv.t, 0) AS BIGINT) AS triangles
-            FROM deg d LEFT JOIN pv ON d.node = pv.node""",
         "graph_edge_support": _GRAPH_EDGES_CTE + """
             , tri AS (
                 SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
@@ -870,12 +901,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, SUM(l_quantity) AS total_qty
             FROM lineitem GROUP BY 1
             ORDER BY total_qty DESC, l_partkey LIMIT 25""",
-        "events_by_type": """
-            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT)
-                       AS sum_value_m,
-                   MIN(value) AS min_value, MAX(value) AS max_value
-            FROM events GROUP BY 1""",
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
                    CAST(COUNT(*) AS BIGINT) AS n,
@@ -960,9 +985,56 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))
                         AS BIGINT) AS n_bpeish_tokens
             FROM documents""",
-        "doc_lang_counts": """
-            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
-            FROM documents GROUP BY lang""",
+        # fingerprint oracle: fp = basis ⊕ Σ (h(tok_i)+1)·P^(n−i) mod
+        # 2^64 over whitespace tokens (1-based i), h = first 15 hex
+        # chars of sha256(token) — bit-identical to TextAnalyzer
+        # .fingerprint (functions/text.py). P^k table via a recursive
+        # CTE; all mod-2^64 arithmetic in HUGEINT; final value
+        # reinterpreted as signed int64 like numpy's .view(int64).
+        "doc_fingerprints": """
+            WITH RECURSIVE base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           COALESCE(text, ''), '\\s+'), x -> x <> '') AS ws
+                FROM documents
+            ),
+            mx AS (SELECT COALESCE(MAX(len(ws)), 1) AS m FROM base),
+            pows(k, v) AS (
+                SELECT 0, CAST(1 AS HUGEINT)
+                UNION ALL
+                SELECT k + 1,
+                       (v * 1099511628211) % 18446744073709551616
+                FROM pows WHERE k < (SELECT m FROM mx) - 1
+            ),
+            expl AS (
+                SELECT doc_id, len(ws) AS n, ws,
+                       unnest(generate_series(1, len(ws))) AS i
+                FROM base WHERE len(ws) > 0
+            ),
+            terms AS (
+                SELECT e.doc_id,
+                       ((CAST(CAST(('0x' || substr(sha256(e.ws[e.i]), 1, 15))
+                                   AS UBIGINT) AS HUGEINT) + 1) * p.v)
+                           % 18446744073709551616 AS t
+                FROM expl e JOIN pows p ON p.k = e.n - e.i
+            ),
+            acc AS (
+                SELECT doc_id,
+                       CAST(SUM(t) % 18446744073709551616 AS UBIGINT) AS a
+                FROM terms GROUP BY doc_id
+            ),
+            fp AS (
+                SELECT b.doc_id,
+                       xor(CAST(1469598103934665603 AS UBIGINT),
+                           COALESCE(acc.a, 0)) AS x
+                FROM base b LEFT JOIN acc USING (doc_id)
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN x >= 9223372036854775808
+                             THEN CAST(x AS HUGEINT) - 18446744073709551616
+                             ELSE CAST(x AS HUGEINT) END AS BIGINT)
+                       AS fingerprint
+            FROM fp""",
         "embedding_near_dup_ids": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -53,31 +53,71 @@ def synth_media_table(num_rows: int = 64, seed: int = 5) -> pa.Table:
     })
 
 
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    nzc = counts[counts > 0]
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(nzc)
+    out[0] = 0
+    out[ends[:-1]] = 1 - nzc[:-1]
+    return np.cumsum(out)
+
+
+def _binary_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow binary column → (byte offsets int64, flat data uint8),
+    zero-copy views of the Arrow buffers — the whole batch's payload
+    bytes addressable as ONE numpy array (no per-row as_py())."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        raise ValueError("media payload column must not contain nulls")
+    width = 8 if pa.types.is_large_binary(arr.type) else 4
+    dt = np.int64 if width == 8 else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=dt)[arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, np.uint8)
+    return offs.astype(np.int64), data
+
+
 class DecodeMedia:
     """Actor-pool decode stage. With real codecs this __init__ would load
     the codec context once per actor; __call__ decodes a batch. The stub
-    parses the fake header and validates it against the metadata columns
-    — raising on real (non-FAKE) payloads so misuse is loud."""
+    parses the fake header VECTORIZED over the batch's Arrow binary
+    buffers — the fields are fixed-offset, so one fancy-index gather of
+    the 17-byte prefixes decodes every row at once (no per-row Python) —
+    and raises on real (non-FAKE) payloads so misuse is loud."""
+
+    _HDR = 17  # magic(4) | modality u8 | width u32 | height u32 | frames u32
 
     def __init__(self, strict: bool = True):
         self.strict = strict
+        self._magic = np.frombuffer(_MAGIC, dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload")
-        widths = np.zeros(len(payloads), dtype=np.int32)
-        heights = np.zeros(len(payloads), dtype=np.int32)
-        frames = np.zeros(len(payloads), dtype=np.int32)
-        ok = np.zeros(len(payloads), dtype=bool)
-        for i, v in enumerate(payloads):
-            buf = v.as_py()
-            if buf[:4] != _MAGIC:
-                if self.strict:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/pyav — not available "
-                        "in this environment (stub decodes FAKE headers only)")
-                continue
-            _, w, h, f = struct.unpack("<BIII", buf[4:17])
-            widths[i], heights[i], frames[i], ok[i] = w, h, f, True
+        offs, data = _binary_buffers(batch.column("payload"))
+        n = offs.size - 1
+        lens = offs[1:] - offs[:-1]
+        ok = lens >= self._HDR
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        frames = np.zeros(n, dtype=np.int32)
+        rows = np.flatnonzero(ok)
+        if rows.size:
+            hdr = data[offs[rows, None] + np.arange(self._HDR)]  # (k, 17)
+            magic_ok = (hdr[:, :4] == self._magic).all(axis=1)
+            ok[rows] = magic_ok
+            rows, hdr = rows[magic_ok], hdr[magic_ok]
+            fields = np.ascontiguousarray(hdr[:, 5:17]).view("<u4")
+            widths[rows] = fields[:, 0].astype(np.int32)
+            heights[rows] = fields[:, 1].astype(np.int32)
+            frames[rows] = fields[:, 2].astype(np.int32)
+        if self.strict and not ok.all():
+            raise NotImplementedError(
+                "real media decode requires PIL/pyav — not available "
+                "in this environment (stub decodes FAKE headers only)")
         return (batch.append_column("dec_width", pa.array(widths))
                 .append_column("dec_height", pa.array(heights))
                 .append_column("dec_frames", pa.array(frames))
@@ -93,19 +133,48 @@ class FeatureExtract:
     """Fake feature extractor: deterministic 8-dim payload statistics —
     where a real model forward pass would run (batched, per-actor
     weights). Output is a fixed-size list<float> column, the shape a
-    downstream ANN stage consumes."""
+    downstream ANN stage consumes. Fully vectorized over the batch: the
+    bodies are addressed as one flat uint8 view of the Arrow data
+    buffer, moments via segment ``reduceat``, percentiles via one
+    batch-wide lexsort + interpolated gather (matches ``np.percentile``
+    linear interpolation bit-for-bit)."""
 
     DIM = 8
+    _HDR = 17
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.zeros((len(batch), self.DIM), dtype=np.float32)
-        for i, v in enumerate(batch.column("payload")):
-            body = np.frombuffer(v.as_py()[17:], dtype=np.uint8)
-            if body.size == 0:
-                continue
-            feats[i] = [body.mean(), body.std(), body.min(), body.max(),
-                        np.percentile(body, 25), np.percentile(body, 50),
-                        np.percentile(body, 75), float(body.size)]
+        offs, data = _binary_buffers(batch.column("payload"))
+        n = offs.size - 1
+        feats = np.zeros((n, self.DIM), dtype=np.float32)
+        starts = np.minimum(offs[:-1] + self._HDR, offs[1:])
+        lens = offs[1:] - starts
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            seg_ids = np.repeat(np.arange(n), lens)  # nz segments only
+            body = data[np.repeat(starts, lens)
+                        + _ragged_arange(lens)].astype(np.float64)
+            seg = np.zeros(nz.size, dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=seg[1:])
+            L = lens[nz].astype(np.float64)
+            s1 = np.add.reduceat(body, seg)
+            s2 = np.add.reduceat(body * body, seg)
+            mean = s1 / L
+            std = np.sqrt(np.maximum(s2 / L - mean * mean, 0.0))
+            # batch-wide within-segment sort for exact percentiles
+            order = np.lexsort((body, seg_ids))
+            srt = body[order]
+            for j, q in enumerate((0.25, 0.50, 0.75)):
+                pos = (L - 1.0) * q
+                lo = np.floor(pos).astype(np.int64)
+                frac = pos - lo
+                vlo = srt[seg + lo]
+                vhi = srt[seg + np.minimum(lo + 1, lens[nz] - 1)]
+                feats[nz, 4 + j] = vlo + frac * (vhi - vlo)
+            feats[nz, 0] = mean
+            feats[nz, 1] = std
+            feats[nz, 2] = np.minimum.reduceat(body, seg)
+            feats[nz, 3] = np.maximum.reduceat(body, seg)
+            feats[nz, 7] = L
         return pa.table({
             "media_id": batch.column("media_id"),
             "feature": pa.FixedSizeListArray.from_arrays(

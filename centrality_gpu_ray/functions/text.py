@@ -141,7 +141,14 @@ class TextAnalyzer:
     def fingerprint(self, batch: pd.DataFrame) -> pd.DataFrame:
         """64-bit polynomial token hash — deterministic, order-sensitive,
         whitespace-jitter-robust: fp = basis ⊕ Σ (h(tok_i)+1)·P^(n-1-i)
-        (mod 2^64), vectorized over all docs via one reduceat."""
+        (mod 2^64), vectorized over all docs via one reduceat. The token
+        hash h is the first 15 hex chars of sha256(token) — chosen to be
+        reproducible in ANSI SQL (DuckDB ``sha256``), so the whole
+        fingerprint is oracle-checkable; only the per-batch VOCABULARY
+        (unique tokens) pays a Python hash call, the token stream stays
+        vectorized."""
+        import hashlib
+
         tok_lists = [t.split() for t in batch["text"].fillna("")]
         sizes = np.array([len(t) for t in tok_lists], dtype=np.int64)
         fps = np.full(sizes.size, _FNV_BASIS, dtype=np.uint64)
@@ -149,7 +156,12 @@ class TextAnalyzer:
         if nz.size:
             flat = np.asarray([tok for toks in tok_lists for tok in toks],
                               dtype=object)
-            th = pd.util.hash_array(flat).astype(np.uint64) + np.uint64(1)
+            uniq, inv = np.unique(flat, return_inverse=True)
+            uh = np.fromiter(
+                (int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:15], 16)
+                 for t in uniq),
+                dtype=np.uint64, count=uniq.size)
+            th = uh[inv] + np.uint64(1)
             # P^k mod 2^64 table (u64 multiply wraps naturally)
             maxlen = int(sizes.max())
             pows = np.ones(maxlen, dtype=np.uint64)

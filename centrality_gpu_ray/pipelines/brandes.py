@@ -148,6 +148,25 @@ def _single_source_dependencies_weighted(
     return delta
 
 
+def _validate_bc_weights(w: np.ndarray, where: str) -> None:
+    """The weighted-BC DAG membership test is an exact float equality
+    (``dist[u] + w == dist[v]``, here and in
+    ``shards.py::shard_gather_wdag_sum``), which is only exact for
+    positive INTEGER weights whose path sums stay below 2^53. Fractional
+    or huge weights would silently undercount sigma/BC — fail loudly
+    instead (ADVICE r2)."""
+    if w.size == 0:
+        return
+    if not (np.all(w > 0) and np.all(w == np.floor(w))
+            and float(w.max()) < 2 ** 31):
+        raise ValueError(
+            f"{where}: weighted betweenness requires positive integer "
+            "edge weights < 2^31 (the shortest-path-DAG test is an exact "
+            "float equality; fractional weights would silently undercount "
+            f"path counts). Got min={w.min()}, max={w.max()}, "
+            f"integral={bool(np.all(w == np.floor(w)))}.")
+
+
 def _ragged_arange(counts: np.ndarray) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated (vectorized)."""
     total = int(counts.sum())
@@ -222,6 +241,9 @@ def betweenness_centrality(graph: Graph, config: EngineConfig | None = None,
     t0 = time.perf_counter()
     n = graph.num_vertices
     s, d, w = graph.local_arrays()
+    if weighted:
+        _validate_bc_weights(np.asarray(w, dtype=np.float64),
+                             "betweenness_centrality")
     R, C = build_csr(s, d, n)
     graph_ref = ray.put((R.tobytes(), C.tobytes(),
                          s.astype(np.int64).tobytes(),
@@ -299,6 +321,16 @@ def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
             "config.dense_vertex_limit for the CSR path")
     t0 = _time.perf_counter()
     pool = graph.pool
+    if weighted:
+        import ray as _ray
+
+        for ok, wmax in _ray.get([a.weight_profile.remote()
+                                  for a in pool.actors]):
+            if not (ok and wmax < 2 ** 31):
+                raise ValueError(
+                    "sampled weighted BC requires positive integer edge "
+                    "weights < 2^31 (exact-equality DAG test; see "
+                    "_validate_bc_weights)")
     pool.setup_owners_sharded(graph.num_vertices)
     pool.brandes_init()
     k = min(max_sources, graph.num_vertices)

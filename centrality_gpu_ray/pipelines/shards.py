@@ -26,6 +26,19 @@ import numpy as np
 import pyarrow as pa
 
 
+def _ragged(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    nz = counts[counts > 0]
+    out = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(nz)
+    out[0] = 0
+    out[ends[:-1]] = 1 - nz[:-1]
+    return np.cumsum(out)
+
+
 def _shard_class():
     import ray
 
@@ -94,6 +107,15 @@ def _shard_class():
 
         def ready(self) -> int:
             return self.num_edges
+
+        def weight_profile(self) -> tuple[bool, float]:
+            """(all weights positive integers, max weight) — one-time
+            validation for the exact-equality weighted-BC DAG test."""
+            if self.w.size == 0:
+                return True, 0.0
+            ok = bool(np.all(self.w > 0)
+                      and np.all(self.w == np.floor(self.w)))
+            return ok, float(self.w.max())
 
         # -- owner role (vertex-range state holder) ----------------------
         # Each actor additionally OWNS a contiguous dense-id range
@@ -249,6 +271,93 @@ def _shard_class():
             return tuple((v[cuts[i]:cuts[i + 1]], u[cuts[i]:cuts[i + 1]])
                          for i in range(len(bounds) - 1))
 
+        # -- direction-optimized (top-down) frontier kernels --------------
+        # The reference's Beamer α/β switch (bcc_bfs.cpp:542-567): when
+        # the frontier is small, touching only the frontier's incident
+        # edges beats streaming all 2m messages. The shard arrays are
+        # v-sorted with per-vertex segments, so the frontier's OUT-edges
+        # are exactly the segments v ∈ frontier (undirected: neighbors
+        # of f = the u values of segment v=f) — a searchsorted + ragged
+        # gather, O(Σdeg(frontier)) instead of O(m). Not available on
+        # rep_fold-tiled shards (seg no longer indexes uniq_v 1:1).
+
+        def _frontier_segments(self, frontier: np.ndarray):
+            """(neighbor array, per-frontier counts, hit mask) for the
+            frontier vertices present in this shard."""
+            pos = np.searchsorted(self.uniq_v, frontier)
+            pos_c = np.minimum(pos, max(self.uniq_v.size - 1, 0))
+            hit = (self.uniq_v[pos_c] == frontier) if self.uniq_v.size \
+                else np.zeros(frontier.size, dtype=bool)
+            pos = pos_c[hit]
+            seg_ends = np.append(self.seg[1:], self.u.size)
+            starts, ends = self.seg[pos], seg_ends[pos]
+            counts = ends - starts
+            idx = np.repeat(starts, counts) + _ragged(counts)
+            return self.u[idx].astype(np.int64), counts, hit
+
+        def shard_bfs_topdown(self, bounds: np.ndarray,
+                              frontier: np.ndarray):
+            """Range-split (v, min candidate parent) partials from the
+            frontier's own adjacency segments. The unvisited test runs
+            owner-side (owner_combine_bfs ignores state >= 0), so only
+            the small frontier id array ships — no level broadcast."""
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0 or frontier.size == 0:
+                return tuple((z, z) for _ in range(len(bounds) - 1))
+            nbr, counts, hit = self._frontier_segments(frontier)
+            par = np.repeat(frontier[hit], counts)
+            if nbr.size == 0:
+                return tuple((z, z) for _ in range(len(bounds) - 1))
+            order = np.lexsort((par, nbr))
+            v, u = nbr[order], par[order]
+            first = np.ones(v.size, dtype=bool)
+            first[1:] = v[1:] != v[:-1]
+            v, u = v[first], u[first]
+            cuts = np.searchsorted(v, bounds)
+            return tuple((v[cuts[i]:cuts[i + 1]], u[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def shard_frontier_scatter(self, bounds: np.ndarray, pair):
+            """Range-split (v, Σ vals over incident frontier) partials —
+            the sparse (top-down) form of shard_gather_sum for Brandes
+            forward/backward sweeps. ``pair`` = (sorted frontier ids,
+            per-id values), one assembled plasma object."""
+            frontier, vals = pair
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0 or frontier.size == 0:
+                return tuple((z, z.astype(np.float64))
+                             for _ in range(len(bounds) - 1))
+            nbr, counts, hit = self._frontier_segments(frontier)
+            contrib = np.repeat(vals[hit], counts)
+            if nbr.size == 0:
+                return tuple((z, z.astype(np.float64))
+                             for _ in range(len(bounds) - 1))
+            order = np.argsort(nbr, kind="stable")
+            nbr_s, contrib_s = nbr[order], contrib[order]
+            first = np.ones(nbr_s.size, dtype=bool)
+            first[1:] = nbr_s[1:] != nbr_s[:-1]
+            uniq_n = nbr_s[first]
+            sums = np.add.reduceat(contrib_s, np.flatnonzero(first))
+            cuts = np.searchsorted(uniq_n, bounds)
+            return tuple((uniq_n[cuts[i]:cuts[i + 1]],
+                          sums[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def owner_make_frontier_ids(self, depth: float) -> np.ndarray:
+            """Dense ids of this range's vertices at ``depth`` (sorted;
+            owner ranges are ascending, so the assembled concat is the
+            globally sorted frontier)."""
+            return np.flatnonzero(self.state == depth) + self.lo
+
+        def owner_make_sigma_sparse(self, depth: float):
+            idx = np.flatnonzero(self.b_level == depth)
+            return idx + self.lo, self.b_sigma[idx]
+
+        def owner_make_delta_sparse(self, depth: float):
+            idx = np.flatnonzero(self.b_level == depth)
+            sig = self.b_sigma[idx]
+            return idx + self.lo, (1.0 + self.b_delta[idx]) / sig
+
         def owner_combine_bfs(self, my_idx: int, depth: float,
                               *shard_outs) -> int:
             """Adopt newly-reached vertices in this range: level ←
@@ -340,6 +449,13 @@ def _shard_class():
             delta = float(np.abs(new - self.state).sum())
             self.state = new
             return delta
+
+        def owner_drop_pending(self) -> bool:
+            """Discard an uncommitted phase-1 chunk (degenerate gather:
+            global sum ≤ 0). Without this a later algorithm phase on the
+            same pool would see stale _pending state (ADVICE r2)."""
+            self._pending = None
+            return True
 
         # -- owner role: sampled Brandes (level/sigma/delta resident) ----
         # Per source: level-synchronous forward BFS accumulating path
@@ -683,7 +799,15 @@ def _assemble_fn():
             mass = float(sum(p[1] for p in wm_pairs))
             return w, mass
 
-        _ASSEMBLE = (_assemble, _assemble_wm)
+        @ray.remote(num_cpus=0)
+        def _assemble_pair(*pairs):
+            """Concat P owners' (ids, vals) partials into ONE (ids,
+            vals) plasma object (ids stay globally sorted — owner
+            ranges ascend)."""
+            return (np.concatenate([p[0] for p in pairs]),
+                    np.concatenate([p[1] for p in pairs]))
+
+        _ASSEMBLE = (_assemble, _assemble_wm, _assemble_pair)
     return _ASSEMBLE
 
 
@@ -728,6 +852,10 @@ class ShardPool:
     @staticmethod
     def _assembler_wm():
         return _assemble_fn()[1]
+
+    @staticmethod
+    def _assembler_pair():
+        return _assemble_fn()[2]
 
     # -- owner-mode orchestration (no O(n) driver work per superstep) ----
 
@@ -808,6 +936,10 @@ class ShardPool:
             [self.actors[p].owner_combine_accum.remote(p, *outs)
              for p in range(P)])))
         if total <= 0.0:
+            # degenerate gather (all-zero y): drop the pending chunks so
+            # a pool reuse can't commit stale state, and surface the
+            # condition distinctly from an ordinary converged delta
+            ray.get([a.owner_drop_pending.remote() for a in self.actors])
             return 0.0
         return float(sum(ray.get(
             [a.owner_scale_pending.remote(total) for a in self.actors])))

@@ -71,6 +71,16 @@ class VertexDict:
         counts = np.array([m[1] for _, m in keep], dtype=np.int64)
         offsets = np.zeros(len(keep) + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
+        # The whole dictionary depends on iter_internal_ref_bundles()
+        # yielding the sort("v") blocks in GLOBAL sorted order. If that
+        # internal-API invariant ever breaks, every searchsorted remap
+        # would silently corrupt ids — make it a loud O(P) failure
+        # instead (ADVICE r2).
+        if not np.all(np.diff(mins) > 0):
+            raise AssertionError(
+                "VertexDict.build: sorted dict blocks arrived out of "
+                "global order (Ray internal block-order invariant "
+                f"violated); block mins = {mins.tolist()[:20]}...")
         return VertexDict([r for r, _ in keep], mins, offsets)
 
 

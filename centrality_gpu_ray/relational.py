@@ -61,25 +61,35 @@ def q1_pricing_summary(sf_dir: str):
     return out.sort(["l_returnflag", "l_linestatus"])
 
 
-def revenue_by_mktsegment(sf_dir: str):
-    """orders ⋈ customer (broadcast small side) → groupby segment.
-
-    customer is the small side: broadcast via ``ray.put`` once and map
-    each orders batch against it — no shuffle join (ray_guide 'Joins')."""
-    import ray
-    from ray.data.aggregate import Count, Sum
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    cust_ref = ray.put(cust.sort_values("c_custkey"))
+def _orders_money(sf_dir: str):
+    """orders fact stream with exact int64 cents, columns pruned."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def join_batch(t: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cust_ref)
-        m = t.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
-        m["total_c"] = np.round(m["o_totalprice"] * 100).astype(np.int64)
-        return m[["c_mktsegment", "total_c"]]
+    def money(t: pa.Table) -> pa.Table:
+        total_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                          pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "total_c": total_c})
 
-    joined = orders.map_batches(join_batch, batch_format="pandas")
+    return orders.map_batches(money, batch_format="pyarrow")
+
+
+def revenue_by_mktsegment(sf_dir: str):
+    """orders ⋈ customer → groupby segment. customer is SF-proportional
+    (NOT a fixed-size dimension), so it must never be collected to the
+    driver or broadcast: the engine's hash-partitioned lookup join
+    co-partitions both sides on the customer key and attaches the
+    segment inside the shuffle (``stages/shuffle.py::hash_lookup_join``)
+    — the star-join shape that survives 100 TB facts with a 1 TB
+    customer dimension."""
+    from ray.data.aggregate import Count, Sum
+
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_lookup_join(_orders_money(sf_dir), cust,
+                              row_key="o_custkey", dict_key="c_custkey",
+                              attach={"c_mktsegment": "c_mktsegment"},
+                              num_partitions=16)
     out = joined.groupby("c_mktsegment").aggregate(
         Sum("total_c", alias_name="total_revenue_c"),
         Count(alias_name="num_orders"))
@@ -87,32 +97,37 @@ def revenue_by_mktsegment(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """3-table fact⋈dim⋈dim rollup (orders ⋈ customer ⋈ nation):
-    both dimensions broadcast once, the fact table streams — the
-    standard star-join shape at 100 TB (dims fit a node, facts never
-    leave their blocks)."""
+    """3-table fact⋈dim⋈dim rollup (orders ⋈ customer ⋈ nation): the
+    SF-scaled customer side goes through the hash-partitioned lookup
+    join (never driver-collected); only the genuinely fixed-size nation
+    table (25 rows) is broadcast via one ``ray.put``."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer",
-                 ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dims_ref = ray.put((cust.sort_values("c_custkey"), nation))
-    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
 
-    def join_batch(t: pd.DataFrame) -> pd.DataFrame:
-        c, nat = ray.get(dims_ref)
-        m = t.merge(c, left_on="o_custkey", right_on="c_custkey",
-                    how="inner")
-        m = m.merge(nat, left_on="c_nationkey", right_on="n_nationkey",
-                    how="inner")
-        m["total_c"] = np.round(m["o_totalprice"] * 100).astype(np.int64)
-        return m[["n_name", "total_c"]]
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name"]).to_pandas() \
+        .sort_values("n_nationkey")
+    nat_ref = ray.put((nation["n_nationkey"].to_numpy(),
+                       nation["n_name"].to_numpy()))
 
-    joined = orders.map_batches(join_batch, batch_format="pandas")
-    out = joined.groupby("n_name").aggregate(
-        Sum("total_c", alias_name="total_revenue_c"),
-        Count(alias_name="num_orders"))
+    joined = hash_lookup_join(_orders_money(sf_dir), cust,
+                              row_key="o_custkey", dict_key="c_custkey",
+                              attach={"c_nationkey": "c_nationkey"},
+                              num_partitions=16)
+
+    def add_nation(t: pa.Table, _ref=nat_ref) -> pa.Table:
+        keys, names = ray.get(_ref)
+        idx = np.searchsorted(keys, t.column("c_nationkey").to_numpy())
+        return pa.table({"n_name": pa.array(names[idx], type=pa.string()),
+                         "total_c": t["total_c"]})
+
+    out = (joined.map_batches(add_nation, batch_format="pyarrow")
+           .groupby("n_name").aggregate(
+               Sum("total_c", alias_name="total_revenue_c"),
+               Count(alias_name="num_orders")))
     return out.sort("n_name")
 
 

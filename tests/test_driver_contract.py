@@ -29,7 +29,8 @@ def test_query_and_oracle_keys_consistent():
 
 
 @pytest.mark.parametrize("name", [
-    "graph_pagerank", "graph_components", "minhash_dedup_docs", "doc_quality"])
+    "graph_pagerank_fixed", "graph_components", "minhash_dedup_docs",
+    "doc_quality"])
 def test_rows_only_queries_smoke(name):
     out = entrymod.queries()[name](SF)
     df = out if hasattr(out, "columns") and not hasattr(out, "to_pandas") \
