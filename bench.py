@@ -102,6 +102,33 @@ def run_bench() -> dict:
     timed("q1_pricing", lambda: rel.q1_pricing_summary(sf_dir).to_pandas())
     timed("degrees", lambda: gq.lineitem_degrees(sf_dir).to_pandas())
 
+    # direction-optimizing BFS evidence (reference bcc_bfs.cpp:542-567):
+    # the same sharded-state BFS with the frontier switch ON vs forced
+    # full-scan, same graph + shard pool, best of 2 each (steal noise).
+    # The superstep loop time (metrics["sec"]) is reported, so the win
+    # is the per-superstep gather cost tracking frontier size.
+    from centrality_gpu_ray.pipelines.bfs import bfs as _bfs
+
+    cfg_s = EngineConfig(dense_vertex_limit=1000)
+    gs = gq.lineitem_graph(sf_dir, config=cfg_s)
+    import ray as _ray
+
+    bfs_src = int(_ray.get(gs.vdict.block_refs[0])[0])
+    gs.pool  # spawn the shard actors outside the timed region
+    ab = {"on": [], "off": []}
+    for _ in range(2):
+        m_off: dict = {}
+        _bfs(gs, bfs_src, EngineConfig(dense_vertex_limit=1000,
+                                       bfs_direction_opt=False),
+             metrics=m_off)
+        ab["off"].append(m_off["sec"])
+        m_on: dict = {}
+        _bfs(gs, bfs_src, cfg_s, metrics=m_on)
+        ab["on"].append(m_on["sec"])
+    queries["bfs_sharded_fullscan"] = round(min(ab["off"]), 3)
+    queries["bfs_sharded_directionopt"] = round(min(ab["on"]), 3)
+    gs.pool.shutdown()
+
     def _docs_ops():
         import ray.data
 

@@ -61,6 +61,11 @@ class EngineConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1
     strict_convergence: bool = True
+    # direction-optimizing BFS (Beamer α/β, reference
+    # bcc_bfs.cpp:542-567): small frontiers gather from their own
+    # adjacency segments instead of streaming all 2m messages. False
+    # forces the full-scan mode everywhere (bench A/B + debugging).
+    bfs_direction_opt: bool = True
     extra: dict = field(default_factory=dict)
 
 

@@ -173,12 +173,17 @@ def _bfs_sharded(graph: Graph, source: int, cfg: EngineConfig,
     ray.get([a.owner_set_value.remote(src_dense, 0.0) for a in pool.actors])
 
     t0 = time.perf_counter()
-    depth, reached = 0, 1
+    depth, reached, frontier = 0, 1, 1
     while depth < cfg.max_supersteps:
-        new = pool.bfs_step_sharded(depth)
+        # frontier = |level depth| from the previous superstep's adopt
+        # count — drives the top-down/bottom-up direction switch
+        new = pool.bfs_step_sharded(
+            depth,
+            frontier_size=frontier if cfg.bfs_direction_opt else None)
         if new == 0:
             break
         reached += new
+        frontier = new
         depth += 1
     if metrics is not None:
         metrics.update({"sec": time.perf_counter() - t0, "depth": depth,

@@ -843,6 +843,9 @@ class ShardPool:
         # zero-copy plasma read inside the actor)
         self.actors = [EdgeShard.remote(*a, replicas=replicas, stride=stride)
                        for a in assignments]
+        # rep_fold tiling (replicas > 1, stride == 0) breaks the 1:1
+        # seg↔uniq_v indexing the frontier kernels rely on
+        self._frontier_capable = replicas == 1 or stride > 0
         ray.get([a.ready.remote() for a in self.actors])
 
     @staticmethod
@@ -953,31 +956,56 @@ class ShardPool:
         """One complete Brandes source: forward BFS with path counts,
         then backward dependency passes; accumulates into the owners'
         resident bc vector. Returns the BFS depth reached. Driver work:
-        O(P) calls per superstep, O(depth) supersteps."""
+        O(P) calls per superstep, O(depth) supersteps.
+
+        Direction-optimized: each sweep's sender set is one BFS level,
+        whose size the forward pass already counts — levels below n/8
+        vertices run as a sparse frontier scatter over only their own
+        adjacency segments (``shard_frontier_scatter``) instead of the
+        full 2m-message gather, in BOTH the forward sigma and backward
+        delta sweeps (source/tail levels of every BFS are tiny, so this
+        trims O(m) work from the narrow ends of every source)."""
         import ray
 
         P = len(self.actors)
         ray.get([a.owner_brandes_reset_source.remote(src_dense)
                  for a in self.actors])
-        depth = 0.0
-        while True:
-            fr = [a.owner_make_sigma_frontier.remote(depth)
+
+        def sparse_ok(count: int) -> bool:
+            return self._frontier_capable and count * 8 < self.n
+
+        def level_exchange(depth: float, count: int, sparse_maker: str,
+                           dense_maker: str):
+            if sparse_ok(count):
+                prs = [getattr(a, sparse_maker).remote(depth)
+                       for a in self.actors]
+                pair = self._assembler_pair().remote(*prs)
+                return [a.shard_frontier_scatter.remote(self.bounds, pair)
+                        for a in self.actors]
+            fr = [getattr(a, dense_maker).remote(depth)
                   for a in self.actors]
             w_full = self._assembler().remote(*fr)
-            outs = [a.shard_gather_sum.remote(self.bounds, False, w_full)
+            return [a.shard_gather_sum.remote(self.bounds, False, w_full)
                     for a in self.actors]
+
+        level_counts = [1]  # |level k| — the source alone at depth 0
+        depth = 0.0
+        while True:
+            outs = level_exchange(depth, level_counts[-1],
+                                  "owner_make_sigma_sparse",
+                                  "owner_make_sigma_frontier")
             new = sum(ray.get(
                 [self.actors[p].owner_combine_brandes_fwd.remote(
                     depth, p, *outs) for p in range(P)]))
             if new == 0:
                 break
+            level_counts.append(new)
             depth += 1.0
         d = depth
         while d > 0.0:
-            dt = [a.owner_make_delta_term.remote(d) for a in self.actors]
-            w_full = self._assembler().remote(*dt)
-            outs = [a.shard_gather_sum.remote(self.bounds, False, w_full)
-                    for a in self.actors]
+            outs = level_exchange(d, level_counts[int(d)],
+                                  "owner_make_delta_sparse",
+                                  "owner_make_delta_term")
             ray.get([self.actors[p].owner_combine_brandes_bwd.remote(
                 d - 1.0, p, *outs) for p in range(P)])
             d -= 1.0
@@ -1116,15 +1144,32 @@ class ShardPool:
         ]
         return int(sum(ray.get(changed_refs)))
 
-    def bfs_step_sharded(self, depth: int) -> int:
-        """One sharded BFS superstep; returns #vertices newly reached."""
+    def bfs_step_sharded(self, depth: int,
+                         frontier_size: int | None = None) -> int:
+        """One sharded BFS superstep; returns #vertices newly reached.
+
+        Direction-optimized (reference ``bcc_bfs.cpp:542-567``): when the
+        caller reports a small frontier (< n/8 vertices), only the
+        frontier's own adjacency segments are touched — O(Σdeg(frontier))
+        via ``shard_bfs_topdown`` and no level broadcast — instead of
+        streaming all 2m messages. The full scan remains the bottom-up
+        mode for wide frontiers."""
         import ray
 
         P = len(self.actors)
-        lvl_refs = [a.owner_get_state.remote() for a in self.actors]
-        lvl_full = self._assembler().remote(*lvl_refs)
-        outs = [a.shard_bfs_step.remote(self.bounds, lvl_full, float(depth))
-                for a in self.actors]
+        if (self._frontier_capable and frontier_size is not None
+                and frontier_size * 8 < self.n):
+            fr_refs = [a.owner_make_frontier_ids.remote(float(depth))
+                       for a in self.actors]
+            fr_full = self._assembler().remote(*fr_refs)
+            outs = [a.shard_bfs_topdown.remote(self.bounds, fr_full)
+                    for a in self.actors]
+        else:
+            lvl_refs = [a.owner_get_state.remote() for a in self.actors]
+            lvl_full = self._assembler().remote(*lvl_refs)
+            outs = [a.shard_bfs_step.remote(self.bounds, lvl_full,
+                                            float(depth))
+                    for a in self.actors]
         new_refs = [self.actors[p].owner_combine_bfs.remote(
             p, float(depth), *outs) for p in range(P)]
         return int(sum(ray.get(new_refs)))

@@ -373,3 +373,37 @@ def test_sharded_weighted_sampled_brandes_matches_dense():
     assert len(merged) == dense.num_vertices
     assert np.allclose(merged["bc_d"], merged["bc_s"], atol=1e-9)
     assert (merged["bc_d"] > 0).any()
+
+
+def test_sharded_bfs_direction_switch_matches_dense():
+    """Force both gather directions: a path graph keeps every frontier
+    at size 1 (pure top-down ``shard_bfs_topdown``), a star jumps the
+    frontier to n−1 after one step (full-scan bottom-up mode) — both
+    must match the dense BFS exactly."""
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.bfs import bfs
+
+    cases = {
+        "path": (np.arange(90, dtype=np.int64),
+                 np.arange(90, dtype=np.int64) + 1),
+        "star": (np.zeros(900, dtype=np.int64),
+                 np.arange(1, 901, dtype=np.int64)),
+    }
+    for name, (src_arr, dst_arr) in cases.items():
+        tbl = pa.table({
+            "src": pa.array(src_arr * 13 + 1),
+            "dst": pa.array(dst_arr * 13 + 1),
+            "weight": pa.array(np.ones(src_arr.size, dtype=np.int64)),
+        })
+        dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
+        sharded = Graph(ray.data.from_arrow(tbl),
+                        config=EngineConfig(dense_vertex_limit=50))
+        assert sharded.sharded, name
+        a = bfs(dense, 1).to_pandas()
+        b = bfs(sharded, 1,
+                EngineConfig(dense_vertex_limit=50)).to_pandas()
+        merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+        assert len(merged) == dense.num_vertices, name
+        assert (merged["level_d"] == merged["level_s"]).all(), name
+        assert (merged["parent_d"] == merged["parent_s"]).all(), name
