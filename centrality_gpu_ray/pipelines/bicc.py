@@ -241,12 +241,26 @@ def biconnected(graph: Graph, config: EngineConfig | None = None,
     return out
 
 
+def _use_distributed(graph: Graph) -> bool:
+    """The driver-resident numpy program below is the small-graph
+    collapse (mode == "local", edges already fit the driver); any
+    distributed-mode graph — sharded state or not — runs the
+    owner-exchange form instead (``pipelines/bicc_sharded.py``), so no
+    whole-edge-list driver pull ever happens past LOCAL_EDGE_CUTOFF."""
+    return getattr(graph, "sharded", False) or graph.mode == "distributed"
+
+
 def bridges(graph: Graph, config: EngineConfig | None = None,
-            metrics: dict | None = None) -> pa.Table:
+            metrics: dict | None = None):
     """``(src, dst, is_bridge)`` per canonical edge — a bridge is an
     edge alone in its biconnected component (reference keeps the same
     per-edge ``bridges[m]`` annotation, ``graph_ear_decompos.h:46-50``).
     Derived from :func:`bcc_labels` by a label-frequency count."""
+    if _use_distributed(graph):
+        from centrality_gpu_ray.pipelines.bicc_sharded import \
+            bridges_distributed
+
+        return bridges_distributed(graph, config, metrics)
     t = bcc_labels(graph, config, metrics)
     lab = t.column("bcc").to_numpy()
     uniq, inv = np.unique(lab, return_inverse=True)
@@ -259,9 +273,14 @@ def bridges(graph: Graph, config: EngineConfig | None = None,
 
 
 def articulation_points(graph: Graph, config: EngineConfig | None = None,
-                        metrics: dict | None = None) -> pa.Table:
+                        metrics: dict | None = None):
     """Returns ``(node, is_articulation)`` for every vertex (original
-    ids, sorted)."""
+    ids, sorted; a Dataset on the distributed path)."""
+    if _use_distributed(graph):
+        from centrality_gpu_ray.pipelines.bicc_sharded import \
+            articulation_points_distributed
+
+        return articulation_points_distributed(graph, config, metrics)
     res = biconnected(graph, config, metrics)
     return pa.table({
         "node": pa.array(graph.node_ids, type=pa.int64()),
@@ -270,11 +289,16 @@ def articulation_points(graph: Graph, config: EngineConfig | None = None,
 
 
 def bcc_labels(graph: Graph, config: EngineConfig | None = None,
-               metrics: dict | None = None) -> pa.Table:
+               metrics: dict | None = None):
     """Per-edge biconnected-component labels ``(src, dst, bcc)`` in
     original ids: a tree edge carries its own label; a non-tree edge
     carries the label of its fundamental cycle (= the label of the
     deeper endpoint's tree edge)."""
+    if _use_distributed(graph):
+        from centrality_gpu_ray.pipelines.bicc_sharded import \
+            bcc_labels_distributed
+
+        return bcc_labels_distributed(graph, config, metrics)
     res = biconnected(graph, config, metrics)
     s, d, _ = graph.local_arrays()
     parent, level, lab = res["parent"], res["level"], res["bcc_label"]

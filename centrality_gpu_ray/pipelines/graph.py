@@ -179,18 +179,19 @@ class Graph:
         return self._strength
 
     def require_dense(self, op: str) -> None:
-        """Loud guard for the one operator family whose sharded-state
-        form is not wired yet (BiCC/articulation — needs whole-forest
-        gluing; exact all-sources BC is dense-only BY DESIGN, but
-        sampled BC runs sharded via ``shards.py::brandes_source_pass``;
-        everything else — PageRank/CC/LP/SSSP/BFS/triangles/
-        eigenvector/Katz/PPR/k-core/k-truss/closeness — runs sharded,
-        see ``pipelines/vertexdict.py``)."""
+        """Loud guard for operators whose driver-resident form is the
+        only one (exact all-sources BC is dense-only BY DESIGN — its
+        per-worker cache-resident CSR is the point; sampled BC runs
+        sharded via ``shards.py::brandes_source_pass``). Every other
+        family — PageRank/CC/LP/SSSP/BFS/triangles/eigenvector/Katz/
+        PPR/k-core/k-truss/closeness and, since round 3,
+        BiCC/articulation/bridges (``pipelines/bicc_sharded.py``) —
+        runs sharded, see ``pipelines/vertexdict.py``."""
         if getattr(self, "sharded", False):
             raise NotImplementedError(
                 f"{op} is not wired for the sharded-state (> "
                 f"dense_vertex_limit={self.config.dense_vertex_limit}) "
-                "path yet (it needs a whole-graph CSR per worker). "
+                "path (it needs a whole-graph CSR per worker). "
                 "Raise config.dense_vertex_limit if the driver has RAM.")
 
     def dense_index(self, nodes: np.ndarray) -> np.ndarray | None:

@@ -577,6 +577,222 @@ def _shard_class():
             self.b_delta += self.b_sigma * acc
             return True
 
+        # -- owner role: sharded BiCC (Tarjan–Vishkin over the BFS forest)
+        # Reference semantics bicc.cpp:81-161; the distributed form runs
+        # the dense pipeline's level sweeps as per-level owner exchanges
+        # (pipelines/bicc.py derives the algorithm; bicc_sharded.py
+        # orchestrates). All per-vertex vectors live in self.bicc —
+        # size/pre/tmin/tmax/outmin/outmax/label — each an (hi−lo) chunk.
+
+        def owner_bicc_init(self) -> int:
+            """After sharded CC (state = min-id labels): re-init
+            state/aux as BFS level/parent with every component's min-id
+            vertex a root at level 0. Returns the local root count."""
+            own = np.arange(self.lo, self.hi, dtype=np.int64)
+            roots = self.state.astype(np.int64) == own
+            self.state = np.where(roots, 0.0, -1.0)
+            self.aux = np.full(own.size, -1.0)
+            m = own.size
+            imax = np.iinfo(np.int64).max
+            self.bicc = {
+                "size": np.ones(m, dtype=np.int64),
+                "pre": np.zeros(m, dtype=np.int64),
+                "tmin": np.full(m, imax, dtype=np.int64),
+                "tmax": np.full(m, -1, dtype=np.int64),
+            }
+            return int(roots.sum())
+
+        def owner_get_bicc(self, key: str) -> np.ndarray:
+            return self.bicc[key]
+
+        def owner_bicc_size_partial(self, k: float):
+            """(parent, subtree size) rows for my vertices at level k —
+            the bottom-up size sweep's send side."""
+            idx = np.flatnonzero(self.state == k)
+            return (self.aux[idx].astype(np.int64),
+                    self.bicc["size"][idx].astype(np.float64))
+
+        def owner_bicc_size_combine(self, pair) -> bool:
+            par, sz = pair
+            m = (par >= self.lo) & (par < self.hi)
+            np.add.at(self.bicc["size"], par[m] - self.lo,
+                      sz[m].astype(np.int64))
+            return True
+
+        def owner_bicc_root_sizesum(self) -> int:
+            roots = np.flatnonzero(self.state == 0.0)
+            return int(self.bicc["size"][roots].sum())
+
+        def owner_bicc_set_root_pre(self, base: int) -> bool:
+            """Roots get disjoint preorder ranges: global cumsum of root
+            sizes in id order (owner ranges ascend, so a per-owner base
+            from the driver's O(P) exclusive scan suffices)."""
+            roots = np.flatnonzero(self.state == 0.0)
+            sz = self.bicc["size"][roots]
+            self.bicc["pre"][roots] = base + np.cumsum(sz) - sz
+            return True
+
+        def owner_bicc_child_triple(self, k1: float):
+            """(parent, child, size) rows for my vertices at level k1 —
+            the top-down preorder sweep's send side."""
+            idx = np.flatnonzero(self.state == k1)
+            return (self.aux[idx].astype(np.int64),
+                    idx + self.lo,
+                    self.bicc["size"][idx])
+
+        def owner_bicc_assign_child_pre(self, triple):
+            """For children whose PARENT lives in my range: sibling-sort
+            by child id per parent and lay out preorder blocks —
+            pre[child_i] = pre[parent] + 1 + Σ size(child_j<i). Returns
+            (child, pre) rows to route back to the children's owners."""
+            par, ch, sz = triple
+            m = (par >= self.lo) & (par < self.hi)
+            par, ch, sz = par[m], ch[m], sz[m]
+            if par.size == 0:
+                z = np.empty(0, dtype=np.int64)
+                return z, z.astype(np.float64)
+            o = np.lexsort((ch, par))
+            par, ch, sz = par[o], ch[o], sz[o]
+            run_start = np.r_[True, par[1:] != par[:-1]]
+            csz = np.cumsum(sz) - sz
+            base = np.repeat(csz[run_start], np.diff(
+                np.r_[np.flatnonzero(run_start), ch.size]))
+            pre_child = (self.bicc["pre"][par - self.lo] + 1
+                         + (csz - base))
+            return ch, pre_child.astype(np.float64)
+
+        def owner_bicc_write_pre(self, pair) -> bool:
+            ch, pv = pair
+            m = (ch >= self.lo) & (ch < self.hi)
+            self.bicc["pre"][ch[m] - self.lo] = pv[m].astype(np.int64)
+            return True
+
+        def shard_bicc_nontree_minmax(self, bounds: np.ndarray,
+                                      parent: np.ndarray,
+                                      pre: np.ndarray):
+            """Range-split (v, min pre[u], max pre[u]) partials over
+            NON-TREE messages (one full-edge pass; parent/pre arrive as
+            assembled plasma vectors)."""
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0:
+                return tuple((z, z, z) for _ in range(len(bounds) - 1))
+            vexp = getattr(self, "_vexp", None)
+            if vexp is None:
+                seg_lengths = np.diff(np.append(self.seg, self.u.size))
+                uniq_tiled = (np.tile(self.uniq_v, self.rep_fold)
+                              if self.rep_fold > 1 else self.uniq_v)
+                vexp = np.repeat(uniq_tiled, seg_lengths)
+                self._vexp = vexp
+            nontree = (parent[vexp] != self.u) & (parent[self.u] != vexp)
+            imax = np.iinfo(np.int64).max
+            pu = pre[self.u]
+            mins = np.minimum.reduceat(np.where(nontree, pu, imax), self.seg)
+            maxs = np.maximum.reduceat(np.where(nontree, pu, -1), self.seg)
+            cuts = np.searchsorted(self.uniq_v, bounds)
+            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]].astype(np.int64),
+                          mins[cuts[i]:cuts[i + 1]],
+                          maxs[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def owner_bicc_minmax_combine(self, my_idx: int,
+                                      *shard_outs) -> bool:
+            """Fold the shards' non-tree pre-min/max into tmin/tmax,
+            then copy into the OUTMIN/OUTMAX accumulators (the leaves'
+            starting values for the bottom-up escape sweep)."""
+            tmin, tmax = self.bicc["tmin"], self.bicc["tmax"]
+            for out in shard_outs:  # v unique per part
+                v, mn, mx = out[my_idx]
+                idx = v - self.lo
+                tmin[idx] = np.minimum(tmin[idx], mn)
+                tmax[idx] = np.maximum(tmax[idx], mx)
+            self.bicc["outmin"] = tmin.copy()
+            self.bicc["outmax"] = tmax.copy()
+            return True
+
+        def owner_bicc_out_partial(self, k: float):
+            """(parent, OUTMIN, OUTMAX) rows for my level-k vertices."""
+            idx = np.flatnonzero(self.state == k)
+            return (self.aux[idx].astype(np.int64),
+                    self.bicc["outmin"][idx], self.bicc["outmax"][idx])
+
+        def owner_bicc_out_combine(self, triple) -> bool:
+            par, mn, mx = triple
+            m = (par >= self.lo) & (par < self.hi)
+            np.minimum.at(self.bicc["outmin"], par[m] - self.lo, mn[m])
+            np.maximum.at(self.bicc["outmax"], par[m] - self.lo, mx[m])
+            return True
+
+        def shard_bicc_rule_a(self, parent: np.ndarray, pre: np.ndarray,
+                              size: np.ndarray) -> pa.Table:
+            """Rule-A auxiliary edges from this shard's edges: for each
+            canonical non-tree edge (x, y) with NEITHER endpoint an
+            ancestor of the other (preorder-interval test), glue tree
+            edges keyed by x and y. Each undirected edge lives in
+            exactly one shard (both message directions), so the u < v
+            canonical filter emits each pair once globally."""
+            if self.u.size == 0:
+                return pa.table({"src": pa.array([], type=pa.int64()),
+                                 "dst": pa.array([], type=pa.int64()),
+                                 "weight": pa.array([], type=pa.int64())})
+            vexp = self._vexp  # built by shard_bicc_nontree_minmax
+            canon = self.u < vexp
+            nontree = (parent[vexp] != self.u) & (parent[self.u] != vexp)
+            m = canon & nontree
+            x = self.u[m].astype(np.int64)
+            y = vexp[m].astype(np.int64)
+            x_in_y = (pre[y] <= pre[x]) & (pre[x] < pre[y] + size[y])
+            y_in_x = (pre[x] <= pre[y]) & (pre[y] < pre[x] + size[x])
+            cross = ~x_in_y & ~y_in_x
+            x, y = x[cross], y[cross]
+            return pa.table({"src": pa.array(x), "dst": pa.array(y),
+                             "weight": pa.array(np.ones(x.size,
+                                                        dtype=np.int64))})
+
+        def owner_bicc_rule_b(self, parent: np.ndarray, pre: np.ndarray,
+                              size: np.ndarray) -> pa.Table:
+            """Rule-B auxiliary edges for my vertices w (child of a
+            non-root c): glue (p(c),c) ~ (c,w) iff some non-tree edge
+            from sub(w) escapes c's preorder interval."""
+            w = np.flatnonzero(self.aux >= 0)
+            c = self.aux[w].astype(np.int64)
+            ok = parent[c] >= 0
+            w, c = w[ok], c[ok]
+            esc = ((self.bicc["outmin"][w] < pre[c])
+                   | (self.bicc["outmax"][w] >= pre[c] + size[c]))
+            c, w = c[esc], w[esc] + self.lo
+            return pa.table({"src": pa.array(c), "dst": pa.array(w),
+                             "weight": pa.array(np.ones(c.size,
+                                                        dtype=np.int64))})
+
+        def owner_bicc_children(self) -> pa.Table:
+            """(child, parent) rows for my non-root vertices."""
+            w = np.flatnonzero(self.aux >= 0)
+            return pa.table({
+                "child": pa.array(w + self.lo),
+                "parent": pa.array(self.aux[w].astype(np.int64)),
+            })
+
+        def owner_bicc_init_labels(self) -> bool:
+            """Default BCC label per vertex: own id for children (an
+            aux-isolated tree edge is its own biconnected component),
+            -1 for roots (no tree edge keyed by a root)."""
+            own = np.arange(self.lo, self.hi, dtype=np.int64)
+            self.bicc["label"] = np.where(self.aux >= 0, own, -1)
+            return True
+
+        def owner_bicc_apply_labels(self, my_idx: int, *split_refs) -> bool:
+            """Point-write aux-CC labels (child → component) from the
+            range-split label blocks (slot my_idx of each)."""
+            lab = self.bicc["label"]
+            for s in split_refs:
+                t = s[my_idx]
+                if t.num_rows == 0:
+                    continue
+                ch = t.column("child").to_numpy()
+                comp = t.column("label").to_numpy()
+                lab[ch - self.lo] = comp
+            return True
+
         def owner_set_teleport(self, idx: np.ndarray, wts: np.ndarray) -> bool:
             """Install this range's slice of a (sparse, normalized)
             teleport vector and init state to it — personalized
@@ -807,7 +1023,16 @@ def _assemble_fn():
             return (np.concatenate([p[0] for p in pairs]),
                     np.concatenate([p[1] for p in pairs]))
 
-        _ASSEMBLE = (_assemble, _assemble_wm, _assemble_pair)
+        @ray.remote(num_cpus=0)
+        def _assemble_cols(*tuples):
+            """Column-wise concat of P owners' k-column partials into
+            one plasma object of k arrays."""
+            k = len(tuples[0])
+            return tuple(np.concatenate([t[i] for t in tuples])
+                         for i in range(k))
+
+        _ASSEMBLE = (_assemble, _assemble_wm, _assemble_pair,
+                     _assemble_cols)
     return _ASSEMBLE
 
 
@@ -859,6 +1084,10 @@ class ShardPool:
     @staticmethod
     def _assembler_pair():
         return _assemble_fn()[2]
+
+    @staticmethod
+    def _assembler_cols():
+        return _assemble_fn()[3]
 
     # -- owner-mode orchestration (no O(n) driver work per superstep) ----
 

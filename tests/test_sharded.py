@@ -407,3 +407,69 @@ def test_sharded_bfs_direction_switch_matches_dense():
         assert len(merged) == dense.num_vertices, name
         assert (merged["level_d"] == merged["level_s"]).all(), name
         assert (merged["parent_d"] == merged["parent_s"]).all(), name
+
+
+def test_sharded_bicc_matches_dense(graphs):
+    """Distributed Tarjan–Vishkin (owner exchanges + recursive aux-CC)
+    vs the dense driver program: articulation flags, per-edge BCC
+    labels (both sides label by min dense id, so values compare
+    exactly), and bridges."""
+    from centrality_gpu_ray.pipelines.bicc import (articulation_points,
+                                                   bcc_labels, bridges)
+
+    dense, sharded = graphs
+    cfg = EngineConfig(dense_vertex_limit=500)
+
+    a = articulation_points(dense).to_pandas()
+    m = {}
+    b = articulation_points(sharded, cfg, metrics=m).to_pandas()
+    assert m["mode"] == "distributed"
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(merged) == dense.num_vertices
+    assert (merged["is_articulation_d"]
+            == merged["is_articulation_s"]).all()
+    assert merged["is_articulation_d"].any()  # the chain component
+
+    la = bcc_labels(dense).to_pandas()
+    lb = bcc_labels(sharded, cfg).to_pandas()
+    lm = la.merge(lb, on=["src", "dst"], suffixes=("_d", "_s"))
+    assert len(lm) == len(la) == dense.num_edges
+    assert (lm["bcc_d"] == lm["bcc_s"]).all()
+
+    ba = bridges(dense).to_pandas()
+    bb = bridges(sharded, cfg).to_pandas()
+    bm = ba.merge(bb, on=["src", "dst"], suffixes=("_d", "_s"))
+    assert len(bm) == dense.num_edges
+    assert (bm["is_bridge_d"] == bm["is_bridge_s"]).all()
+    assert bm["is_bridge_d"].any()
+
+
+def test_sharded_bicc_pure_tree():
+    """Aux-edge-free graph (a star is a tree: no non-tree edges, no
+    rule-B escapes): every edge its own BCC, center the only
+    articulation point, every edge a bridge."""
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.bicc import (articulation_points,
+                                                   bridges)
+
+    n = 400
+    tbl = pa.table({
+        "src": pa.array(np.zeros(n, dtype=np.int64) * 9 + 7),
+        "dst": pa.array(np.arange(1, n + 1, dtype=np.int64) * 9 + 7),
+        "weight": pa.array(np.ones(n, dtype=np.int64)),
+    })
+    g = Graph(ray.data.from_arrow(tbl),
+              config=EngineConfig(dense_vertex_limit=100))
+    assert g.sharded
+    m = {}
+    art = articulation_points(
+        g, EngineConfig(dense_vertex_limit=100), metrics=m).to_pandas()
+    assert m["num_aux_edges"] == 0
+    assert len(art) == n + 1
+    assert art.loc[art.node == 7, "is_articulation"].item() is True or \
+        bool(art.loc[art.node == 7, "is_articulation"].item())
+    assert not art.loc[art.node != 7, "is_articulation"].any()
+    br = bridges(g, EngineConfig(dense_vertex_limit=100)).to_pandas()
+    assert len(br) == n
+    assert br["is_bridge"].all()
