@@ -482,12 +482,40 @@ def _shard_class():
                 self.b_sigma[src_dense - self.lo] = 1.0
             return True
 
+        def owner_brandes_reset_batch(self, srcs: np.ndarray) -> bool:
+            """Source-batched Brandes state: (width, b) matrices, one
+            column per source. The reference runs one thread-block per
+            source concurrently (kernels_free.cu:428-445); batching b
+            sources per superstep amortizes the per-task RTT b× and
+            turns the per-message gather into b contiguous floats."""
+            m = self.hi - self.lo
+            b = srcs.size
+            self.b_level = np.full((m, b), -1.0)
+            self.b_sigma = np.zeros((m, b))
+            self.b_delta = np.zeros((m, b))
+            cols = np.flatnonzero((srcs >= self.lo) & (srcs < self.hi))
+            rows = srcs[cols] - self.lo
+            self.b_level[rows, cols] = 0.0
+            self.b_sigma[rows, cols] = 1.0
+            return True
+
+        def owner_brandes_accumulate_batch(self, srcs: np.ndarray) -> bool:
+            add = self.b_delta
+            cols = np.flatnonzero((srcs >= self.lo) & (srcs < self.hi))
+            if cols.size:
+                add = add.copy()
+                add[srcs[cols] - self.lo, cols] = 0.0
+            self.b_bc += add.sum(axis=1)
+            return True
+
         def owner_make_sigma_frontier(self, depth: float) -> np.ndarray:
             return np.where(self.b_level == depth, self.b_sigma, 0.0)
 
         def owner_combine_brandes_fwd(self, depth: float, my_idx: int,
                                       *shard_outs) -> int:
-            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            # zeros_like: state is (width,) single-source or (width, b)
+            # batched — the expressions below are shape-generic
+            acc = np.zeros_like(self.b_sigma)
             for out in shard_outs:
                 uniq_v, sums = out[my_idx]
                 acc[uniq_v - self.lo] += sums
@@ -498,7 +526,7 @@ def _shard_class():
 
         def owner_make_delta_term(self, depth: float) -> np.ndarray:
             # (1+delta)/sigma for vertices at the deeper level `depth`
-            out = np.zeros(self.hi - self.lo, dtype=np.float64)
+            out = np.zeros_like(self.b_sigma)
             mask = self.b_level == depth
             out[mask] = (1.0 + self.b_delta[mask]) / self.b_sigma[mask]
             return out
@@ -508,7 +536,7 @@ def _shard_class():
             # every edge between level `depth` and `depth+1` is a DAG
             # edge in an unweighted BFS, so the plain neighbor gather
             # masked to level==depth is exactly the predecessor sum
-            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            acc = np.zeros_like(self.b_sigma)
             for out in shard_outs:
                 uniq_v, sums = out[my_idx]
                 acc[uniq_v - self.lo] += sums
@@ -852,13 +880,19 @@ def _shard_class():
                              w: np.ndarray):
             # segment-aligned chunking keeps the gathered message vector
             # c cache-resident instead of round-tripping it through DRAM
-            # (write 8B + reduceat re-read 8B per message saved)
+            # (write 8B + reduceat re-read 8B per message saved).
+            # w may be (n,) single-state or (n, b) source-batched — the
+            # gather then pulls b CONTIGUOUS floats per message and the
+            # reduceat runs along axis 0; all shapes below are generic.
+            tail = tuple(w.shape[1:])
             if self.u.size == 0:
-                sums = np.empty(0, dtype=np.float64)
+                sums = np.empty((0,) + tail, dtype=np.float64)
             else:
                 seg = self.seg
-                sums = np.empty(seg.size, dtype=np.float64)
-                CH = 1 << 20
+                sums = np.empty((seg.size,) + tail, dtype=np.float64)
+                # keep the chunk's gathered bytes constant when the
+                # state is (n, b): b× wider rows → b× fewer messages
+                CH = (1 << 20) // (tail[0] if tail else 1)
                 s0 = 0
                 while s0 < seg.size:
                     lo = seg[s0]
@@ -867,11 +901,13 @@ def _shard_class():
                     hi = seg[s1] if s1 < seg.size else self.u.size
                     c = w[self.u[lo:hi]]
                     if weighted:
-                        c = c * self.w[lo:hi]
-                    sums[s0:s1] = np.add.reduceat(c, seg[s0:s1] - lo)
+                        ww = self.w[lo:hi]
+                        c = c * (ww[:, None] if tail else ww)
+                    sums[s0:s1] = np.add.reduceat(c, seg[s0:s1] - lo,
+                                                  axis=0)
                     s0 = s1
             if self.rep_fold > 1:
-                sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
+                sums = sums.reshape((self.rep_fold, -1) + tail).sum(axis=0)
             cuts = np.searchsorted(self.uniq_v, bounds)
             return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
                           sums[cuts[i]:cuts[i + 1]])
@@ -1239,6 +1275,48 @@ class ShardPool:
                 d - 1.0, p, *outs) for p in range(P)])
             d -= 1.0
         ray.get([a.owner_brandes_accumulate.remote(src_dense)
+                 for a in self.actors])
+        return int(depth)
+
+    def brandes_batch_pass(self, srcs: np.ndarray) -> int:
+        """One superstep sequence for a BATCH of b Brandes sources:
+        owner state is (width, b), the broadcast is (n, b), and every
+        gather serves all b sources in one task round — the per-task
+        RTT (the dominant cost of narrow levels on this substrate) is
+        paid once per superstep instead of once per source. Termination
+        is batch-wide: columns whose BFS finished early contribute
+        all-zero frontiers (wasted work bounded by depth skew within
+        the batch — sources are contiguous ids, skew is small).
+        Returns the max BFS depth across the batch."""
+        import ray
+
+        P = len(self.actors)
+        srcs = np.asarray(srcs, dtype=np.int64)
+        ray.get([a.owner_brandes_reset_batch.remote(srcs)
+                 for a in self.actors])
+        depth = 0.0
+        while True:
+            fr = [a.owner_make_sigma_frontier.remote(depth)
+                  for a in self.actors]
+            w_full = self._assembler().remote(*fr)
+            outs = [a.shard_gather_sum.remote(self.bounds, False, w_full)
+                    for a in self.actors]
+            new = sum(ray.get(
+                [self.actors[p].owner_combine_brandes_fwd.remote(
+                    depth, p, *outs) for p in range(P)]))
+            if new == 0:
+                break
+            depth += 1.0
+        d = depth
+        while d > 0.0:
+            dt = [a.owner_make_delta_term.remote(d) for a in self.actors]
+            w_full = self._assembler().remote(*dt)
+            outs = [a.shard_gather_sum.remote(self.bounds, False, w_full)
+                    for a in self.actors]
+            ray.get([self.actors[p].owner_combine_brandes_bwd.remote(
+                d - 1.0, p, *outs) for p in range(P)])
+            d -= 1.0
+        ray.get([a.owner_brandes_accumulate_batch.remote(srcs)
                  for a in self.actors])
         return int(depth)
 
