@@ -187,6 +187,83 @@ def extract_features(ds, concurrency: int = 2, batch_size: int = 64):
                           batch_size=batch_size, concurrency=concurrency, num_cpus=0.5)
 
 
+class ResizeImages:
+    """Actor-pool resize stage — with real codecs this is the
+    decode→interpolate→re-encode hot loop (per-actor codec context in
+    ``__init__``); the stub resizes the FAKE payload deterministically:
+    header rewritten to (target_w, target_h), body subsampled with a
+    fixed stride so output bytes are a pure function of input bytes.
+    Vectorized over the batch's Arrow buffers like DecodeMedia."""
+
+    _HDR = 17
+
+    def __init__(self, target_w: int = 32, target_h: int = 32):
+        self.tw, self.th = int(target_w), int(target_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offs, data = _binary_buffers(batch.column("payload"))
+        n = offs.size - 1
+        body_starts = np.minimum(offs[:-1] + self._HDR, offs[1:])
+        body_lens = offs[1:] - body_starts
+        # target body length ∝ target area, capped by source length
+        want = np.minimum(body_lens,
+                          np.minimum(self.tw * self.th, 512)).astype(np.int64)
+        # stride-subsample each body: index i → floor(i·len/want)
+        pos = _ragged_arange(want)
+        scale = np.repeat(
+            np.where(want > 0, body_lens / np.maximum(want, 1), 0.0), want)
+        src_idx = (np.repeat(body_starts, want)
+                   + np.minimum((pos * scale).astype(np.int64),
+                                np.repeat(np.maximum(body_lens - 1, 0),
+                                          want)))
+        new_bodies = data[src_idx] if src_idx.size else \
+            np.empty(0, np.uint8)
+        # rebuild payloads: fake header with the new dims; modality and
+        # frame count carried over from the source headers
+        has_hdr = (offs[1:] - offs[:-1]) >= self._HDR
+        modal = np.zeros(n, dtype=np.uint8)
+        frames = np.ones(n, dtype="<u4")
+        rows = np.flatnonzero(has_hdr)
+        if rows.size:
+            src_hdr = data[offs[rows, None] + np.arange(self._HDR)]
+            modal[rows] = src_hdr[:, 4]
+            frames[rows] = np.ascontiguousarray(
+                src_hdr[:, 13:17]).view("<u4").ravel()
+        hdr = np.zeros((n, self._HDR), dtype=np.uint8)
+        hdr[:, :4] = np.frombuffer(_MAGIC, dtype=np.uint8)
+        hdr[:, 4] = modal
+        hdr[:, 5:9] = np.full(n, self.tw, "<u4")[:, None].view(np.uint8)
+        hdr[:, 9:13] = np.full(n, self.th, "<u4")[:, None].view(np.uint8)
+        hdr[:, 13:17] = frames[:, None].view(np.uint8)
+        out_lens = self._HDR + want
+        out_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_offs[1:])
+        flat = np.empty(int(out_lens.sum()), dtype=np.uint8)
+        hdr_idx = (np.repeat(out_offs[:-1], self._HDR)
+                   + np.tile(np.arange(self._HDR), n))
+        flat[hdr_idx] = hdr.ravel()
+        body_idx = np.repeat(out_offs[:-1] + self._HDR, want) + pos
+        flat[body_idx] = new_bodies
+        payload = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+             pa.py_buffer(flat.tobytes())])
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "payload": payload,
+            "width": pa.array(np.full(n, self.tw, dtype=np.int32)),
+            "height": pa.array(np.full(n, self.th, dtype=np.int32)),
+        })
+
+
+def resize_images(ds, target_w: int = 32, target_h: int = 32,
+                  concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(ResizeImages, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=0.5,
+                          fn_constructor_args=(target_w, target_h))
+
+
 def sample_frames(ds, every_k: int = 4, concurrency: int = 2):
     """Frame sampling for video rows: expands each video row to one row
     per sampled frame index (flat_map-shaped, done vectorized per batch)."""

@@ -1,5 +1,6 @@
 """Sharded-state demo at real scale: PageRank + connected components
-+ eigenvector centrality + personalized PageRank on a synthetic
++ eigenvector centrality + personalized PageRank + biconnectivity
+(articulation points) + batched sampled betweenness on a synthetic
 6M-vertex graph — past ``dense_vertex_limit`` (5M), so
 the vertex dictionary, per-vertex state, and results all stay
 distributed (no driver O(n) vector anywhere; see
@@ -101,6 +102,35 @@ def main():
     n_ppr = ppr.count()
     ppr_sec = time.perf_counter() - t0
 
+    # distributed BiCC (round 3): owner-exchange Tarjan–Vishkin + a
+    # recursive sharded aux-graph CC — the chorded ring is biconnected,
+    # so the expected articulation count is 0 (the work is real: full
+    # BFS forest, preorder sweeps, ~m aux edges)
+    from centrality_gpu_ray.pipelines.bicc import articulation_points
+
+    m_bicc: dict = {}
+    t0 = time.perf_counter()
+    art = articulation_points(g, EngineConfig(), metrics=m_bicc)
+    n_art = 0
+    for b in art.map_batches(
+            lambda t: pa.table({"k": pa.array(
+                [int(np.count_nonzero(
+                    t.column("is_articulation").to_numpy()))])}),
+            batch_format="pyarrow").iter_batches(batch_size=None,
+                                                 batch_format="pyarrow"):
+        n_art += int(np.asarray(b.column("k")).sum())
+    bicc_sec = time.perf_counter() - t0
+
+    # batched sampled Brandes (round 3): 8 sources per superstep round
+    from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+
+    m_bc: dict = {}
+    t0 = time.perf_counter()
+    bc = betweenness_centrality(g, EngineConfig(), max_sources=8,
+                                metrics=m_bc)
+    n_bc = bc.count()
+    bc_sec = time.perf_counter() - t0
+
     print(json.dumps({
         "num_vertices": g.num_vertices,
         "num_edges": g.num_edges,
@@ -119,6 +149,14 @@ def main():
         "personalized_pagerank": {"sec": round(ppr_sec, 2),
                                   "supersteps": m_ppr.get("supersteps"),
                                   "result_rows": n_ppr},
+        "biconnectivity": {"sec": round(bicc_sec, 2),
+                           "bfs_depth": m_bicc.get("bfs_depth"),
+                           "num_aux_edges": m_bicc.get("num_aux_edges"),
+                           "articulation_points": n_art},
+        "betweenness_sampled8": {"sec": round(bc_sec, 2),
+                                 "sources_per_sec": round(
+                                     m_bc.get("sources_per_sec", 0), 2),
+                                 "result_rows": n_bc},
     }))
     ray.shutdown()
 

@@ -23,6 +23,14 @@ def test_query_and_oracle_keys_consistent():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert len(qs) >= 25
+    # the driver emits CORRECTNESS rows for at most 50 queries —
+    # registering more silently drops evidence (bit round 2)
+    assert len(qs) <= 50
+    # the round-2 driver-unchecked family must sit inside any row cap
+    first10 = list(qs)[:10]
+    for name in ("minhash_dedup_docs", "simhash_pairs", "ann_topk",
+                 "multimodal_features", "embedding_near_dup_ids"):
+        assert name in first10
     # every oracle has a query; non-SQL-expressible queries may omit oracles
     assert set(oracles) <= set(qs)
     assert len(oracles) >= 15

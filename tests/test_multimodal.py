@@ -51,3 +51,27 @@ def test_frame_sampling(media):
     assert len(out) == expect
     assert (out["frame_index"] % 4 == 0).all()
     assert set(out["media_id"]) == set(vids["media_id"])
+
+
+def test_resize_images_roundtrip(media):
+    """Resize stage rewrites the fake header to the target dims,
+    subsamples the body deterministically, and the result decodes."""
+    from centrality_gpu_ray.functions.multimodal import resize_images
+
+    out = resize_images(media, target_w=24, target_h=20).materialize()
+    dec = decode_media(out).to_pandas()
+    assert len(dec) == 48
+    assert dec["decoded"].all()
+    assert (dec["dec_width"] == 24).all()
+    assert (dec["dec_height"] == 20).all()
+    src = media.to_pandas().set_index("media_id")
+    got = out.to_pandas().set_index("media_id")
+    # frame count carried over; body bounded by target area
+    assert (dec.set_index("media_id")["dec_frames"]
+            == src["num_frames"]).all()
+    for mid, row in got.iterrows():
+        assert len(row["payload"]) <= 17 + min(24 * 20, 512)
+    # deterministic: same input → same bytes
+    again = resize_images(media, target_w=24, target_h=20) \
+        .to_pandas().set_index("media_id")
+    assert (got["payload"] == again["payload"]).all()

@@ -62,3 +62,47 @@ def test_ann_lsh_recall(emb, emb_np):
     a = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = res2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a[["query_id", "vec_id"]].equals(b[["query_id", "vec_id"]])
+
+
+def test_ann_ivf_exact_when_all_lists_probed(emb, emb_np):
+    """nprobe == nlist probes every inverted list → exact top-k."""
+    from centrality_gpu_ray.functions.similarity import ann_ivf
+
+    ids, M = emb_np
+    Q = M[:5]
+    res = ann_ivf(emb, Q, k=10, nlist=8, nprobe=8,
+                  train_sample=256).to_pandas()
+    oracle = _numpy_topk(ids, M, Q, 10)
+    for qi in range(5):
+        got = res[res.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == oracle[qi], qi
+
+
+def test_ann_ivf_recall_on_clustered_data():
+    """Separable gaussian clusters: IVF with a few probes recovers the
+    brute-force neighbors (the quantizer aligns with the clusters)."""
+    import pyarrow as pa
+
+    from centrality_gpu_ray.functions.similarity import ann_ivf
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((6, 16)) * 6.0
+    M = np.concatenate([c + rng.standard_normal((200, 16))
+                        for c in centers])
+    ids = np.arange(M.shape[0], dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(M.astype(np.float64).ravel()), 16),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    Q = M[::150][:6]
+    res = ann_ivf(ds, Q, k=10, nlist=12, nprobe=4,
+                  train_sample=600).to_pandas()
+    oracle = _numpy_topk(ids, M, Q, 10)
+    hits = total = 0
+    for qi in range(Q.shape[0]):
+        got = set(res[res.query_id == qi]["vec_id"].tolist())
+        hits += len(got & set(oracle[qi]))
+        total += 10
+    assert hits / total >= 0.9, hits / total
