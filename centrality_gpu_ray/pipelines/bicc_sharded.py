@@ -78,9 +78,6 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
     import ray
     import ray.data
 
-    from centrality_gpu_ray.pipelines.components import connected_components
-    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
-
     cached = getattr(graph, "_bicc_dist", None)
     if cached is not None:
         if metrics is not None:
@@ -171,57 +168,40 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
     aux_ds = ray.data.from_arrow_refs(aux_refs)
     n_aux = aux_ds.count()
 
-    # 8. BCC labels = CC of the aux graph (recursive Graph; min dense id)
-    children_ds = ray.data.from_arrow_refs(
-        [a.owner_bicc_children.remote() for a in actors])
+    # 8. BCC labels = min-label CC of the aux graph. The aux edges are
+    # already in PARENT dense-id space and the shard schema (s, d, w),
+    # so no dedup/relabel/Graph rebuild is needed: feed the blocks to a
+    # SECOND ShardPool with the same owner count (same bounds formula →
+    # chunk p maps 1:1 onto parent owner p), run the pointer-jumped CC
+    # supersteps, hand each label chunk straight to the parent owner.
+    # (Duplicate/self-free-ness is irrelevant to min-label CC.)
     if n_aux > 0:
-        aux_graph = Graph(aux_ds, config=cfg)
-        cc_out = connected_components(aux_graph, cfg)
-        cc_ds = (ray.data.from_arrow(cc_out)
-                 if isinstance(cc_out, pa.Table) else cc_out)
+        from centrality_gpu_ray.pipelines.shards import ShardPool
+
+        aux_pool = ShardPool(aux_ds, num_shards=P)
+        aux_pool.setup_owners_sharded(graph.num_vertices)
+        aux_pool.reset_labels()
+        steps = 0
+        while aux_pool.cc_step() > 0:
+            steps += 1
+            if steps > cfg.max_supersteps:
+                raise RuntimeError(
+                    f"bicc: aux-graph CC exceeded max_supersteps="
+                    f"{cfg.max_supersteps}")
+        aux_label_full = aux_pool._assembler().remote(
+            *[a.owner_get_state.remote() for a in aux_pool.actors])
+        ray.get([a.owner_bicc_set_label_chunk.remote(aux_label_full)
+                 for a in actors])
+        aux_pool.shutdown()
     else:
-        cc_ds = ray.data.from_arrow(pa.table({
-            "node": pa.array([], type=pa.int64()),
-            "component": pa.array([], type=pa.int64())}))
-    # (child, parent, label): aux-isolated children keep their own id
-    joined = hash_lookup_join(children_ds, cc_ds,
-                              row_key="child", dict_key="node",
-                              attach={"component": "label"},
-                              num_partitions=cfg.num_partitions,
-                              outer_default_row_key=True).materialize()
-    # the aux graph's shard/owner actors are done once the join has
-    # materialized the label blocks — release their CPU reservations
-    if n_aux > 0 and getattr(aux_graph, "_pool", None) is not None:
-        aux_graph._pool.shutdown()
-
-    # owner-resident label chunks (for the per-edge label map): default
-    # own-id/-1, then point-writes from the joined table, range-split
-    ray.get([a.owner_bicc_init_labels.remote() for a in actors])
-    bounds = pool.bounds
-
-    @ray.remote
-    def range_split(block, bounds=bounds):
-        tbl = block if isinstance(block, pa.Table) \
-            else pa.Table.from_pandas(block)
-        ch = tbl.column("child").to_numpy()
-        order = np.argsort(ch, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        cuts = np.searchsorted(ch[order], bounds)
-        return tuple(tbl.slice(cuts[i], cuts[i + 1] - cuts[i])
-                     for i in range(len(bounds) - 1))
-
-    from centrality_gpu_ray.stages.shuffle import _nonempty_block_refs
-
-    label_blocks = _nonempty_block_refs(joined)
-    splits = [range_split.remote(b) for b in label_blocks]
-    ray.get([actors[p].owner_bicc_apply_labels.remote(p, *splits)
-             for p in range(P)])
+        ray.get([a.owner_bicc_set_label_chunk.remote(None)
+                 for a in actors])
     label_full = asm.remote(*[a.owner_get_bicc.remote("label")
                               for a in actors])
     level_full = asm.remote(*[a.owner_get_state.remote() for a in actors])
 
     state = {
-        "pool": pool, "joined": joined, "n_aux": int(n_aux),
+        "pool": pool, "n_aux": int(n_aux),
         "parent_full": parent_full, "level_full": level_full,
         "label_full": label_full, "roots": roots, "max_lvl": max_lvl,
         "sec": time.perf_counter() - t0,
@@ -240,23 +220,15 @@ def articulation_points_distributed(graph: Graph,
     """(node, is_articulation) Dataset in original ids — a vertex is an
     articulation point iff its incident tree edges (own edge + child
     edges) carry ≥ 2 distinct BCC labels."""
+    import ray.data
     import pyarrow.compute as pc
 
     from centrality_gpu_ray.stages.shuffle import hash_aggregate, hash_distinct
 
     cfg = config or graph.config
     st = _bicc_run(graph, cfg, metrics)
-
-    def mk_pairs(t: pa.Table) -> pa.Table:
-        p = t.column("parent").to_numpy()
-        c = t.column("child").to_numpy()
-        lab = t.column("label").to_numpy()
-        return pa.table({
-            "v": pa.array(np.concatenate([p, c])),
-            "lab": pa.array(np.concatenate([lab, lab])),
-        })
-
-    pairs = st["joined"].map_batches(mk_pairs, batch_format="pyarrow")
+    pairs = ray.data.from_arrow_refs(
+        [a.owner_bicc_pairs.remote() for a in st["pool"].actors])
     distinct = hash_distinct(pairs, ["v", "lab"],
                              num_partitions=cfg.num_partitions)
     counts = hash_aggregate(distinct, ["v"], [("lab", "count")],

@@ -100,6 +100,7 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
             new = labels.copy()
             np.minimum.at(new, d, labels[s])
             np.minimum.at(new, s, labels[d])
+            new = np.minimum(new, new[new])  # pointer jump (O(log n))
         else:
             lab_ref = ray.put(labels)
             if cfg.combine == "shuffle":
@@ -116,6 +117,7 @@ def connected_components(graph: Graph, config: EngineConfig | None = None,
                     np.minimum.at(new, vv, cc)
             else:
                 new = graph.pool.gather_min(lab_ref, n, labels)
+            new = np.minimum(new, new[new])  # pointer jump (O(log n))
         changed = bool(np.any(new != labels))
         labels = new
         ckpt.maybe_write(step, _result(graph, labels), changed=changed,

@@ -757,11 +757,12 @@ def _shard_class():
             ancestor of the other (preorder-interval test), glue tree
             edges keyed by x and y. Each undirected edge lives in
             exactly one shard (both message directions), so the u < v
-            canonical filter emits each pair once globally."""
+            canonical filter emits each pair once globally. Emitted in
+            the shard schema (s, d, w) — see owner_bicc_rule_b."""
             if self.u.size == 0:
-                return pa.table({"src": pa.array([], type=pa.int64()),
-                                 "dst": pa.array([], type=pa.int64()),
-                                 "weight": pa.array([], type=pa.int64())})
+                return pa.table({"s": pa.array([], type=pa.int64()),
+                                 "d": pa.array([], type=pa.int64()),
+                                 "w": pa.array([], type=pa.int64())})
             vexp = self._vexp  # built by shard_bicc_nontree_minmax
             canon = self.u < vexp
             nontree = (parent[vexp] != self.u) & (parent[self.u] != vexp)
@@ -772,15 +773,17 @@ def _shard_class():
             y_in_x = (pre[x] <= pre[y]) & (pre[y] < pre[x] + size[x])
             cross = ~x_in_y & ~y_in_x
             x, y = x[cross], y[cross]
-            return pa.table({"src": pa.array(x), "dst": pa.array(y),
-                             "weight": pa.array(np.ones(x.size,
-                                                        dtype=np.int64))})
+            return pa.table({"s": pa.array(x), "d": pa.array(y),
+                             "w": pa.array(np.ones(x.size,
+                                                   dtype=np.int64))})
 
         def owner_bicc_rule_b(self, parent: np.ndarray, pre: np.ndarray,
                               size: np.ndarray) -> pa.Table:
             """Rule-B auxiliary edges for my vertices w (child of a
             non-root c): glue (p(c),c) ~ (c,w) iff some non-tree edge
-            from sub(w) escapes c's preorder interval."""
+            from sub(w) escapes c's preorder interval. Emitted directly
+            in the shard schema (s, d, w) so the aux edge blocks feed a
+            second ShardPool with no rewrite."""
             w = np.flatnonzero(self.aux >= 0)
             c = self.aux[w].astype(np.int64)
             ok = parent[c] >= 0
@@ -788,38 +791,34 @@ def _shard_class():
             esc = ((self.bicc["outmin"][w] < pre[c])
                    | (self.bicc["outmax"][w] >= pre[c] + size[c]))
             c, w = c[esc], w[esc] + self.lo
-            return pa.table({"src": pa.array(c), "dst": pa.array(w),
-                             "weight": pa.array(np.ones(c.size,
-                                                        dtype=np.int64))})
+            return pa.table({"s": pa.array(c), "d": pa.array(w),
+                             "w": pa.array(np.ones(c.size,
+                                                   dtype=np.int64))})
 
-        def owner_bicc_children(self) -> pa.Table:
-            """(child, parent) rows for my non-root vertices."""
-            w = np.flatnonzero(self.aux >= 0)
-            return pa.table({
-                "child": pa.array(w + self.lo),
-                "parent": pa.array(self.aux[w].astype(np.int64)),
-            })
-
-        def owner_bicc_init_labels(self) -> bool:
-            """Default BCC label per vertex: own id for children (an
-            aux-isolated tree edge is its own biconnected component),
-            -1 for roots (no tree edge keyed by a root)."""
+        def owner_bicc_set_label_chunk(self, full) -> bool:
+            """Install this range's BCC labels from the aux-CC pool's
+            ASSEMBLED label vector (sliced here, so the two pools need
+            not share owner bounds): children take their aux-CC label
+            (own id when aux-isolated — a lone tree edge is its own
+            BCC), roots get -1 (no tree edge keyed by a root). ``None``
+            = no aux edges at all → every child its own id."""
             own = np.arange(self.lo, self.hi, dtype=np.int64)
-            self.bicc["label"] = np.where(self.aux >= 0, own, -1)
+            lab = own if full is None \
+                else full[self.lo:self.hi].astype(np.int64)
+            self.bicc["label"] = np.where(self.aux >= 0, lab, -1)
             return True
 
-        def owner_bicc_apply_labels(self, my_idx: int, *split_refs) -> bool:
-            """Point-write aux-CC labels (child → component) from the
-            range-split label blocks (slot my_idx of each)."""
-            lab = self.bicc["label"]
-            for s in split_refs:
-                t = s[my_idx]
-                if t.num_rows == 0:
-                    continue
-                ch = t.column("child").to_numpy()
-                comp = t.column("label").to_numpy()
-                lab[ch - self.lo] = comp
-            return True
+        def owner_bicc_pairs(self) -> pa.Table:
+            """(vertex, incident tree-edge label) rows for the
+            articulation count: each non-root child contributes its own
+            edge's label to itself AND to its parent."""
+            w = np.flatnonzero(self.aux >= 0)
+            lab = self.bicc["label"][w]
+            par = self.aux[w].astype(np.int64)
+            return pa.table({
+                "v": pa.array(np.concatenate([par, w + self.lo])),
+                "lab": pa.array(np.concatenate([lab, lab])),
+            })
 
         def owner_set_teleport(self, idx: np.ndarray, wts: np.ndarray) -> bool:
             """Install this range's slice of a (sparse, normalized)
@@ -862,6 +861,26 @@ def _shard_class():
                 uniq_v, mins = out[my_idx]
                 idx = uniq_v - self.lo
                 new[idx] = np.minimum(new[idx], mins)
+            changed = int(np.count_nonzero(new != self.state))
+            self.state = new
+            return changed
+
+        def owner_combine_min_jump(self, lab_full: np.ndarray,
+                                   my_idx: int, *shard_outs) -> int:
+            """Min-label combine + POINTER JUMP (lab ← lab[lab]) for CC:
+            labels are dense vertex ids, and lab_full is the superstep's
+            assembled (pre-update) label vector, so one extra gather per
+            superstep contracts label distances geometrically —
+            O(log n) supersteps instead of O(diameter). Labels only
+            decrease toward the same min-id fixpoint, so results are
+            identical; only the superstep count changes. (SSSP keeps
+            the plain combine — distances are not ids.)"""
+            new = self.state.copy()
+            for out in shard_outs:
+                uniq_v, mins = out[my_idx]
+                idx = uniq_v - self.lo
+                new[idx] = np.minimum(new[idx], mins)
+            new = np.minimum(new, lab_full[new.astype(np.int64)])
             changed = int(np.count_nonzero(new != self.state))
             self.state = new
             return changed
@@ -1420,7 +1439,9 @@ class ShardPool:
              for a in self.actors])))
 
     def cc_step(self) -> int:
-        """One owner-combined min-label superstep; returns #changed."""
+        """One owner-combined min-label superstep WITH pointer jumping
+        (label distances contract geometrically — O(log n) supersteps,
+        not O(diameter)); returns #changed."""
         import ray
 
         P = len(self.actors)
@@ -1429,7 +1450,7 @@ class ShardPool:
         outs = [a.shard_gather_min.remote(self.bounds, lab_full)
                 for a in self.actors]
         changed_refs = [
-            self.actors[p].owner_combine_min.remote(p, *outs)
+            self.actors[p].owner_combine_min_jump.remote(lab_full, p, *outs)
             for p in range(P)
         ]
         return int(sum(ray.get(changed_refs)))
