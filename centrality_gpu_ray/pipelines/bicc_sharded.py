@@ -17,16 +17,18 @@ driver (reference semantics ``bicc.cpp:81-161``):
 7. auxiliary edges — rule A shard-side (cross non-tree edges via the
    preorder-interval test), rule B owner-side (subtree escapes the
    parent's interval);
-8. BCC labels = connected components of the auxiliary graph, computed
-   by RECURSIVELY constructing ``Graph(aux_edges)`` (dense or sharded
-   by its own size) — labels are min dense ids, identical to the dense
-   path's ``_min_label_cc``; aux-isolated tree edges default to their
-   child's own id via the lookup join's ``outer_default_row_key``;
+8. BCC labels = pointer-jumped min-label CC of the auxiliary graph —
+   the aux edges are already in parent dense-id space, so they feed a
+   SECOND ShardPool directly (no dedup/relabel/Graph rebuild; min-label
+   CC is indifferent to duplicate edges) and each parent owner slices
+   its label range off one assembled vector; labels are min dense ids,
+   identical to the dense path's ``_min_label_cc``, with aux-isolated
+   tree edges keeping their child's own id and roots −1;
 9. articulation points = vertices whose incident tree edges carry ≥ 2
    distinct labels (distributed distinct + count, no driver vectors).
 
 Driver work is O(P) per exchange; exchange count is
-O(BFS depth) + 2 full-edge passes + one recursive CC. The assembled
+O(BFS depth) + 2 full-edge passes + one aux CC. The assembled
 parent/pre/size/label vectors are single plasma objects (the same
 one-copy-per-node budget as every superstep broadcast).
 """
@@ -73,8 +75,8 @@ class _OrigMapper:
 
 def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
     """Run the distributed BiCC pipeline once per graph; returns (and
-    caches on the graph) the pool + assembled vector refs + the joined
-    (child, parent, label) Dataset every output derives from."""
+    caches on the graph) the pool + the assembled parent/level/label
+    vector refs every output derives from."""
     import ray
     import ray.data
 
