@@ -335,18 +335,19 @@ def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
     pool.brandes_init()
     k = min(max_sources, graph.num_vertices)
     depths = []
-    if weighted:
-        for src in range(k):
-            depths.append(pool.wbc_source_pass(src, cfg.max_supersteps))
-    else:
-        # source batching (reference runs one block per source
-        # concurrently, kernels_free.cu:428-445): b sources share each
-        # superstep's task round, amortizing the ~5-10 ms per-task RTT
-        # b× — the dominant cost of narrow BFS levels here. Batch width
-        # bounds the (n, b) broadcast: 8 → 64 B/vertex.
-        bsz = int(cfg.extra.get("bc_source_batch", 8))
-        for lo in range(0, k, bsz):
-            srcs = np.arange(lo, min(lo + bsz, k), dtype=np.int64)
+    # source batching (reference runs one block per source
+    # concurrently, kernels_free.cu:428-445): b sources share each
+    # superstep's task round, amortizing the ~5-10 ms per-task RTT
+    # b× — the dominant cost of narrow BFS levels here. Batch width
+    # bounds the (n, b) broadcast: 8 → 64 B/vertex. The weighted form
+    # batches the min-plus SSSP the same way and sweeps the UNION of
+    # the batch's distance buckets (integer weights overlap heavily).
+    bsz = int(cfg.extra.get("bc_source_batch", 8))
+    for lo in range(0, k, bsz):
+        srcs = np.arange(lo, min(lo + bsz, k), dtype=np.int64)
+        if weighted:
+            depths.append(pool.wbc_batch_pass(srcs, cfg.max_supersteps))
+        else:
             depths.append(pool.brandes_batch_pass(srcs))
     pool.brandes_commit()
     elapsed = _time.perf_counter() - t0

@@ -584,7 +584,7 @@ def _shard_class():
         def owner_combine_wbc_fwd(self, my_idx: int, *shard_outs) -> bool:
             # every DAG edge delivers exactly once (when its source's
             # bucket is swept), so += accumulates exact path counts
-            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            acc = np.zeros_like(self.b_sigma)
             for out in shard_outs:
                 uniq_v, sums = out[my_idx]
                 acc[uniq_v - self.lo] += sums
@@ -592,18 +592,57 @@ def _shard_class():
             return True
 
         def owner_make_delta_bucket(self, dval: float) -> np.ndarray:
-            out = np.zeros(self.hi - self.lo, dtype=np.float64)
+            out = np.zeros_like(self.b_sigma)
             mask = (self.b_level == dval) & (self.b_sigma > 0)
             out[mask] = (1.0 + self.b_delta[mask]) / self.b_sigma[mask]
             return out
 
         def owner_combine_wbc_bwd(self, my_idx: int, *shard_outs) -> bool:
-            acc = np.zeros(self.hi - self.lo, dtype=np.float64)
+            acc = np.zeros_like(self.b_sigma)
             for out in shard_outs:
                 uniq_v, sums = out[my_idx]
                 acc[uniq_v - self.lo] += sums
             self.b_delta += self.b_sigma * acc
             return True
+
+        # -- batched weighted Brandes (distance matrices, union sweeps)
+
+        def owner_wbc_reset_batch(self, srcs: np.ndarray) -> bool:
+            """(width, b) distance/sigma/delta matrices, one column per
+            source; distances start at inf with 0 at each column's
+            source."""
+            m = self.hi - self.lo
+            b = srcs.size
+            self.b_level = np.full((m, b), np.inf)
+            self.b_sigma = np.zeros((m, b))
+            self.b_delta = np.zeros((m, b))
+            cols = np.flatnonzero((srcs >= self.lo) & (srcs < self.hi))
+            self.b_level[srcs[cols] - self.lo, cols] = 0.0
+            return True
+
+        def owner_get_wbc_dist_ref(self) -> np.ndarray:
+            return self.b_level
+
+        def owner_wbc_combine_min(self, my_idx: int, *shard_outs) -> int:
+            """Min-plus combine into the batched distance matrix;
+            returns #entries improved."""
+            new = self.b_level.copy()
+            for out in shard_outs:
+                uniq_v, mins = out[my_idx]
+                idx = uniq_v - self.lo
+                new[idx] = np.minimum(new[idx], mins)
+            changed = int(np.count_nonzero(new != self.b_level))
+            self.b_level = new
+            return changed
+
+        def owner_wbc_start_batch(self, srcs: np.ndarray) -> np.ndarray:
+            """After the batched SSSP: seed sigma at each column's
+            source and return the chunk's distinct finite distances
+            (union across columns — the batch's sweep schedule)."""
+            cols = np.flatnonzero((srcs >= self.lo) & (srcs < self.hi))
+            self.b_sigma[srcs[cols] - self.lo, cols] = 1.0
+            fin = self.b_level[np.isfinite(self.b_level)]
+            return np.unique(fin)
 
         # -- owner role: sharded BiCC (Tarjan–Vishkin over the BFS forest)
         # Reference semantics bicc.cpp:81-161; the distributed form runs
@@ -939,12 +978,15 @@ def _shard_class():
             over messages whose edge is a DAG edge — forward
             ``dist[u] + w == dist[v]``, reverse ``dist[u] == dist[v] +
             w``. ``x`` arrives pre-masked to the active distance bucket.
-            Costs one lazily-built per-message v array (+8 B/msg) on
-            first use — the price of edge-level DAG tests against
-            resident arrays."""
+            ``dist``/``x`` may be (n,) or source-batched (n, b); the
+            per-message temporaries are segment-chunked so the batched
+            (chunk, b) blocks stay heap-friendly. Costs one lazily-built
+            per-message v array (+8 B/msg) on first use — the price of
+            edge-level DAG tests against resident arrays."""
+            tail = tuple(x.shape[1:])
             if self.u.size == 0:
                 z = np.empty(0, dtype=np.int64)
-                return tuple((z, z.astype(np.float64))
+                return tuple((z, np.empty((0,) + tail, dtype=np.float64))
                              for _ in range(len(bounds) - 1))
             vexp = getattr(self, "_vexp", None)
             if vexp is None:
@@ -953,13 +995,24 @@ def _shard_class():
                               if self.rep_fold > 1 else self.uniq_v)
                 vexp = np.repeat(uniq_tiled, seg_lengths)
                 self._vexp = vexp
-            du = dist[self.u]
-            dv = dist[vexp]
-            ok = (du == dv + self.w) if reverse else (du + self.w == dv)
-            c = x[self.u] * ok
-            sums = np.add.reduceat(c, self.seg) if c.size else c
+            seg = self.seg
+            sums = np.empty((seg.size,) + tail, dtype=np.float64)
+            CH = (1 << 20) // (tail[0] if tail else 1)
+            s0 = 0
+            while s0 < seg.size:
+                lo = seg[s0]
+                s1 = int(np.searchsorted(seg, lo + CH, side="left"))
+                s1 = max(s1, s0 + 1)
+                hi = seg[s1] if s1 < seg.size else self.u.size
+                du = dist[self.u[lo:hi]]
+                dv = dist[vexp[lo:hi]]
+                ww = self.w[lo:hi, None] if tail else self.w[lo:hi]
+                ok = (du == dv + ww) if reverse else (du + ww == dv)
+                c = x[self.u[lo:hi]] * ok
+                sums[s0:s1] = np.add.reduceat(c, seg[s0:s1] - lo, axis=0)
+                s0 = s1
             if self.rep_fold > 1:
-                sums = sums.reshape(self.rep_fold, -1).sum(axis=0)
+                sums = sums.reshape((self.rep_fold, -1) + tail).sum(axis=0)
             cuts = np.searchsorted(self.uniq_v, bounds)
             return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
                           sums[cuts[i]:cuts[i + 1]])
@@ -967,11 +1020,29 @@ def _shard_class():
 
         def shard_gather_minplus(self, bounds: np.ndarray, dist: np.ndarray):
             """Min-plus gather (weighted SSSP superstep): per dst the
-            min of dist[src] + edge weight."""
-            c = dist[self.u] + self.w
-            mins = np.minimum.reduceat(c, self.seg) if c.size else c
+            min of dist[src] + edge weight. ``dist`` may be (n,) or
+            source-batched (n, b)."""
+            tail = tuple(dist.shape[1:])
+            if self.u.size == 0:
+                z = np.empty(0, dtype=np.int64)
+                return tuple((z, np.empty((0,) + tail, dtype=np.float64))
+                             for _ in range(len(bounds) - 1))
+            seg = self.seg
+            mins = np.empty((seg.size,) + tail, dtype=np.float64)
+            CH = (1 << 20) // (tail[0] if tail else 1)
+            s0 = 0
+            while s0 < seg.size:
+                lo = seg[s0]
+                s1 = int(np.searchsorted(seg, lo + CH, side="left"))
+                s1 = max(s1, s0 + 1)
+                hi = seg[s1] if s1 < seg.size else self.u.size
+                c = dist[self.u[lo:hi]]
+                c = c + (self.w[lo:hi, None] if tail else self.w[lo:hi])
+                mins[s0:s1] = np.minimum.reduceat(c, seg[s0:s1] - lo,
+                                                  axis=0)
+                s0 = s1
             if self.rep_fold > 1:
-                mins = mins.reshape(self.rep_fold, -1).min(axis=0)
+                mins = mins.reshape((self.rep_fold, -1) + tail).min(axis=0)
             cuts = np.searchsorted(self.uniq_v, bounds)
             return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
                           mins[cuts[i]:cuts[i + 1]])
@@ -1388,6 +1459,70 @@ class ShardPool:
             ray.get([self.actors[p].owner_combine_wbc_bwd.remote(p, *outs)
                      for p in range(P)])
         ray.get([a.owner_brandes_accumulate.remote(src_dense)
+                 for a in self.actors])
+        return int(dvals.size)
+
+    def wbc_batch_pass(self, srcs: np.ndarray, max_supersteps: int) -> int:
+        """Weighted Brandes for a BATCH of b sources: one batched
+        min-plus SSSP over (width, b) distance matrices, then sigma /
+        delta sweeps over the UNION of the batch's distinct distances
+        (columns without a bucket contribute zeros — integer weights
+        make the union barely larger than one source's schedule, so the
+        per-task RTT amortizes ~b× like the unweighted batch). The DAG
+        test runs edge-side per column against the (n, b) distance
+        broadcast. Returns the union bucket count."""
+        import ray
+
+        P = len(self.actors)
+        srcs = np.asarray(srcs, dtype=np.int64)
+        ray.get([a.owner_wbc_reset_batch.remote(srcs)
+                 for a in self.actors])
+        steps = 0
+        while True:
+            dist_refs = [a.owner_get_wbc_dist_ref.remote()
+                         for a in self.actors]
+            dist_full = self._assembler().remote(*dist_refs)
+            outs = [a.shard_gather_minplus.remote(self.bounds, dist_full)
+                    for a in self.actors]
+            changed = sum(ray.get(
+                [self.actors[p].owner_wbc_combine_min.remote(p, *outs)
+                 for p in range(P)]))
+            if changed == 0:
+                break
+            steps += 1
+            if steps > max_supersteps:
+                raise RuntimeError(
+                    f"batched weighted BC SSSP exceeded {max_supersteps} "
+                    "supersteps")
+        uniqs = ray.get([a.owner_wbc_start_batch.remote(srcs)
+                         for a in self.actors])
+        dvals = np.unique(np.concatenate(
+            [u for u in uniqs if u.size] or [np.zeros(1)]))
+        dist_refs = [a.owner_get_wbc_dist_ref.remote()
+                     for a in self.actors]
+        dist_full = self._assembler().remote(*dist_refs)
+        for dval in dvals[:-1] if dvals.size else []:
+            # the global max bucket has no out-DAG edges in any column
+            x_refs = [a.owner_make_sigma_bucket.remote(float(dval))
+                      for a in self.actors]
+            x_full = self._assembler().remote(*x_refs)
+            outs = [a.shard_gather_wdag_sum.remote(self.bounds, dist_full,
+                                                   x_full, False)
+                    for a in self.actors]
+            ray.get([self.actors[p].owner_combine_wbc_fwd.remote(p, *outs)
+                     for p in range(P)])
+        for dval in dvals[::-1]:
+            if dval == 0.0:
+                break  # each column's 0-bucket is its source alone
+            x_refs = [a.owner_make_delta_bucket.remote(float(dval))
+                      for a in self.actors]
+            x_full = self._assembler().remote(*x_refs)
+            outs = [a.shard_gather_wdag_sum.remote(self.bounds, dist_full,
+                                                   x_full, True)
+                    for a in self.actors]
+            ray.get([self.actors[p].owner_combine_wbc_bwd.remote(p, *outs)
+                     for p in range(P)])
+        ray.get([a.owner_brandes_accumulate_batch.remote(srcs)
                  for a in self.actors])
         return int(dvals.size)
 
