@@ -343,17 +343,40 @@ def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
     # batches the min-plus SSSP the same way and sweeps the UNION of
     # the batch's distance buckets (integer weights overlap heavily).
     bsz = int(cfg.extra.get("bc_source_batch", 8))
-    for lo in range(0, k, bsz):
+    # per-batch resumability: the bc accumulator is a clean per-batch
+    # cut (sources partition the work), so each completed batch
+    # checkpoints the owners' bc chunks + a source cursor — a k-source
+    # run at 100 TB is hours, and a restart must not repeat batch 0.
+    algo = f"bc_sampled_{'w' if weighted else 'u'}"
+    start = 0
+    if cfg.checkpoint_dir is not None:
+        step = pool.resume_owners(cfg.checkpoint_dir, algo, vector="bc")
+        man = getattr(pool, "last_manifest", {}) if step is not None else {}
+        if (step is not None and man.get("k") == k
+                and man.get("weighted") == weighted
+                and 0 < int(man.get("next_src", 0)) <= k):
+            start = int(man["next_src"])
+            if metrics is not None:
+                metrics["resumed_from_src"] = start
+        else:
+            pool.brandes_init()  # stale/foreign checkpoint: start over
+    for lo in range(start, k, bsz):
         srcs = np.arange(lo, min(lo + bsz, k), dtype=np.int64)
         if weighted:
             depths.append(pool.wbc_batch_pass(srcs, cfg.max_supersteps))
         else:
             depths.append(pool.brandes_batch_pass(srcs))
+        if (cfg.checkpoint_dir is not None
+                and (lo // bsz) % cfg.checkpoint_every == 0):
+            pool.checkpoint_owners(
+                cfg.checkpoint_dir, algo, step=lo // bsz,
+                extra_meta={"next_src": int(srcs[-1]) + 1, "k": k,
+                            "weighted": weighted}, vector="bc")
     pool.brandes_commit()
     elapsed = _time.perf_counter() - t0
     if metrics is not None:
         metrics.update({
-            "sec": elapsed, "sources": k,
+            "sec": elapsed, "sources": k, "sources_run": k - start,
             "sources_per_sec": k / max(elapsed, 1e-9),
             "max_depth": max(depths, default=0), "mode": "sharded",
         })

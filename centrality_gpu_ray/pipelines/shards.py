@@ -373,20 +373,25 @@ def _shard_class():
             self.aux[fresh] = best[fresh]
             return int(fresh.sum())
 
-        def owner_write_chunk(self, path: str) -> int:
-            """Checkpoint this owner's state chunk as parquet (atomic
-            tmp→rename); per-partition resumability for sharded state."""
+        _CKPT_VECTORS = {"state": "state", "bc": "b_bc"}
+
+        def owner_write_chunk(self, path: str, which: str = "state") -> int:
+            """Checkpoint this owner's chunk of a named vector as
+            parquet (atomic tmp→rename); per-partition resumability for
+            sharded state. ``which``: "state" (rank/label/distance) or
+            "bc" (the sampled-Brandes accumulator)."""
             import os
 
             import pyarrow.parquet as pq
 
-            tbl = pa.table({"value": pa.array(self.state)})
+            vec = getattr(self, self._CKPT_VECTORS[which])
+            tbl = pa.table({"value": pa.array(vec)})
             tmp = path + ".tmp"
             pq.write_table(tbl, tmp)
             os.replace(tmp, path)
-            return int(self.state.size)
+            return int(vec.size)
 
-        def owner_load_chunk(self, path: str) -> bool:
+        def owner_load_chunk(self, path: str, which: str = "state") -> bool:
             import pyarrow.parquet as pq
 
             vals = pq.read_table(path).column("value").to_numpy(
@@ -395,7 +400,7 @@ def _shard_class():
                 raise ValueError(
                     f"checkpoint chunk rows {vals.size} != owner range "
                     f"{self.hi - self.lo}")
-            self.state = vals.copy()
+            setattr(self, self._CKPT_VECTORS[which], vals.copy())
             return True
 
         def owner_set_state(self, chunk: np.ndarray):
@@ -1654,10 +1659,12 @@ class ShardPool:
         return int(sum(ray.get(changed_refs)))
 
     def checkpoint_owners(self, ckpt_dir: str, algo: str, step: int,
-                          extra_meta: dict | None = None) -> dict:
+                          extra_meta: dict | None = None,
+                          vector: str = "state") -> dict:
         """Per-owner sharded checkpoint: each owner writes its own
         chunk file; the driver writes only the small manifest (bounds,
-        step, lineage). No O(n) driver traffic."""
+        step, lineage). No O(n) driver traffic. ``vector`` selects the
+        owner vector ("state" or the sampled-BC "bc" accumulator)."""
         import json
         import os
         import time as _time
@@ -1668,7 +1675,7 @@ class ShardPool:
         os.makedirs(step_dir, exist_ok=True)
         rows = ray.get([
             a.owner_write_chunk.remote(
-                os.path.join(step_dir, f"owner-{i:05d}.parquet"))
+                os.path.join(step_dir, f"owner-{i:05d}.parquet"), vector)
             for i, a in enumerate(self.actors)
         ])
         manifest = {
@@ -1683,10 +1690,13 @@ class ShardPool:
         os.replace(tmp, os.path.join(step_dir, "manifest.json"))
         return manifest
 
-    def resume_owners(self, ckpt_dir: str, algo: str) -> int | None:
+    def resume_owners(self, ckpt_dir: str, algo: str,
+                      vector: str = "state") -> int | None:
         """Load the newest matching sharded checkpoint into the owners;
         returns its step, or None if absent/incompatible (different n
-        or owner bounds — e.g. a different pool size)."""
+        or owner bounds — e.g. a different pool size). The loaded
+        manifest is kept on ``self.last_manifest`` so callers can read
+        their own lineage fields (e.g. the sampled-BC source cursor)."""
         import json
         import os
 
@@ -1709,9 +1719,10 @@ class ShardPool:
             return None
         ray.get([
             a.owner_load_chunk.remote(
-                os.path.join(step_dir, f"owner-{i:05d}.parquet"))
+                os.path.join(step_dir, f"owner-{i:05d}.parquet"), vector)
             for i, a in enumerate(self.actors)
         ])
+        self.last_manifest = man
         return int(man["step"])
 
     def collect_state(self) -> np.ndarray:

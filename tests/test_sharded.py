@@ -473,3 +473,41 @@ def test_sharded_bicc_pure_tree():
     br = bridges(g, EngineConfig(dense_vertex_limit=100)).to_pandas()
     assert len(br) == n
     assert br["is_bridge"].all()
+
+
+def test_sharded_bc_checkpoint_resume(graphs, tmp_path):
+    """Sampled-BC per-batch checkpoints: crash after the first batch
+    (simulated by deleting the later step dirs) resumes at the source
+    cursor and reproduces the uninterrupted result bit-identically."""
+    import os
+    import shutil
+
+    from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+
+    _, sharded = graphs
+    ck = str(tmp_path / "bcck")
+    cfg = EngineConfig(dense_vertex_limit=500, checkpoint_dir=ck,
+                       extra={"bc_source_batch": 8})
+    m1: dict = {}
+    a = betweenness_centrality(sharded, cfg, max_sources=24,
+                               metrics=m1).to_pandas()
+    assert m1["sources_run"] == 24
+    algo_dir = os.path.join(ck, "bc_sampled_u")
+    steps = sorted(os.listdir(algo_dir))
+    assert len(steps) == 3  # batches of 8 → cursors 8, 16, 24
+    for d in steps[1:]:
+        shutil.rmtree(os.path.join(algo_dir, d))
+
+    m2: dict = {}
+    b = betweenness_centrality(sharded, cfg, max_sources=24,
+                               metrics=m2).to_pandas()
+    assert m2["resumed_from_src"] == 8
+    assert m2["sources_run"] == 16
+    merged = a.merge(b, on="node", suffixes=("_full", "_resumed"))
+    assert len(merged) == sharded.num_vertices
+    assert (merged["bc_full"] == merged["bc_resumed"]).all()
+
+    # a mismatched spec (different k) must NOT resume
+    m3: dict = {}
+    betweenness_centrality(sharded, cfg, max_sources=16, metrics=m3)
+    assert "resumed_from_src" not in m3
