@@ -511,3 +511,60 @@ def test_sharded_bc_checkpoint_resume(graphs, tmp_path):
     m3: dict = {}
     betweenness_centrality(sharded, cfg, max_sources=16, metrics=m3)
     assert "resumed_from_src" not in m3
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_sharded_bicc_random_parity(seed):
+    """Random clustered graphs with forced bridges, articulation
+    vertices and a pendant chain: the distributed Tarjan–Vishkin must
+    match the dense program exactly (flags, per-edge labels, bridges)."""
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.bicc import (articulation_points,
+                                                   bcc_labels, bridges)
+
+    rng = np.random.default_rng(seed)
+    srcs, dsts = [], []
+    for c in range(4):  # 4 dense-ish clusters of 150
+        base = c * 150
+        e = rng.integers(0, 150, size=(400, 2)) + base
+        srcs.append(e[:, 0])
+        dsts.append(e[:, 1])
+    # single bridge edges between consecutive clusters (articulations)
+    srcs.append(np.array([0, 150, 300], dtype=np.int64))
+    dsts.append(np.array([150, 300, 450], dtype=np.int64))
+    # pendant chain off vertex 0: every chain edge a bridge
+    srcs.append(np.arange(600, 609, dtype=np.int64))
+    dsts.append(np.arange(601, 610, dtype=np.int64))
+    srcs.append(np.array([0], dtype=np.int64))
+    dsts.append(np.array([600], dtype=np.int64))
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    keep = s != d
+    tbl = pa.table({"src": pa.array(s[keep] * 7 + 3),
+                    "dst": pa.array(d[keep] * 7 + 3),
+                    "weight": pa.array(np.ones(int(keep.sum()),
+                                               dtype=np.int64))})
+    dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
+    cfg = EngineConfig(dense_vertex_limit=200)
+    dist = Graph(ray.data.from_arrow(tbl), config=cfg)
+    assert dist.sharded
+
+    a = articulation_points(dense).to_pandas()
+    b = articulation_points(dist, cfg).to_pandas()
+    m = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(m) == dense.num_vertices
+    assert (m["is_articulation_d"] == m["is_articulation_s"]).all()
+    assert m["is_articulation_d"].sum() >= 10  # chain + cut vertices
+
+    la = bcc_labels(dense).to_pandas()
+    lb = bcc_labels(dist, cfg).to_pandas()
+    lm = la.merge(lb, on=["src", "dst"], suffixes=("_d", "_s"))
+    assert len(lm) == dense.num_edges
+    assert (lm["bcc_d"] == lm["bcc_s"]).all()
+
+    ba = bridges(dense).to_pandas()
+    bb = bridges(dist, cfg).to_pandas()
+    bm = ba.merge(bb, on=["src", "dst"], suffixes=("_d", "_s"))
+    assert (bm["is_bridge_d"] == bm["is_bridge_s"]).all()
+    assert bm["is_bridge_d"].sum() >= 12  # 3 cluster bridges + chain
