@@ -201,11 +201,16 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
     label_full = asm.remote(*[a.owner_get_bicc.remote("label")
                               for a in actors])
     level_full = asm.remote(*[a.owner_get_state.remote() for a in actors])
+    # snapshot the articulation pair tables NOW: they read live owner
+    # state (aux/labels), which a later algorithm reusing the same pool
+    # would clobber — the cached refs below are immutable plasma objects
+    pairs_refs = [a.owner_bicc_pairs.remote() for a in actors]
 
     state = {
         "pool": pool, "n_aux": int(n_aux),
         "parent_full": parent_full, "level_full": level_full,
-        "label_full": label_full, "roots": roots, "max_lvl": max_lvl,
+        "label_full": label_full, "pairs_refs": pairs_refs,
+        "roots": roots, "max_lvl": max_lvl,
         "sec": time.perf_counter() - t0,
     }
     if metrics is not None:
@@ -229,8 +234,7 @@ def articulation_points_distributed(graph: Graph,
 
     cfg = config or graph.config
     st = _bicc_run(graph, cfg, metrics)
-    pairs = ray.data.from_arrow_refs(
-        [a.owner_bicc_pairs.remote() for a in st["pool"].actors])
+    pairs = ray.data.from_arrow_refs(list(st["pairs_refs"]))
     distinct = hash_distinct(pairs, ["v", "lab"],
                              num_partitions=cfg.num_partitions)
     counts = hash_aggregate(distinct, ["v"], [("lab", "count")],

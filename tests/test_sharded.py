@@ -568,3 +568,27 @@ def test_sharded_bicc_random_parity(seed):
     bm = ba.merge(bb, on=["src", "dst"], suffixes=("_d", "_s"))
     assert (bm["is_bridge_d"] == bm["is_bridge_s"]).all()
     assert bm["is_bridge_d"].sum() >= 12  # 3 cluster bridges + chain
+
+
+def test_sharded_bicc_cache_survives_pool_reuse(graphs):
+    """The cached BiCC result must stay correct after ANOTHER algorithm
+    reuses the same shard pool and clobbers the owners' live state
+    (regression: articulation pairs used to read live aux/labels)."""
+    from centrality_gpu_ray.pipelines.bfs import bfs
+    from centrality_gpu_ray.pipelines.bicc import (articulation_points,
+                                                   bcc_labels)
+
+    dense, sharded = graphs
+    cfg = EngineConfig(dense_vertex_limit=500)
+    lb_before = bcc_labels(sharded, cfg).to_pandas()  # populates cache
+    # clobber the pool's owner state with a different algorithm
+    bfs(sharded, 5, cfg).to_pandas()
+    a = articulation_points(dense).to_pandas()
+    b = articulation_points(sharded, cfg).to_pandas()  # from cache
+    m = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert len(m) == dense.num_vertices
+    assert (m["is_articulation_d"] == m["is_articulation_s"]).all()
+    lb_after = bcc_labels(sharded, cfg).to_pandas()
+    j = lb_before.merge(lb_after, on=["src", "dst"],
+                        suffixes=("_1", "_2"))
+    assert (j["bcc_1"] == j["bcc_2"]).all()
