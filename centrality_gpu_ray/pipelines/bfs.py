@@ -213,7 +213,17 @@ def approx_diameter(graph: Graph, num_samples: int = 32, seed: int = 42,
     operator whose output can drive the frontier-strategy switch."""
     rng = np.random.default_rng(seed)
     k = min(num_samples, graph.num_vertices)
-    sources = graph.node_ids[rng.choice(graph.num_vertices, size=k, replace=False)]
+    dense_sample = rng.choice(graph.num_vertices, size=k, replace=False)
+    if getattr(graph, "sharded", False):
+        # map sampled dense ids through the distributed dictionary —
+        # O(k log) page touches on zero-copy plasma views, no O(n) pull
+        from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+
+        reader = _DictReader((graph.vdict.mins, graph.vdict.offsets,
+                              graph.vdict.block_refs))
+        sources = reader.to_original(np.sort(dense_sample))
+    else:
+        sources = graph.node_ids[dense_sample]
     depths = []
     for src in sources:
         m: dict = {}

@@ -592,3 +592,18 @@ def test_sharded_bicc_cache_survives_pool_reuse(graphs):
     j = lb_before.merge(lb_after, on=["src", "dst"],
                         suffixes=("_1", "_2"))
     assert (j["bcc_1"] == j["bcc_2"]).all()
+
+
+def test_sharded_approx_diameter(graphs):
+    """approx_diameter must run on sharded graphs (node_ids is None
+    there — sources come from the distributed dictionary)."""
+    from centrality_gpu_ray.pipelines.bfs import approx_diameter
+
+    dense, sharded = graphs
+    cfg = EngineConfig(dense_vertex_limit=500)
+    out = approx_diameter(sharded, num_samples=3, seed=7, config=cfg)
+    ref = approx_diameter(dense, num_samples=3, seed=7)
+    assert out["samples"] == 3
+    assert out["max_depth"] >= 1
+    # same seed → same dense sample → identical depth multiset
+    assert sorted(out["depths"]) == sorted(ref["depths"])
