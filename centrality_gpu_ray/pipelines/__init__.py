@@ -6,6 +6,7 @@ from centrality_gpu_ray.pipelines.triangles import (edge_support,
                                                     triangle_counts)
 from centrality_gpu_ray.pipelines.truss import ktruss
 from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+from centrality_gpu_ray.pipelines.bc_decomp import betweenness_decomposed
 from centrality_gpu_ray.pipelines.bicc import (articulation_points,
                                                bcc_labels, bridges)
 from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
@@ -21,6 +22,7 @@ __all__ = [
     "edge_support",
     "ktruss",
     "betweenness_centrality",
+    "betweenness_decomposed",
     "articulation_points",
     "bcc_labels",
     "bridges",

@@ -1,0 +1,300 @@
+"""Block-cut-tree decomposed exact betweenness centrality.
+
+The reference's live BC path never runs plain Brandes on the whole
+graph: it splits the graph into biconnected components, aggregates
+*reach* values (how many vertices hang off each articulation point
+outside a BCC) bottom-up over the block-cut tree
+(``modified_apsp.cpp:157-220`` ``reachfunction``; the
+``bc_result[artpt] += cntx*cnty*2`` closed form at
+``modified_apsp.cpp:208``), then runs Brandes *per BCC* with those
+reach values as pair weights (``apsp_graph.cpp:212-260`` —
+``delta[v] += sigma[v]*coeff*reach_val*2``). This file is that
+decomposition, re-derived for the Ray engine:
+
+* **BCC labels / articulation points** come from the engine's own
+  Tarjan–Vishkin BiCC (``pipelines/bicc.py``) — BFS forest, preorder
+  intervals, aux-graph CC.
+* **Branch sizes** (the reference's reach vector) fall out of the SAME
+  BFS forest: removing an articulation point ``a`` splits its
+  component into one part per distinct BCC among ``a``'s incident
+  tree edges (two children of ``a`` are separated iff their edges are
+  in different BCCs), so
+
+  ``br(B, a) = Σ size(c)  over children c with bcc(a,c) = B``
+  ``          + (csize − size(a))  if bcc(parent(a), a) = B``
+
+  replaces the reference's explicit block-cut-tree level sweep
+  (I4/I5) with two vectorized scatter-adds.
+* **Closed form** — every ordered pair crossing ``a`` between two
+  different branches passes through ``a`` on *all* shortest paths:
+
+  ``bc_cf(a) = (csize−1)² − Σ_B br(B, a)²``
+
+  (zero for non-articulation vertices: a single branch of size
+  csize−1).
+* **Per-BCC reach-weighted Brandes** — inside BCC ``B`` each vertex
+  carries mass ``w_B(v) = 1`` (plain vertex) or
+  ``w_B(a) = csize − br(B, a)`` (articulation point: itself plus every
+  vertex whose entry into B is a). Σ_v w_B(v) = csize, and the
+  mass-weighted dependency accumulation
+  (``_single_source_dependencies(mass=...)``) credits each interior
+  vertex with exactly the ordered-pair mass whose shortest paths cross
+  it. Summing the three terms reproduces plain exact Brandes BC
+  *bit-for-bit in exact arithmetic* (float-tolerance parity tested in
+  ``tests/test_bc_decomp.py``).
+
+Why it scales: Brandes cost drops from ``O(n·m)`` to
+``Σ_B n_B·m_B`` — bridges and pendant trees (2-vertex BCCs) cost
+*nothing*, and the remaining work partitions into independent
+(BCC, source-range) items fanned out over an actor pool holding one
+broadcast of the BCC-sorted edge arrays. Dense conformance tier (same
+envelope as exact all-sources BC — the whole point of the
+decomposition is to make THAT tier cheap, exactly like the reference).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.bicc import (_min_label_cc,
+                                               _preorder_and_sizes,
+                                               _ragged, biconnected)
+from centrality_gpu_ray.pipelines.brandes import (
+    _single_source_dependencies, build_csr)
+from centrality_gpu_ray.pipelines.graph import Graph
+
+# target per work item: ~sources × BCC-edges vectorized kernel ops.
+# Big enough to amortize the ~5-10 ms per-task RTT of this substrate,
+# small enough that one giant BCC still splits across the pool.
+_ITEM_EDGE_OPS = 4_000_000
+
+
+def _decompose(s: np.ndarray, d: np.ndarray, n: int, res: dict):
+    """Driver-side closed forms + per-(BCC, vertex) masses.
+
+    Returns ``(cf, e_bcc_dense, nb, mass_bcc, mass_vertex, mass_value)``
+    where ``cf`` is the articulation closed-form BC vector and masses
+    list every articulation incidence (non-listed vertices have mass
+    1 in every BCC containing them).
+    """
+    parent, level, lab = res["parent"], res["level"], res["bcc_label"]
+    art = res["is_articulation"]
+    _, size = _preorder_and_sizes(parent, level)
+    comp = _min_label_cc(n, s, d)
+    _, inv = np.unique(comp, return_inverse=True)
+    csize = np.bincount(inv)[inv].astype(np.int64)
+
+    # per-edge BCC label (same derivation as bcc_labels(), dense ids)
+    is_tree = (parent[d] == s) | (parent[s] == d)
+    child = np.where(parent[d] == s, d, s)
+    deeper = np.where(level[s] >= level[d], s, d)
+    e_bcc = np.where(is_tree, lab[child], lab[deeper])
+    uniq_b, e_bcc_dense = np.unique(e_bcc, return_inverse=True)
+    nb = uniq_b.size
+
+    # branch-size incidences at articulation points (reach aggregation,
+    # modified_apsp.cpp:157-220, without the explicit block-cut tree)
+    childs = np.flatnonzero(parent >= 0)
+    a_rows = np.concatenate([parent[childs], childs])
+    b_rows = np.concatenate([lab[childs], lab[childs]])
+    c_rows = np.concatenate([size[childs], csize[childs] - size[childs]])
+    keep = art[a_rows]
+    a_rows, b_rows, c_rows = a_rows[keep], b_rows[keep], c_rows[keep]
+
+    cf = np.zeros(n, dtype=np.float64)
+    if a_rows.size == 0:
+        return (cf, e_bcc_dense, nb,
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64))
+
+    o = np.lexsort((b_rows, a_rows))
+    a_s, b_s, c_s = a_rows[o], b_rows[o], c_rows[o].astype(np.float64)
+    new_grp = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    gidx = np.cumsum(new_grp) - 1
+    br = np.bincount(gidx, weights=c_s)
+    ga = a_s[new_grp]
+    gb = b_s[new_grp]
+
+    # closed form: (csize-1)^2 - sum of squared branch sizes
+    np.add.at(cf, ga, -(br * br))
+    arts = np.flatnonzero(art)
+    cm1 = (csize[arts] - 1).astype(np.float64)
+    cf[arts] += cm1 * cm1
+
+    # per-(BCC, art) mass = csize - branch size (itself + every vertex
+    # entering the BCC through it) — the reference's reach_val
+    mass_val = csize[ga].astype(np.float64) - br
+    gb_dense = np.searchsorted(uniq_b, gb)
+    return cf, e_bcc_dense, nb, gb_dense, ga, mass_val
+
+
+class _DecompBrandesActor:
+    """Actor-pool stage over (bcc, src_lo, src_hi) work items. Holds
+    the BCC-sorted edge arrays + articulation masses (bytes → private
+    heap, same rationale as ``_BrandesActor``); caches the most recent
+    BCC's CSR so consecutive source-chunks of one giant BCC don't
+    rebuild it."""
+
+    def __init__(self, bcast_ref):
+        import ray
+
+        (es_b, ed_b, boffs_b, moffs_b, mv_b, mw_b) = ray.get(bcast_ref)
+        self.es = np.frombuffer(es_b, dtype=np.int64).copy()
+        self.ed = np.frombuffer(ed_b, dtype=np.int64).copy()
+        self.boffs = np.frombuffer(boffs_b, dtype=np.int64).copy()
+        self.moffs = np.frombuffer(moffs_b, dtype=np.int64).copy()
+        self.m_v = np.frombuffer(mv_b, dtype=np.int64).copy()
+        self.m_w = np.frombuffer(mw_b, dtype=np.float64).copy()
+        self._cached_k = -1
+        self._cached = None
+
+    def _bcc_arrays(self, k: int):
+        if k == self._cached_k:
+            return self._cached
+        lo, hi = self.boffs[k], self.boffs[k + 1]
+        eu, ev = self.es[lo:hi], self.ed[lo:hi]
+        verts = np.unique(np.concatenate([eu, ev]))
+        lu = np.searchsorted(verts, eu)
+        lv = np.searchsorted(verts, ev)
+        nv = verts.size
+        mass = np.ones(nv, dtype=np.float64)
+        mlo, mhi = self.moffs[k], self.moffs[k + 1]
+        if mhi > mlo:
+            pos = np.searchsorted(verts, self.m_v[mlo:mhi])
+            mass[pos] = self.m_w[mlo:mhi]
+        R, C = build_csr(lu, lv, nv)
+        self._cached_k = k
+        self._cached = (verts, lu, lv, nv, mass, R, C)
+        return self._cached
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ks = batch.column("k").to_numpy()
+        los = batch.column("lo").to_numpy()
+        his = batch.column("hi").to_numpy()
+        out_v: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for k, lo, hi in zip(ks, los, his):
+            verts, lu, lv, nv, mass, R, C = self._bcc_arrays(int(k))
+            acc = np.zeros(nv, dtype=np.float64)
+            for srci in range(int(lo), int(hi)):
+                delta = _single_source_dependencies(
+                    R, C, lu, lv, nv, srci, mass=mass)
+                acc += mass[srci] * delta
+            nz = np.flatnonzero(acc)
+            out_v.append(verts[nz])
+            out_c.append(acc[nz])
+        v = np.concatenate(out_v) if out_v else np.empty(0, np.int64)
+        c = np.concatenate(out_c) if out_c else np.empty(0, np.float64)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "c": pa.array(c)})
+
+
+def betweenness_decomposed(graph: Graph,
+                           config: EngineConfig | None = None,
+                           concurrency: int = 4,
+                           metrics: dict | None = None) -> pa.Table:
+    """Exact ordered-pair BC via BCC decomposition → ``(node, bc)``.
+
+    Identical output to ``betweenness_centrality(graph)`` (parity
+    tested); cost ``Σ_B n_B·m_B`` instead of ``n·m`` — on graphs with
+    pendant trees, bridges, or many small blocks this is the
+    reference's headline optimization (``modified_apsp.cpp:336-372``).
+    """
+    import ray
+    import ray.data
+
+    graph.require_dense("betweenness_decomposed")
+    t0 = time.perf_counter()
+    n = graph.num_vertices
+    s, d, _ = graph.local_arrays()
+    if n == 0 or s.size == 0:
+        if metrics is not None:
+            metrics.update({"sec": 0.0, "num_bcc_run": 0})
+        return pa.table({
+            "node": pa.array(graph.node_ids, type=pa.int64()),
+            "bc": pa.array(np.zeros(n, dtype=np.float64)),
+        })
+
+    res = biconnected(graph)
+    cf, e_bcc_dense, nb, m_b, m_v, m_w = _decompose(s, d, n, res)
+
+    # BCC-sorted edge arrays + per-BCC offsets
+    eo = np.argsort(e_bcc_dense, kind="stable")
+    es, ed = s[eo].astype(np.int64), d[eo].astype(np.int64)
+    eb = e_bcc_dense[eo]
+    boffs = np.searchsorted(eb, np.arange(nb + 1)).astype(np.int64)
+
+    # per-BCC vertex counts (unique (bcc, endpoint) incidences)
+    vb_b = np.concatenate([eb, eb])
+    vb_v = np.concatenate([es, ed])
+    vo = np.lexsort((vb_v, vb_b))
+    bb, vv = vb_b[vo], vb_v[vo]
+    newv = np.r_[True, (bb[1:] != bb[:-1]) | (vv[1:] != vv[:-1])]
+    nverts = np.bincount(bb[newv], minlength=nb)
+
+    # work items: only BCCs with an interior (≥3 vertices); giant BCCs
+    # split by source range so one block never serializes the pool
+    kk = np.flatnonzero(nverts >= 3)
+    bc = cf  # accumulate into the closed-form vector
+    work_dec = 0
+    if kk.size:
+        mm = (boffs[kk + 1] - boffs[kk]).astype(np.int64)
+        work_dec = int((nverts[kk] * mm).sum())
+        per = np.maximum(1, _ITEM_EDGE_OPS // np.maximum(mm, 1))
+        nitems = -(-nverts[kk] // per)
+        item_k = np.repeat(kk, nitems)
+        item_per = np.repeat(per, nitems)
+        item_lo = _ragged(nitems) * item_per
+        item_hi = np.minimum(item_lo + item_per,
+                             np.repeat(nverts[kk], nitems))
+
+        # masses sorted by (bcc, vertex) with per-BCC offsets
+        if m_b.size:
+            mo = np.lexsort((m_v, m_b))
+            m_b, m_v, m_w = m_b[mo], m_v[mo], m_w[mo]
+        moffs = np.searchsorted(m_b, np.arange(nb + 1)).astype(np.int64)
+
+        bcast = ray.put((es.tobytes(), ed.tobytes(), boffs.tobytes(),
+                         moffs.tobytes(), m_v.astype(np.int64).tobytes(),
+                         m_w.astype(np.float64).tobytes()))
+
+        items = pa.table({"k": pa.array(item_k.astype(np.int64)),
+                          "lo": pa.array(item_lo.astype(np.int64)),
+                          "hi": pa.array(item_hi.astype(np.int64))})
+        # a list of single-row-group tables → one block per slice, so
+        # the pool actually fans out (a single from_arrow table is one
+        # block = one task)
+        n_items = items.num_rows
+        rows_per_block = max(1, -(-n_items // max(concurrency * 4, 1)))
+        slices = [items.slice(i, rows_per_block)
+                  for i in range(0, n_items, rows_per_block)]
+        ds = ray.data.from_arrow(slices)
+        parts = ds.map_batches(
+            _DecompBrandesActor, batch_format="pyarrow",
+            batch_size=rows_per_block,
+            concurrency=max(1, min(concurrency, len(slices))),
+            num_cpus=0.5, fn_constructor_args=(bcast,))
+        for batch in parts.iter_batches(batch_size=None,
+                                        batch_format="pyarrow"):
+            np.add.at(bc, batch.column("v").to_numpy(),
+                      batch.column("c").to_numpy())
+
+    elapsed = time.perf_counter() - t0
+    if metrics is not None:
+        metrics.update({
+            "sec": elapsed,
+            "num_bcc": int(nb),
+            "num_bcc_run": int(kk.size),
+            "work_decomposed_edge_ops": work_dec,
+            "work_plain_edge_ops": int(n) * int(s.size),
+            "num_articulation_points":
+                int(res["is_articulation"].sum()),
+        })
+    return pa.table({
+        "node": pa.array(graph.node_ids, type=pa.int64()),
+        "bc": pa.array(bc),
+    })

@@ -49,9 +49,18 @@ def build_csr(s: np.ndarray, d: np.ndarray, n: int):
 
 def _single_source_dependencies(R: np.ndarray, C: np.ndarray,
                                 S_arr: np.ndarray, D_arr: np.ndarray,
-                                n: int, src: int) -> np.ndarray:
+                                n: int, src: int,
+                                mass: np.ndarray | None = None) -> np.ndarray:
     """Brandes dependency vector delta for one source (ordered-pair
-    convention: caller adds delta directly, no halving)."""
+    convention: caller adds delta directly, no halving).
+
+    ``mass`` generalizes to reach-weighted dependencies (Brandes 2008
+    variant; the reference's per-BCC reach values,
+    ``apsp_graph.cpp:229-252`` — ``delta[v] += sigma*coeff*reach_val``):
+    each vertex t absorbs ``mass[t]`` units of target weight, so the
+    returned delta counts ordered pairs (src, every vertex t
+    represents). The caller scales by ``mass[src]`` for the source
+    side. ``mass=None`` is the plain unit-mass kernel."""
     d = np.full(n, -1, dtype=np.int64)
     d[src] = 0
     frontier = np.array([src], dtype=np.int64)
@@ -93,7 +102,8 @@ def _single_source_dependencies(R: np.ndarray, C: np.ndarray,
     for lvl in range(level - 1, -1, -1):
         lo, hi = bounds[lvl], bounds[lvl + 1]
         uu, vv = eu_s[lo:hi], ev_s[lo:hi]
-        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (1.0 + delta[vv]))
+        tmass = 1.0 if mass is None else mass[vv]
+        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (tmass + delta[vv]))
     delta[src] = 0.0
     return delta
 

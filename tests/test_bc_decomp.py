@@ -1,0 +1,108 @@
+"""Block-cut-tree decomposed BC must equal plain exact Brandes BC
+(the reference's reach-weighted path, ``modified_apsp.cpp:157-260``,
+produces the same numbers as whole-graph Brandes — that IS the
+decomposition's correctness claim)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from centrality_gpu_ray.pipelines.bc_decomp import betweenness_decomposed
+from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.sources.edgelist import FIXTURE_EDGES
+
+
+def _graph(edges):
+    import ray.data
+
+    tbl = pa.table({
+        "src": pa.array([u for u, _ in edges], type=pa.int64()),
+        "dst": pa.array([v for _, v in edges], type=pa.int64()),
+        "weight": pa.array([1] * len(edges), type=pa.int64()),
+    })
+    return Graph(ray.data.from_arrow(tbl))
+
+
+def _assert_parity(edges, **kw):
+    g = _graph(edges)
+    plain = betweenness_centrality(g).to_pandas().sort_values("node")
+    m = {}
+    dec = betweenness_decomposed(g, metrics=m, **kw) \
+        .to_pandas().sort_values("node")
+    assert list(plain["node"]) == list(dec["node"])
+    np.testing.assert_allclose(dec["bc"].to_numpy(),
+                               plain["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+    return m
+
+
+@pytest.mark.parametrize("name", ["test1", "test2", "test3",
+                                  "test4", "test5"])
+def test_decomposed_fixture_parity(name):
+    _assert_parity(FIXTURE_EDGES[name])
+
+
+def test_decomposed_pure_tree_is_closed_form_only():
+    # path: 0-1-2-3-4 — every BCC is a single edge, zero Brandes work
+    m = _assert_parity([(0, 1), (1, 2), (2, 3), (3, 4)])
+    assert m["num_bcc_run"] == 0
+    assert m["work_decomposed_edge_ops"] == 0
+    # star
+    m = _assert_parity([(9, 1), (9, 2), (9, 3), (9, 4), (9, 5)])
+    assert m["num_bcc_run"] == 0
+
+
+def test_decomposed_barbell_and_cycle_pendants():
+    # two triangles joined by a bridge path, plus pendant hair
+    edges = [(0, 1), (1, 2), (2, 0),            # triangle A
+             (2, 3), (3, 4),                    # bridge path
+             (4, 5), (5, 6), (6, 4),            # triangle B
+             (0, 7), (7, 8), (5, 9)]            # pendants
+    m = _assert_parity(edges)
+    assert m["num_bcc_run"] == 2  # only the two triangles run Brandes
+    assert m["work_decomposed_edge_ops"] < m["work_plain_edge_ops"]
+    # square with a pendant (worked through by hand in the derivation)
+    _assert_parity([(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)])
+
+
+def test_decomposed_multi_component():
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3),    # triangle + pendant
+             (10, 11), (11, 12),                # separate path
+             (20, 21), (21, 22), (22, 23), (23, 20)]  # separate cycle
+    _assert_parity(edges)
+
+
+def test_decomposed_random_graphs_parity():
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        n = int(rng.integers(10, 70))
+        p = float(rng.uniform(0.03, 0.12))
+        mask = rng.random((n, n)) < p
+        iu, iv = np.triu_indices(n, k=1)
+        keep = mask[iu, iv]
+        edges = list(zip(iu[keep].tolist(), iv[keep].tolist()))
+        # attach pendant chains to random vertices so the block-cut
+        # tree is non-trivial
+        nxt = n
+        for _ in range(int(rng.integers(0, 6))):
+            host = int(rng.integers(0, n))
+            ln = int(rng.integers(1, 4))
+            for _ in range(ln):
+                edges.append((host, nxt))
+                host = nxt
+                nxt += 1
+        if not edges:
+            continue
+        _assert_parity(edges)
+
+
+def test_decomposed_giant_bcc_splits_items():
+    # one dense block big enough to split into several work items
+    rng = np.random.default_rng(3)
+    n = 40
+    iu, iv = np.triu_indices(n, k=1)
+    keep = rng.random(iu.size) < 0.5
+    edges = list(zip(iu[keep].tolist(), iv[keep].tolist()))
+    m = _assert_parity(edges, concurrency=2)
+    assert m["num_bcc_run"] >= 1
