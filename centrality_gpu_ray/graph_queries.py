@@ -370,12 +370,17 @@ def lineitem_closeness_weighted(sf_dir: str, k: int = 8):
 
 
 def nation_betweenness(sf_dir: str):
-    """Exact BC on the small customer–nation bipartite graph (conformance
-    of the Brandes actor pool on real tables; nodes: nation n →
-    n, customer c → 1000 + c)."""
+    """Exact BC on the small customer–nation bipartite graph (nodes:
+    nation n → n, customer c → 1000 + c). Runs the block-cut-tree
+    DECOMPOSED path (``pipelines/bc_decomp.py``) — on a star forest
+    every BCC is a single edge, so the driver's hash row value-checks
+    the BiCC → branch-size → articulation-closed-form machinery
+    against the independent SQL star oracle (plain whole-graph Brandes
+    stays golden-tested in tests/fixtures and parity-tested vs this
+    path in tests/test_bc_decomp.py)."""
     import ray.data
 
-    from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+    from centrality_gpu_ray.pipelines.bc_decomp import betweenness_decomposed
     from centrality_gpu_ray.pipelines.graph import Graph
 
     ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
@@ -388,7 +393,7 @@ def nation_betweenness(sf_dir: str):
                          "weight": pa.array(np.ones(c.size, dtype=np.int64))})
 
     g = Graph(ds.map_batches(explode, batch_format="pyarrow"))
-    return betweenness_centrality(g, concurrency=2)
+    return betweenness_decomposed(g, concurrency=2)
 
 
 def nation_betweenness_weighted(sf_dir: str):

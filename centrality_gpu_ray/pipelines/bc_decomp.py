@@ -64,7 +64,8 @@ from centrality_gpu_ray.pipelines.bicc import (_min_label_cc,
                                                _preorder_and_sizes,
                                                _ragged, biconnected)
 from centrality_gpu_ray.pipelines.brandes import (
-    _single_source_dependencies, build_csr)
+    _single_source_dependencies, _single_source_dependencies_weighted,
+    _validate_bc_weights, build_csr)
 from centrality_gpu_ray.pipelines.graph import Graph
 
 # target per work item: ~sources × BCC-edges vectorized kernel ops.
@@ -139,16 +140,18 @@ class _DecompBrandesActor:
     BCC's CSR so consecutive source-chunks of one giant BCC don't
     rebuild it."""
 
-    def __init__(self, bcast_ref):
+    def __init__(self, bcast_ref, weighted: bool = False):
         import ray
 
-        (es_b, ed_b, boffs_b, moffs_b, mv_b, mw_b) = ray.get(bcast_ref)
+        (es_b, ed_b, ew_b, boffs_b, moffs_b, mv_b, mw_b) = ray.get(bcast_ref)
         self.es = np.frombuffer(es_b, dtype=np.int64).copy()
         self.ed = np.frombuffer(ed_b, dtype=np.int64).copy()
+        self.ew = np.frombuffer(ew_b, dtype=np.float64).copy()
         self.boffs = np.frombuffer(boffs_b, dtype=np.int64).copy()
         self.moffs = np.frombuffer(moffs_b, dtype=np.int64).copy()
         self.m_v = np.frombuffer(mv_b, dtype=np.int64).copy()
         self.m_w = np.frombuffer(mw_b, dtype=np.float64).copy()
+        self.weighted = weighted
         self._cached_k = -1
         self._cached = None
 
@@ -157,6 +160,7 @@ class _DecompBrandesActor:
             return self._cached
         lo, hi = self.boffs[k], self.boffs[k + 1]
         eu, ev = self.es[lo:hi], self.ed[lo:hi]
+        ew = self.ew[lo:hi]
         verts = np.unique(np.concatenate([eu, ev]))
         lu = np.searchsorted(verts, eu)
         lv = np.searchsorted(verts, ev)
@@ -166,9 +170,12 @@ class _DecompBrandesActor:
         if mhi > mlo:
             pos = np.searchsorted(verts, self.m_v[mlo:mhi])
             mass[pos] = self.m_w[mlo:mhi]
-        R, C = build_csr(lu, lv, nv)
+        if self.weighted:
+            R = C = None  # the weighted kernel sweeps the edge list
+        else:
+            R, C = build_csr(lu, lv, nv)
         self._cached_k = k
-        self._cached = (verts, lu, lv, nv, mass, R, C)
+        self._cached = (verts, lu, lv, nv, mass, ew, R, C)
         return self._cached
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -178,11 +185,15 @@ class _DecompBrandesActor:
         out_v: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
         for k, lo, hi in zip(ks, los, his):
-            verts, lu, lv, nv, mass, R, C = self._bcc_arrays(int(k))
+            verts, lu, lv, nv, mass, ew, R, C = self._bcc_arrays(int(k))
             acc = np.zeros(nv, dtype=np.float64)
             for srci in range(int(lo), int(hi)):
-                delta = _single_source_dependencies(
-                    R, C, lu, lv, nv, srci, mass=mass)
+                if self.weighted:
+                    delta = _single_source_dependencies_weighted(
+                        lu, lv, ew, nv, srci, mass=mass)
+                else:
+                    delta = _single_source_dependencies(
+                        R, C, lu, lv, nv, srci, mass=mass)
                 acc += mass[srci] * delta
             nz = np.flatnonzero(acc)
             out_v.append(verts[nz])
@@ -196,6 +207,7 @@ class _DecompBrandesActor:
 def betweenness_decomposed(graph: Graph,
                            config: EngineConfig | None = None,
                            concurrency: int = 4,
+                           weighted: bool = False,
                            metrics: dict | None = None) -> pa.Table:
     """Exact ordered-pair BC via BCC decomposition → ``(node, bc)``.
 
@@ -203,6 +215,12 @@ def betweenness_decomposed(graph: Graph,
     tested); cost ``Σ_B n_B·m_B`` instead of ``n·m`` — on graphs with
     pendant trees, bridges, or many small blocks this is the
     reference's headline optimization (``modified_apsp.cpp:336-372``).
+
+    ``weighted=True`` counts shortest paths by total (positive
+    integer) edge weight inside each BCC. The articulation closed
+    forms and reach masses are weight-INVARIANT — a cut vertex lies on
+    every shortest path between its branches no matter the metric — so
+    only the per-BCC kernel changes.
     """
     import ray
     import ray.data
@@ -210,7 +228,10 @@ def betweenness_decomposed(graph: Graph,
     graph.require_dense("betweenness_decomposed")
     t0 = time.perf_counter()
     n = graph.num_vertices
-    s, d, _ = graph.local_arrays()
+    s, d, w = graph.local_arrays()
+    if weighted:
+        _validate_bc_weights(np.asarray(w, dtype=np.float64),
+                             "betweenness_decomposed")
     if n == 0 or s.size == 0:
         if metrics is not None:
             metrics.update({"sec": 0.0, "num_bcc_run": 0})
@@ -225,6 +246,8 @@ def betweenness_decomposed(graph: Graph,
     # BCC-sorted edge arrays + per-BCC offsets
     eo = np.argsort(e_bcc_dense, kind="stable")
     es, ed = s[eo].astype(np.int64), d[eo].astype(np.int64)
+    ew = np.asarray(w, dtype=np.float64)[eo] if weighted \
+        else np.ones(es.size, dtype=np.float64)
     eb = e_bcc_dense[eo]
     boffs = np.searchsorted(eb, np.arange(nb + 1)).astype(np.int64)
 
@@ -258,7 +281,8 @@ def betweenness_decomposed(graph: Graph,
             m_b, m_v, m_w = m_b[mo], m_v[mo], m_w[mo]
         moffs = np.searchsorted(m_b, np.arange(nb + 1)).astype(np.int64)
 
-        bcast = ray.put((es.tobytes(), ed.tobytes(), boffs.tobytes(),
+        bcast = ray.put((es.tobytes(), ed.tobytes(), ew.tobytes(),
+                         boffs.tobytes(),
                          moffs.tobytes(), m_v.astype(np.int64).tobytes(),
                          m_w.astype(np.float64).tobytes()))
 
@@ -277,7 +301,7 @@ def betweenness_decomposed(graph: Graph,
             _DecompBrandesActor, batch_format="pyarrow",
             batch_size=rows_per_block,
             concurrency=max(1, min(concurrency, len(slices))),
-            num_cpus=0.5, fn_constructor_args=(bcast,))
+            num_cpus=0.5, fn_constructor_args=(bcast, weighted))
         for batch in parts.iter_batches(batch_size=None,
                                         batch_format="pyarrow"):
             np.add.at(bc, batch.column("v").to_numpy(),

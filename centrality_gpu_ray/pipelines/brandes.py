@@ -110,7 +110,7 @@ def _single_source_dependencies(R: np.ndarray, C: np.ndarray,
 
 def _single_source_dependencies_weighted(
         S_arr: np.ndarray, D_arr: np.ndarray, WE: np.ndarray,
-        n: int, src: int) -> np.ndarray:
+        n: int, src: int, mass: np.ndarray | None = None) -> np.ndarray:
     """Weighted Brandes dependency vector for one source — the
     reference's intended-but-dead weighted semantics
     (``apsp_graph.cpp:107-172``, CPU Dijkstra). Vectorized: distances
@@ -153,7 +153,8 @@ def _single_source_dependencies_weighted(
     for b in range(uniq_d.size - 1, -1, -1):
         lo, hi = bounds[b], bounds[b + 1]
         uu, vv = eu_s[lo:hi], ev_s[lo:hi]
-        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (1.0 + delta[vv]))
+        tmass = 1.0 if mass is None else mass[vv]
+        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (tmass + delta[vv]))
     delta[src] = 0.0
     return delta
 

@@ -106,3 +106,50 @@ def test_decomposed_giant_bcc_splits_items():
     edges = list(zip(iu[keep].tolist(), iv[keep].tolist()))
     m = _assert_parity(edges, concurrency=2)
     assert m["num_bcc_run"] >= 1
+
+
+def _graph_weighted(edges, weights):
+    import ray.data
+
+    tbl = pa.table({
+        "src": pa.array([u for u, _ in edges], type=pa.int64()),
+        "dst": pa.array([v for _, v in edges], type=pa.int64()),
+        "weight": pa.array(weights, type=pa.int64()),
+    })
+    return Graph(ray.data.from_arrow(tbl))
+
+
+def test_decomposed_weighted_parity():
+    rng = np.random.default_rng(29)
+    for trial in range(5):
+        n = int(rng.integers(8, 40))
+        p = float(rng.uniform(0.05, 0.15))
+        mask = rng.random((n, n)) < p
+        iu, iv = np.triu_indices(n, k=1)
+        keep = mask[iu, iv]
+        edges = list(zip(iu[keep].tolist(), iv[keep].tolist()))
+        nxt = n
+        for _ in range(3):  # pendant hair
+            host = int(rng.integers(0, n))
+            edges.append((host, nxt))
+            nxt += 1
+        weights = rng.integers(1, 5, size=len(edges)).tolist()
+        g = _graph_weighted(edges, weights)
+        plain = betweenness_centrality(g, weighted=True) \
+            .to_pandas().sort_values("node")
+        dec = betweenness_decomposed(g, weighted=True) \
+            .to_pandas().sort_values("node")
+        np.testing.assert_allclose(dec["bc"].to_numpy(),
+                                   plain["bc"].to_numpy(),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_decomposed_weighted_rejects_float_weights():
+    import ray.data
+
+    tbl = pa.table({"src": pa.array([0, 1], type=pa.int64()),
+                    "dst": pa.array([1, 2], type=pa.int64()),
+                    "weight": pa.array([0.5, 1.5], type=pa.float64())})
+    g = Graph(ray.data.from_arrow(tbl))
+    with pytest.raises(ValueError):
+        betweenness_decomposed(g, weighted=True)
