@@ -102,6 +102,37 @@ def run_bench() -> dict:
     timed("q1_pricing", lambda: rel.q1_pricing_summary(sf_dir).to_pandas())
     timed("degrees", lambda: gq.lineitem_degrees(sf_dir).to_pandas())
 
+    # BC decomposition evidence (reference modified_apsp.cpp:157-260):
+    # plain exact Brandes vs the block-cut-tree decomposed path on the
+    # same customer–nation star forest — the decomposition collapses
+    # every single-edge BCC to closed forms (zero Brandes work).
+    import pyarrow as _pa
+
+    from centrality_gpu_ray.pipelines.bc_decomp import betweenness_decomposed
+    from centrality_gpu_ray.pipelines.brandes import (
+        betweenness_centrality as _bc)
+    from centrality_gpu_ray.pipelines.graph import Graph as _Graph
+    import numpy as _np
+    import ray.data as _rd
+
+    cust = _rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_nationkey"])
+
+    def _explode(t: "_pa.Table") -> "_pa.Table":
+        c = t.column("c_custkey").to_numpy().astype(_np.int64) + 1000
+        nn = t.column("c_nationkey").to_numpy().astype(_np.int64)
+        return _pa.table({"src": _pa.array(nn), "dst": _pa.array(c),
+                          "weight": _pa.array(_np.ones(c.size,
+                                                       dtype=_np.int64))})
+
+    gn = _Graph(cust.map_batches(_explode, batch_format="pyarrow"))
+    gn.local_arrays()  # build once outside both timed regions
+    timed("bc_nation_plain",
+          lambda: _bc(gn, concurrency=max(2, num_cpus // 4)))
+    timed("bc_nation_decomposed",
+          lambda: betweenness_decomposed(gn,
+                                         concurrency=max(2, num_cpus // 4)))
+
     # direction-optimizing BFS evidence (reference bcc_bfs.cpp:542-567):
     # the same sharded-state BFS with the frontier switch ON vs forced
     # full-scan, same graph + shard pool, best of 2 each (steal noise).
