@@ -191,7 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_labelprop": gq.lineitem_labelprop,
         "graph_betweenness_nation": gq.nation_betweenness,
         "graph_betweenness_weighted_nation": gq.nation_betweenness_weighted,
-        "graph_articulation_points": gq.lineitem_articulation_points,
+        "graph_articulation_points": gq.orders_articulation_points,
         "graph_sssp": gq.lineitem_sssp,
         "graph_kcore": gq.lineitem_kcore,
         "graph_closeness": gq.lineitem_closeness,
@@ -206,7 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": gq.lineitem_assortativity,
         "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
-        "graph_bcc_labels": gq.lineitem_bcc_labels,
+        "graph_bcc_labels": gq.orders_bcc_labels,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
         "revenue_by_mktsegment": rel.revenue_by_mktsegment,
@@ -738,6 +738,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(c_custkey + 1000 AS BIGINT) AS node,
                    CAST(0 AS DOUBLE) AS bc FROM customer""",
+        # The customer–orders graph is also a star forest, so the
+        # articulation set has a closed form (a star center cuts iff it
+        # has ≥ 2 leaves) — the engine runs its general BiCC (BFS
+        # forest → aux-graph CC → distinct-label counting) and must
+        # land on exactly this. Cyclic-graph articulation correctness
+        # is the serial-Tarjan random-graph suite in tests/test_bicc.py.
+        "graph_articulation_points": """
+            WITH e AS (SELECT o_custkey AS c, o_orderkey + 10000000 AS o
+                       FROM orders)
+            SELECT CAST(c AS BIGINT) AS node,
+                   COUNT(*) >= 2 AS is_articulation FROM e GROUP BY c
+            UNION ALL
+            SELECT CAST(o AS BIGINT) AS node, FALSE AS is_articulation
+            FROM e""",
+        # On a forest every edge is its own BCC; the engine's
+        # deterministic label convention (min-label CC over an EMPTY
+        # aux graph = the child endpoint's dense id, where dense ids
+        # are ranks in the sorted vertex-id list: customers first,
+        # then 10M-offset orders) is independently reconstructible:
+        "graph_bcc_labels": """
+            WITH e AS (SELECT o_custkey AS c, o_orderkey + 10000000 AS o
+                       FROM orders),
+            nc AS (SELECT COUNT(DISTINCT c) AS n FROM e)
+            SELECT CAST(c AS BIGINT) AS src, CAST(o AS BIGINT) AS dst,
+                   CAST(nc.n + ROW_NUMBER() OVER (ORDER BY o) - 1
+                        AS BIGINT) AS bcc
+            FROM e, nc""",
         # The same closed form is WEIGHT-INVARIANT on a star forest:
         # between two leaves of a center the unique path runs through
         # the center whatever the edge weights, so weighted shortest
