@@ -225,7 +225,10 @@ def betweenness_decomposed(graph: Graph,
     import ray
     import ray.data
 
-    graph.require_dense("betweenness_decomposed")
+    cfg = config or graph.config
+    if getattr(graph, "sharded", False) or graph.mode == "distributed":
+        return _betweenness_decomposed_distributed(graph, cfg, weighted,
+                                                   metrics)
     t0 = time.perf_counter()
     n = graph.num_vertices
     s, d, w = graph.local_arrays()
@@ -322,3 +325,280 @@ def betweenness_decomposed(graph: Graph,
         "node": pa.array(graph.node_ids, type=pa.int64()),
         "bc": pa.array(bc),
     })
+
+
+# ---------------------------------------------------------------------------
+# distributed form (> dense_vertex_limit / distributed-mode graphs)
+# ---------------------------------------------------------------------------
+
+def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
+                              weighted: bool, edge_cap: int) -> pa.Table:
+    """Co-partition reducer: all edges of a hash-class of BCCs + the
+    matching mass rows. Runs the exact mass-weighted Brandes for every
+    BCC in the partition; returns sparse (v, c) dense-id score rows.
+    Raises loudly when one biconnected component exceeds ``edge_cap``
+    edges — the documented partitioning assumption of the distributed
+    decomposition (a web-scale giant core needs sampled BC instead;
+    the closed forms and every sub-cap block remain exact)."""
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.float64())})
+    if edges.num_rows == 0:
+        return empty
+    s = edges.column("s").to_numpy().astype(np.int64)
+    d = edges.column("d").to_numpy().astype(np.int64)
+    w = edges.column("w").to_numpy().astype(np.float64)
+    b = edges.column("bcc").to_numpy().astype(np.int64)
+    o = np.argsort(b, kind="stable")
+    s, d, w, b = s[o], d[o], w[o], b[o]
+    ub, bstart = np.unique(b, return_index=True)
+    bounds = np.append(bstart, b.size)
+
+    mb = masses.column("B").to_numpy().astype(np.int64)
+    ma = masses.column("a").to_numpy().astype(np.int64)
+    mw = masses.column("mass").to_numpy().astype(np.float64)
+    mo = np.lexsort((ma, mb))
+    mb, ma, mw = mb[mo], ma[mo], mw[mo]
+
+    out_v: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    for k in range(ub.size):
+        lo, hi = bounds[k], bounds[k + 1]
+        if hi - lo > edge_cap:
+            raise ValueError(
+                f"betweenness_decomposed (distributed): biconnected "
+                f"component {int(ub[k])} has {int(hi - lo)} edges > "
+                f"decomp_bcc_edge_cap={edge_cap}; exact per-BCC Brandes "
+                "on it will not fit one task. Use sampled "
+                "betweenness_centrality(max_sources=k) for the giant "
+                "core, or raise config.extra['decomp_bcc_edge_cap'].")
+        eu, ev, ew = s[lo:hi], d[lo:hi], w[lo:hi]
+        verts = np.unique(np.concatenate([eu, ev]))
+        nv = verts.size
+        if nv < 3:
+            continue
+        lu = np.searchsorted(verts, eu)
+        lv = np.searchsorted(verts, ev)
+        mass = np.ones(nv, dtype=np.float64)
+        mlo = np.searchsorted(mb, ub[k], side="left")
+        mhi = np.searchsorted(mb, ub[k], side="right")
+        if mhi > mlo:
+            pos = np.searchsorted(verts, ma[mlo:mhi])
+            hit = (pos < nv) & (verts[np.minimum(pos, nv - 1)]
+                                == ma[mlo:mhi])
+            mass[pos[hit]] = mw[mlo:mhi][hit]
+        acc = np.zeros(nv, dtype=np.float64)
+        if weighted:
+            for srci in range(nv):
+                delta = _single_source_dependencies_weighted(
+                    lu, lv, ew, nv, srci, mass=mass)
+                acc += mass[srci] * delta
+        else:
+            R, C = build_csr(lu, lv, nv)
+            for srci in range(nv):
+                delta = _single_source_dependencies(
+                    R, C, lu, lv, nv, srci, mass=mass)
+                acc += mass[srci] * delta
+        nz = np.flatnonzero(acc)
+        out_v.append(verts[nz])
+        out_c.append(acc[nz])
+    if not out_v:
+        return empty
+    return pa.table({"v": pa.array(np.concatenate(out_v)),
+                     "c": pa.array(np.concatenate(out_c))})
+
+
+def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
+                                        weighted: bool,
+                                        metrics: dict | None) -> "object":
+    """Decomposed exact BC with NO driver-resident per-vertex vector:
+
+    * BiCC forest/labels from the sharded Tarjan–Vishkin run
+      (``bicc_sharded._bicc_run``) — assembled parent/size/label
+      vectors live as single plasma objects (one copy per node).
+    * component sizes: pointer-jumped CC supersteps on the same shard
+      pool + a per-range sparse bincount → ``hash_aggregate``.
+    * branch sizes / closed forms / reach masses: the same two
+      scatter-add incidence rows as the dense path, built per dense-id
+      range inside ``map_batches`` tasks and aggregated by (vertex,
+      BCC) with the explicit hash shuffle.
+    * per-BCC reach-weighted Brandes: edges and masses co-partitioned
+      by BCC label (``hash_copartition_apply``) — every biconnected
+      component meets its masses in exactly one reducer. Assumes each
+      individual BCC fits one task (``decomp_bcc_edge_cap``, loud
+      error otherwise); the web-scale giant core is explicitly out of
+      scope for EXACT BC (use sampled BC) while pendant forests,
+      bridges and small blocks — the bulk of a link graph's vertex
+      mass — are answered exactly at any total scale.
+
+    Returns a ``(node, bc)`` Dataset in original ids.
+    """
+    import ray
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.bicc_sharded import (_OrigMapper,
+                                                           _bicc_run,
+                                                           _to_original_meta)
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_copartition_apply,
+                                                   hash_lookup_join)
+
+    t0 = time.perf_counter()
+    pool = graph.pool
+    if weighted:
+        for ok, wmax in ray.get([a.weight_profile.remote()
+                                 for a in pool.actors]):
+            if not (ok and wmax < 2 ** 31):
+                raise ValueError(
+                    "distributed decomposed weighted BC requires positive "
+                    "integer edge weights < 2^31 (exact-equality DAG test; "
+                    "see _validate_bc_weights)")
+    st = _bicc_run(graph, cfg, metrics)
+    n = graph.num_vertices
+    P = cfg.num_partitions
+
+    # component labels + sizes (the BiCC snapshot refs are immutable
+    # plasma objects, so reusing the pool's state vector is safe)
+    pool.setup_owners_sharded(n)
+    pool.reset_labels()
+    steps = 0
+    while pool.cc_step() > 0:
+        steps += 1
+        if steps > cfg.max_supersteps:
+            raise RuntimeError("decomposed BC: CC exceeded max_supersteps")
+    comp_full = pool._assembler().remote(
+        *[a.owner_get_state.remote() for a in pool.actors])
+
+    nblocks = max(P, len(pool.actors))
+    dense = ray.data.range(n, override_num_blocks=nblocks)
+
+    _refs = (st["parent_full"], st["size_full"], st["label_full"], comp_full)
+
+    def _comp_partial(t: pa.Table, _r=_refs) -> pa.Table:
+        comp = ray.get(_r[3])
+        c = t.column("id").to_numpy()
+        u, cnt = np.unique(comp[c].astype(np.int64), return_counts=True)
+        return pa.table({"lab": pa.array(u),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    csize_ds = hash_aggregate(
+        dense.map_batches(_comp_partial, batch_format="pyarrow"),
+        ["lab"], [("cnt", "sum")], num_partitions=P)
+
+    def _incidences(t: pa.Table, _r=_refs) -> pa.Table:
+        parent, size, label, comp = (ray.get(x) for x in _r)
+        c = t.column("id").to_numpy()
+        c = c[parent[c] >= 0].astype(np.int64)
+        up = parent[c].astype(np.int64)
+        B = label[c].astype(np.int64)
+        lab = comp[c].astype(np.int64)
+        sz = size[c].astype(np.float64)
+        # row 1: child subtree hangs below the upper endpoint;
+        # row 2: the REST of the component hangs above the child
+        # (contrib = csize - size, csize attached after the join)
+        return pa.table({
+            "a": pa.array(np.concatenate([up, c])),
+            "B": pa.array(np.concatenate([B, B])),
+            "lab": pa.array(np.concatenate([lab, lab])),
+            "contrib": pa.array(np.concatenate([sz, -sz])),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(c.size, np.int64), np.ones(c.size, np.int64)])),
+        })
+
+    incid = hash_lookup_join(
+        dense.map_batches(_incidences, batch_format="pyarrow"),
+        csize_ds, "lab", "lab", {"cnt": "csize"}, num_partitions=P)
+
+    def _finish_contrib(t: pa.Table) -> pa.Table:
+        contrib = (t.column("contrib").to_numpy()
+                   + t.column("kind").to_numpy()
+                   * t.column("csize").to_numpy(zero_copy_only=False)
+                   .astype(np.float64))
+        return pa.table({"a": t.column("a"), "B": t.column("B"),
+                         "contrib": pa.array(contrib),
+                         "csize": pa.array(
+                             t.column("csize").to_numpy(zero_copy_only=False)
+                             .astype(np.float64))})
+
+    br = hash_aggregate(incid.map_batches(_finish_contrib,
+                                          batch_format="pyarrow"),
+                        ["a", "B"], [("contrib", "sum"), ("csize", "max")],
+                        num_partitions=P).materialize()
+
+    # closed forms: cf(a) = (csize-1)^2 - sum_B br^2  (0 for non-cut
+    # vertices: a single branch of size csize-1)
+    def _brsq(t: pa.Table) -> pa.Table:
+        brv = t.column("contrib").to_numpy()
+        return pa.table({"a": t.column("a"),
+                         "brsq": pa.array(brv * brv),
+                         "csize": t.column("csize")})
+
+    def _cf(t: pa.Table) -> pa.Table:
+        cs = t.column("csize").to_numpy()
+        cm1 = cs - 1.0
+        return pa.table({"v": t.column("a"),
+                         "c": pa.array(cm1 * cm1
+                                       - t.column("brsq").to_numpy())})
+
+    cf_rows = hash_aggregate(br.map_batches(_brsq, batch_format="pyarrow"),
+                             ["a"], [("brsq", "sum"), ("csize", "max")],
+                             num_partitions=P) \
+        .map_batches(_cf, batch_format="pyarrow")
+
+    # reach masses per (BCC, vertex): mass = csize - branch size
+    def _mass(t: pa.Table) -> pa.Table:
+        return pa.table({"B": t.column("B"), "a": t.column("a"),
+                         "mass": pa.array(t.column("csize").to_numpy()
+                                          - t.column("contrib").to_numpy())})
+
+    masses = br.map_batches(_mass, batch_format="pyarrow")
+
+    # per-edge BCC labels in dense ids (+ weight for the weighted kernel)
+    _erefs = (st["parent_full"], st["level_full"], st["label_full"])
+
+    def _edge_bcc(t: pa.Table, _r=_erefs) -> pa.Table:
+        parent, level, label = (ray.get(x) for x in _r)
+        s = t.column("s").to_numpy()
+        d = t.column("d").to_numpy()
+        w = (t.column("w").to_numpy(zero_copy_only=False)
+             if "w" in t.column_names
+             else np.ones(s.size, dtype=np.float64))
+        is_tree = (parent[d] == s) | (parent[s] == d)
+        child = np.where(parent[d] == s, d, s)
+        deeper = np.where(level[s] >= level[d], s, d)
+        bcc = np.where(is_tree, label[child], label[deeper])
+        return pa.table({"s": pa.array(s.astype(np.int64)),
+                         "d": pa.array(d.astype(np.int64)),
+                         "w": pa.array(w.astype(np.float64)),
+                         "bcc": pa.array(bcc.astype(np.int64))})
+
+    edges_bcc = graph.edges.map_batches(_edge_bcc, batch_format="pyarrow")
+
+    edge_cap = int(cfg.extra.get("decomp_bcc_edge_cap", 2_000_000))
+
+    def _reduce(e: pa.Table, m: pa.Table) -> pa.Table:
+        return _decomp_partition_brandes(e, m, weighted, edge_cap)
+
+    parts = hash_copartition_apply(edges_bcc, masses, ["bcc"], ["B"],
+                                   _reduce, num_partitions=P)
+
+    total = hash_aggregate(parts.union(cf_rows), ["v"], [("c", "sum")],
+                           num_partitions=P)
+
+    allv = dense.map_batches(
+        lambda t: pa.table({"v": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow")
+    filled = hash_lookup_join(allv, total, "v", "v", {"c": "bc"},
+                              num_partitions=P, outer_fill={"bc": 0.0})
+    mapper = _OrigMapper(_to_original_meta(graph))
+
+    def _finish(t: pa.Table, _m=mapper) -> pa.Table:
+        v = t.column("v").to_numpy()
+        return pa.table({"node": pa.array(_m(v)),
+                         "bc": t.column("bc").cast(pa.float64())})
+
+    out = filled.map_batches(_finish, batch_format="pyarrow")
+    if metrics is not None:
+        metrics.update({"sec": time.perf_counter() - t0,
+                        "mode": "distributed",
+                        "edge_cap": edge_cap})
+    return out

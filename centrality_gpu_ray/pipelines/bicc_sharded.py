@@ -209,7 +209,8 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
     state = {
         "pool": pool, "n_aux": int(n_aux),
         "parent_full": parent_full, "level_full": level_full,
-        "label_full": label_full, "pairs_refs": pairs_refs,
+        "label_full": label_full, "size_full": size_full,
+        "pairs_refs": pairs_refs,
         "roots": roots, "max_lvl": max_lvl,
         "sec": time.perf_counter() - t0,
     }

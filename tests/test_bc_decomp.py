@@ -153,3 +153,81 @@ def test_decomposed_weighted_rejects_float_weights():
     g = Graph(ray.data.from_arrow(tbl))
     with pytest.raises(ValueError):
         betweenness_decomposed(g, weighted=True)
+
+
+def _pendant_rich_edges(seed=11):
+    rng = np.random.default_rng(seed)
+    n = 40
+    iu, iv = np.triu_indices(n, k=1)
+    keep = rng.random(iu.size) < 0.08
+    edges = list(zip(iu[keep].tolist(), iv[keep].tolist()))
+    nxt = n
+    for _ in range(6):
+        host = int(rng.integers(0, n))
+        for _ in range(int(rng.integers(1, 4))):
+            edges.append((host, nxt))
+            host = nxt
+            nxt += 1
+    edges += [(500, 501), (501, 502), (502, 500), (502, 503)]  # island
+    return edges
+
+
+def _graphs_dense_sharded(edges, weights=None):
+    import ray.data
+
+    from centrality_gpu_ray.config import EngineConfig
+
+    tbl = pa.table({
+        "src": pa.array([u for u, _ in edges], type=pa.int64()),
+        "dst": pa.array([v for _, v in edges], type=pa.int64()),
+        "weight": pa.array(weights if weights is not None
+                           else [1] * len(edges), type=pa.int64()),
+    })
+    dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
+    sharded = Graph(ray.data.from_arrow(tbl),
+                    config=EngineConfig(dense_vertex_limit=10))
+    return dense, sharded
+
+
+def test_decomposed_distributed_parity():
+    edges = _pendant_rich_edges()
+    dense, sharded = _graphs_dense_sharded(edges)
+    ref = betweenness_centrality(dense).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    m = {}
+    out = betweenness_decomposed(sharded, metrics=m).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert m["mode"] == "distributed"
+    assert list(ref["node"]) == list(out["node"])
+    np.testing.assert_allclose(out["bc"].to_numpy(), ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_decomposed_distributed_weighted_parity():
+    edges = _pendant_rich_edges(seed=23)
+    rng = np.random.default_rng(7)
+    weights = rng.integers(1, 4, size=len(edges)).tolist()
+    dense, sharded = _graphs_dense_sharded(edges, weights)
+    ref = betweenness_centrality(dense, weighted=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    out = betweenness_decomposed(sharded, weighted=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(out["bc"].to_numpy(), ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_decomposed_distributed_giant_bcc_cap_is_loud():
+    from centrality_gpu_ray.config import EngineConfig
+    import ray.data
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]  # one 5-edge BCC
+    tbl = pa.table({
+        "src": pa.array([u for u, _ in edges], type=pa.int64()),
+        "dst": pa.array([v for _, v in edges], type=pa.int64()),
+        "weight": pa.array([1] * len(edges), type=pa.int64()),
+    })
+    cfg = EngineConfig(dense_vertex_limit=2)
+    cfg.extra["decomp_bcc_edge_cap"] = 2
+    g = Graph(ray.data.from_arrow(tbl), config=cfg)
+    with pytest.raises(Exception, match="decomp_bcc_edge_cap"):
+        betweenness_decomposed(g).to_pandas()
