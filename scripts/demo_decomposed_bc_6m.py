@@ -1,0 +1,164 @@
+"""EXACT betweenness at 6M vertices via the distributed decomposition.
+
+Plain exact Brandes is O(n·m) — ~10^13 edge-ops at this size, years of
+CPU. A link graph's vertex mass, however, lives mostly in pendant
+forests, bridges and small blocks, and the block-cut-tree
+decomposition (``pipelines/bc_decomp.py``; reference
+``modified_apsp.cpp:157-260``) answers all of that in closed form plus
+tiny per-BCC Brandes runs. This demo builds a 6M-vertex pendant-rich
+graph — K triangle cores, each core vertex hosting a pendant chain —
+and computes EXACT per-vertex BC fully distributed (no driver-resident
+per-vertex vector): sharded Tarjan–Vishkin BiCC → branch-size
+incidence shuffle → closed forms → co-partitioned per-BCC
+reach-weighted Brandes (every BCC here is a single edge or a
+triangle).
+
+Spot-check oracle: by symmetry every triangle vertex has
+bc = closed form (chain mass below it vs the rest of its component)
+plus the triangle's reach-weighted interior term — derived in the
+assertions below from first principles for this construction.
+
+Run: ``python scripts/demo_decomposed_bc_6m.py`` (owns its Ray
+session). K and CHAIN are env-tunable (GRAFT_DEMO_K, GRAFT_DEMO_CHAIN).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = int(os.environ.get("GRAFT_DEMO_K", "100000"))       # triangles
+CHAIN = int(os.environ.get("GRAFT_DEMO_CHAIN", "19"))   # pendants/vertex
+BLOCK = 250_000
+
+
+def main():
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from centrality_gpu_ray.config import EngineConfig
+    from centrality_gpu_ray.pipelines.bc_decomp import betweenness_decomposed
+    from centrality_gpu_ray.pipelines.graph import Graph
+
+    # vertex layout per component c (0..K-1), base = c * (3 + 3*CHAIN):
+    #   base+0..2                      triangle vertices
+    #   base+3+t*CHAIN..+CHAIN-1       chain hanging off triangle vertex t
+    comp_sz = 3 + 3 * CHAIN
+    n_total = K * comp_sz
+
+    @ray.remote
+    def edge_block(clo: int, chi: int) -> pa.Table:
+        c = np.arange(clo, chi, dtype=np.int64)
+        base = c * comp_sz
+        srcs, dsts = [], []
+        # triangle
+        for a, b in ((0, 1), (1, 2), (0, 2)):
+            srcs.append(base + a)
+            dsts.append(base + b)
+        # chains: t-th chain is base+3+t*CHAIN .. base+2+(t+1)*CHAIN,
+        # attached at triangle vertex t
+        for t in range(3):
+            start = base + 3 + t * CHAIN
+            srcs.append(base + t)
+            dsts.append(start)
+            for j in range(CHAIN - 1):
+                srcs.append(start + j)
+                dsts.append(start + j + 1)
+        return pa.table({
+            "src": pa.array(np.concatenate(srcs)),
+            "dst": pa.array(np.concatenate(dsts)),
+            "weight": pa.array(np.ones((chi - clo) * (3 + 3 * CHAIN),
+                                       dtype=np.int64)),
+        })
+
+    comps_per_block = max(1, BLOCK // comp_sz)
+    blocks = [edge_block.remote(lo, min(lo + comps_per_block, K))
+              for lo in range(0, K, comps_per_block)]
+    edges = ray.data.from_arrow_refs(blocks)
+
+    t0 = time.perf_counter()
+    # force the sharded path even on small sanity runs (GRAFT_DEMO_K)
+    cfg = EngineConfig(dense_vertex_limit=min(500, n_total - 1))
+    g = Graph(edges, config=cfg)
+    build_sec = time.perf_counter() - t0
+    assert g.sharded, "graph must exceed dense_vertex_limit"
+    assert g.num_vertices == n_total, (g.num_vertices, n_total)
+
+    m: dict = {}
+    t0 = time.perf_counter()
+    bc = betweenness_decomposed(g, metrics=m)
+    # consume distributed: checksum + spot rows, no driver vector
+    import pyarrow.compute as pc
+
+    total_ref = [0.0]
+    spot = {}
+    want_nodes = {0, 1, 2, 3, 3 + CHAIN // 2, comp_sz, comp_sz + 3}
+    for b in bc.iter_batches(batch_size=None, batch_format="pyarrow"):
+        total_ref[0] += pc.sum(b.column("bc")).as_py() or 0.0
+        nodes = b.column("node").to_numpy()
+        vals = b.column("bc").to_numpy()
+        for wn in want_nodes:
+            hit = np.flatnonzero(nodes == wn)
+            if hit.size:
+                spot[wn] = float(vals[hit[0]])
+    bc_sec = time.perf_counter() - t0
+
+    # ---- first-principles oracle for this construction ----
+    # per component (size s = 3+3L, L = CHAIN):
+    # chain vertex at depth j from its attachment (j=1..L): below = L-j,
+    #   bc = 2*(L-j)*(s-1-(L-j))
+    # triangle vertex: closed form with branches {its chain: L,
+    #   rest: s-1-L} plus the triangle interior term: pairs routed
+    #   between its two neighbor-masses through... (triangle: no
+    #   interior vertex on any 1-hop pair; 2-hop pairs tie-split? No —
+    #   all pairwise distances are 1, so the reach-weighted Brandes
+    #   contributes NOTHING on a triangle) → closed form only:
+    #   bc = (s-1)^2 - (L^2 + 2*((s-1-L)/2)^2)? No: branches at a
+    #   triangle vertex are {chain: L} and {the whole rest: s-1-L}
+    #   (removing it leaves the other two triangle vertices + their
+    #   chains CONNECTED) → bc = (s-1)^2 - L^2 - (s-1-L)^2
+    L, s = CHAIN, comp_sz
+    tri_want = float((s - 1) ** 2 - L ** 2 - (s - 1 - L) ** 2)
+    # node base+3+i is the (i+1)-th chain vertex → depth j = i+1
+    j = CHAIN // 2 + 1
+    below = L - j
+    chain_want = float(2 * below * (s - 1 - below))
+    checks = {
+        "triangle_vertex_0": (spot.get(0), tri_want),
+        "triangle_vertex_next_comp": (spot.get(comp_sz), tri_want),
+        "chain_mid": (spot.get(3 + CHAIN // 2), chain_want),
+    }
+    for name, (got, want) in checks.items():
+        assert got is not None and abs(got - want) < 1e-6, \
+            (name, got, want)
+
+    out = {
+        "vertices": n_total, "edges": g.num_edges,
+        "components": K, "chain_len": CHAIN,
+        "build_sec": round(build_sec, 2),
+        "exact_bc_decomposed_sec": round(bc_sec, 2),
+        "metrics": {k: v for k, v in m.items()
+                    if isinstance(v, (int, float, str))},
+        "spot_checks_passed": list(checks),
+        "bc_sum": total_ref[0],
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
