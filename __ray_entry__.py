@@ -206,7 +206,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_assortativity": gq.lineitem_assortativity,
         "graph_clustering": gq.lineitem_clustering,
         "graph_pagerank_weighted_fixed": gq.lineitem_pagerank_weighted_fixed,
-        "graph_bcc_labels": gq.orders_bcc_labels,
+        # stays on the CYCLIC lineitem graph (rows-only): this is the
+        # one external-gate row that runs rule-A/rule-B aux gluing and
+        # the OUTMIN/OUTMAX sweeps on a graph with cycles; the
+        # star-forest closed-form value check lives in
+        # tests/test_bc_decomp.py::test_orders_bcc_labels_closed_form
+        "graph_bcc_labels": gq.lineitem_bcc_labels,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
         "revenue_by_mktsegment": rel.revenue_by_mktsegment,
@@ -752,19 +757,6 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(o AS BIGINT) AS node, FALSE AS is_articulation
             FROM e""",
-        # On a forest every edge is its own BCC; the engine's
-        # deterministic label convention (min-label CC over an EMPTY
-        # aux graph = the child endpoint's dense id, where dense ids
-        # are ranks in the sorted vertex-id list: customers first,
-        # then 10M-offset orders) is independently reconstructible:
-        "graph_bcc_labels": """
-            WITH e AS (SELECT o_custkey AS c, o_orderkey + 10000000 AS o
-                       FROM orders),
-            nc AS (SELECT COUNT(DISTINCT c) AS n FROM e)
-            SELECT CAST(c AS BIGINT) AS src, CAST(o AS BIGINT) AS dst,
-                   CAST(nc.n + ROW_NUMBER() OVER (ORDER BY o) - 1
-                        AS BIGINT) AS bcc
-            FROM e, nc""",
         # The same closed form is WEIGHT-INVARIANT on a star forest:
         # between two leaves of a center the unique path runs through
         # the center whatever the edge weights, so weighted shortest

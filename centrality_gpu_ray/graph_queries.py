@@ -248,26 +248,13 @@ def orders_bcc_labels(sf_dir: str):
     forest every edge is its own biconnected component and the
     engine's documented deterministic label — the min-label aux-graph
     CC degenerates to the DENSE ID OF THE CHILD endpoint (the order) —
-    is independently computable in SQL, upgrading the BCC-labels query
-    from rows-only to value-hash-checked. Cyclic-graph labels are
-    covered by the Tarjan-equivalence suite in tests/test_bicc.py and
-    the dense/distributed parity in tests/test_sharded.py."""
-    import ray.data
-
+    is independently computable in closed form (value-checked against
+    it in tests/test_bc_decomp.py). The driver's graph_bcc_labels row
+    stays on the CYCLIC lineitem graph so rule-A/rule-B gluing and the
+    OUTMIN/OUTMAX sweeps keep running under the external gate."""
     from centrality_gpu_ray.pipelines.bicc import bcc_labels
-    from centrality_gpu_ray.pipelines.graph import Graph
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_orderkey", "o_custkey"])
-
-    def explode(t: pa.Table) -> pa.Table:
-        o = t.column("o_orderkey").to_numpy().astype(np.int64) + 10_000_000
-        c = t.column("o_custkey").to_numpy().astype(np.int64)
-        return pa.table({"src": pa.array(c), "dst": pa.array(o),
-                         "weight": pa.array(np.ones(c.size, dtype=np.int64))})
-
-    g = Graph(ds.map_batches(explode, batch_format="pyarrow"))
-    return bcc_labels(g)
+    return bcc_labels(orders_graph(sf_dir))
 
 
 def lineitem_components(sf_dir: str):
@@ -337,18 +324,13 @@ def lineitem_articulation_points(sf_dir: str):
     return articulation_points(lineitem_graph(sf_dir))
 
 
-def orders_articulation_points(sf_dir: str):
-    """(node, is_articulation) over the customer–orders graph (customer
-    c → c, order o → 10_000_000 + o). Every component is a star, so
-    the articulation set has an independent closed form — a customer
-    is a cut vertex iff it has ≥ 2 orders, an order never is — which
-    upgrades the BiCC articulation query from rows-only to
-    value-hash-checked against SQL. Cyclic-graph correctness is the
-    serial-Tarjan random-graph oracle in tests/test_bicc.py
-    (reference ``bicc.cpp:81-161``)."""
+def orders_graph(sf_dir: str):
+    """Customer–orders graph (customer c → c, order o → 10_000_000 + o)
+    — a star forest (every order has exactly one customer), which gives
+    several BiCC quantities independent closed forms. Shared by the
+    orders_* queries and the bench scaling probe."""
     import ray.data
 
-    from centrality_gpu_ray.pipelines.bicc import articulation_points
     from centrality_gpu_ray.pipelines.graph import Graph
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -360,8 +342,20 @@ def orders_articulation_points(sf_dir: str):
         return pa.table({"src": pa.array(c), "dst": pa.array(o),
                          "weight": pa.array(np.ones(c.size, dtype=np.int64))})
 
-    g = Graph(ds.map_batches(explode, batch_format="pyarrow"))
-    return articulation_points(g)
+    return Graph(ds.map_batches(explode, batch_format="pyarrow"))
+
+
+def orders_articulation_points(sf_dir: str):
+    """(node, is_articulation) over the customer–orders star forest:
+    the articulation set has an independent closed form — a customer
+    is a cut vertex iff it has ≥ 2 orders, an order never is — which
+    upgrades the BiCC articulation query from rows-only to
+    value-hash-checked against SQL. Cyclic-graph correctness is the
+    serial-Tarjan random-graph oracle in tests/test_bicc.py
+    (reference ``bicc.cpp:81-161``)."""
+    from centrality_gpu_ray.pipelines.bicc import articulation_points
+
+    return articulation_points(orders_graph(sf_dir))
 
 
 def lineitem_closeness(sf_dir: str, k: int = 8):

@@ -60,8 +60,7 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
-from centrality_gpu_ray.pipelines.bicc import (_min_label_cc,
-                                               _preorder_and_sizes,
+from centrality_gpu_ray.pipelines.bicc import (_preorder_and_sizes,
                                                _ragged, biconnected)
 from centrality_gpu_ray.pipelines.brandes import (
     _single_source_dependencies, _single_source_dependencies_weighted,
@@ -85,7 +84,16 @@ def _decompose(s: np.ndarray, d: np.ndarray, n: int, res: dict):
     parent, level, lab = res["parent"], res["level"], res["bcc_label"]
     art = res["is_articulation"]
     _, size = _preorder_and_sizes(parent, level)
-    comp = _min_label_cc(n, s, d)
+    # component label = BFS-forest root, by pointer-jumping the parent
+    # vector (O(n log depth), no edge passes — the forest already
+    # encodes the components; a _min_label_cc here would rescan the
+    # whole edge list for information biconnected() just computed)
+    comp = np.where(parent >= 0, parent, np.arange(n, dtype=np.int64))
+    while True:
+        new = comp[comp]
+        if np.array_equal(new, comp):
+            break
+        comp = new
     _, inv = np.unique(comp, return_inverse=True)
     csize = np.bincount(inv)[inv].astype(np.int64)
 
@@ -133,6 +141,47 @@ def _decompose(s: np.ndarray, d: np.ndarray, n: int, res: dict):
     return cf, e_bcc_dense, nb, gb_dense, ga, mass_val
 
 
+def _localize_bcc(eu: np.ndarray, ev: np.ndarray,
+                  m_v: np.ndarray, m_w: np.ndarray,
+                  weighted: bool):
+    """One BCC's edges (global dense ids) + its mass rows → local-id
+    arrays: (verts, lu, lv, nv, mass, R, C). Shared by the dense
+    actor-pool path and the distributed co-partition reducer so the
+    localization / mass-projection / CSR logic cannot diverge."""
+    verts = np.unique(np.concatenate([eu, ev]))
+    nv = verts.size
+    lu = np.searchsorted(verts, eu)
+    lv = np.searchsorted(verts, ev)
+    mass = np.ones(nv, dtype=np.float64)
+    if m_v.size:
+        pos = np.searchsorted(verts, m_v)
+        hit = (pos < nv) & (verts[np.minimum(pos, nv - 1)] == m_v)
+        mass[pos[hit]] = m_w[hit]
+    if weighted:
+        R = C = None  # the weighted kernel sweeps the edge list
+    else:
+        R, C = build_csr(lu, lv, nv)
+    return verts, lu, lv, nv, mass, R, C
+
+
+def _bcc_sources_pass(lu: np.ndarray, lv: np.ndarray, ew: np.ndarray,
+                      nv: int, mass: np.ndarray, weighted: bool,
+                      lo: int, hi: int, R, C) -> np.ndarray:
+    """Reach-weighted dependency accumulation for sources [lo, hi) of
+    one localized BCC (the reference's ``apsp_graph.cpp:229-252``
+    accumulate with reach values)."""
+    acc = np.zeros(nv, dtype=np.float64)
+    for srci in range(lo, hi):
+        if weighted:
+            delta = _single_source_dependencies_weighted(
+                lu, lv, ew, nv, srci, mass=mass)
+        else:
+            delta = _single_source_dependencies(
+                R, C, lu, lv, nv, srci, mass=mass)
+        acc += mass[srci] * delta
+    return acc
+
+
 class _DecompBrandesActor:
     """Actor-pool stage over (bcc, src_lo, src_hi) work items. Holds
     the BCC-sorted edge arrays + articulation masses (bytes → private
@@ -159,23 +208,12 @@ class _DecompBrandesActor:
         if k == self._cached_k:
             return self._cached
         lo, hi = self.boffs[k], self.boffs[k + 1]
-        eu, ev = self.es[lo:hi], self.ed[lo:hi]
-        ew = self.ew[lo:hi]
-        verts = np.unique(np.concatenate([eu, ev]))
-        lu = np.searchsorted(verts, eu)
-        lv = np.searchsorted(verts, ev)
-        nv = verts.size
-        mass = np.ones(nv, dtype=np.float64)
         mlo, mhi = self.moffs[k], self.moffs[k + 1]
-        if mhi > mlo:
-            pos = np.searchsorted(verts, self.m_v[mlo:mhi])
-            mass[pos] = self.m_w[mlo:mhi]
-        if self.weighted:
-            R = C = None  # the weighted kernel sweeps the edge list
-        else:
-            R, C = build_csr(lu, lv, nv)
+        local = _localize_bcc(self.es[lo:hi], self.ed[lo:hi],
+                              self.m_v[mlo:mhi], self.m_w[mlo:mhi],
+                              self.weighted)
         self._cached_k = k
-        self._cached = (verts, lu, lv, nv, mass, ew, R, C)
+        self._cached = local + (self.ew[lo:hi],)
         return self._cached
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -185,16 +223,9 @@ class _DecompBrandesActor:
         out_v: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
         for k, lo, hi in zip(ks, los, his):
-            verts, lu, lv, nv, mass, ew, R, C = self._bcc_arrays(int(k))
-            acc = np.zeros(nv, dtype=np.float64)
-            for srci in range(int(lo), int(hi)):
-                if self.weighted:
-                    delta = _single_source_dependencies_weighted(
-                        lu, lv, ew, nv, srci, mass=mass)
-                else:
-                    delta = _single_source_dependencies(
-                        R, C, lu, lv, nv, srci, mass=mass)
-                acc += mass[srci] * delta
+            verts, lu, lv, nv, mass, R, C, ew = self._bcc_arrays(int(k))
+            acc = _bcc_sources_pass(lu, lv, ew, nv, mass, self.weighted,
+                                    int(lo), int(hi), R, C)
             nz = np.flatnonzero(acc)
             out_v.append(verts[nz])
             out_c.append(acc[nz])
@@ -332,7 +363,8 @@ def betweenness_decomposed(graph: Graph,
 # ---------------------------------------------------------------------------
 
 def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
-                              weighted: bool, edge_cap: int) -> pa.Table:
+                              weighted: bool, edge_cap: int,
+                              work_cap: float) -> pa.Table:
     """Co-partition reducer: all edges of a hash-class of BCCs + the
     matching mass rows. Runs the exact mass-weighted Brandes for every
     BCC in the partition; returns sparse (v, c) dense-id score rows.
@@ -371,33 +403,26 @@ def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
                 "on it will not fit one task. Use sampled "
                 "betweenness_centrality(max_sources=k) for the giant "
                 "core, or raise config.extra['decomp_bcc_edge_cap'].")
-        eu, ev, ew = s[lo:hi], d[lo:hi], w[lo:hi]
-        verts = np.unique(np.concatenate([eu, ev]))
-        nv = verts.size
-        if nv < 3:
-            continue
-        lu = np.searchsorted(verts, eu)
-        lv = np.searchsorted(verts, ev)
-        mass = np.ones(nv, dtype=np.float64)
         mlo = np.searchsorted(mb, ub[k], side="left")
         mhi = np.searchsorted(mb, ub[k], side="right")
-        if mhi > mlo:
-            pos = np.searchsorted(verts, ma[mlo:mhi])
-            hit = (pos < nv) & (verts[np.minimum(pos, nv - 1)]
-                                == ma[mlo:mhi])
-            mass[pos[hit]] = mw[mlo:mhi][hit]
-        acc = np.zeros(nv, dtype=np.float64)
-        if weighted:
-            for srci in range(nv):
-                delta = _single_source_dependencies_weighted(
-                    lu, lv, ew, nv, srci, mass=mass)
-                acc += mass[srci] * delta
-        else:
-            R, C = build_csr(lu, lv, nv)
-            for srci in range(nv):
-                delta = _single_source_dependencies(
-                    R, C, lu, lv, nv, srci, mass=mass)
-                acc += mass[srci] * delta
+        verts, lu, lv, nv, mass, R, C = _localize_bcc(
+            s[lo:hi], d[lo:hi], ma[mlo:mhi], mw[mlo:mhi], weighted)
+        if nv < 3:
+            continue
+        # the real serial-task bound is WORK (sources × edges), not
+        # edge count — a 300k-vertex / 500k-edge block passes any sane
+        # edge cap yet costs 1.5e11 edge-ops in this one reducer
+        if nv * (hi - lo) > work_cap:
+            raise ValueError(
+                f"betweenness_decomposed (distributed): biconnected "
+                f"component {int(ub[k])} needs {nv} sources × "
+                f"{int(hi - lo)} edges = {nv * int(hi - lo):.2e} "
+                f"edge-ops > decomp_bcc_work_cap={work_cap:.2e} in one "
+                "reducer task. Use sampled betweenness_centrality("
+                "max_sources=k) for the giant core, or raise "
+                "config.extra['decomp_bcc_work_cap'].")
+        acc = _bcc_sources_pass(lu, lv, w[lo:hi], nv, mass, weighted,
+                                0, nv, R, C)
         nz = np.flatnonzero(acc)
         out_v.append(verts[nz])
         out_c.append(acc[nz])
@@ -535,9 +560,14 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
     def _cf(t: pa.Table) -> pa.Table:
         cs = t.column("csize").to_numpy()
         cm1 = cs - 1.0
-        return pa.table({"v": t.column("a"),
-                         "c": pa.array(cm1 * cm1
-                                       - t.column("brsq").to_numpy())})
+        c = cm1 * cm1 - t.column("brsq").to_numpy()
+        # non-articulation vertices have exactly one branch of size
+        # csize-1, so c == 0.0 EXACTLY (all terms are integer-valued
+        # floats) — dropping them here keeps ~n zero rows out of the
+        # union/aggregate/join shuffles; the outer_fill supplies zeros
+        keep = c != 0.0
+        return pa.table({"v": t.column("a").filter(pa.array(keep)),
+                         "c": pa.array(c[keep])})
 
     cf_rows = hash_aggregate(br.map_batches(_brsq, batch_format="pyarrow"),
                              ["a"], [("brsq", "sum"), ("csize", "max")],
@@ -546,9 +576,15 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
 
     # reach masses per (BCC, vertex): mass = csize - branch size
     def _mass(t: pa.Table) -> pa.Table:
-        return pa.table({"B": t.column("B"), "a": t.column("a"),
-                         "mass": pa.array(t.column("csize").to_numpy()
-                                          - t.column("contrib").to_numpy())})
+        mass = (t.column("csize").to_numpy()
+                - t.column("contrib").to_numpy())
+        # the reducers default unlisted vertices to mass 1, and a
+        # non-cut vertex's single branch gives mass == 1.0 EXACTLY
+        # (integer-valued floats) — only ship the informative rows
+        keep = mass != 1.0
+        return pa.table({"B": t.column("B").filter(pa.array(keep)),
+                         "a": t.column("a").filter(pa.array(keep)),
+                         "mass": pa.array(mass[keep])})
 
     masses = br.map_batches(_mass, batch_format="pyarrow")
 
@@ -574,12 +610,30 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
     edges_bcc = graph.edges.map_batches(_edge_bcc, batch_format="pyarrow")
 
     edge_cap = int(cfg.extra.get("decomp_bcc_edge_cap", 2_000_000))
+    work_cap = float(cfg.extra.get("decomp_bcc_work_cap", 5e9))
 
     def _reduce(e: pa.Table, m: pa.Table) -> pa.Table:
-        return _decomp_partition_brandes(e, m, weighted, edge_cap)
+        return _decomp_partition_brandes(e, m, weighted, edge_cap,
+                                         work_cap)
 
-    parts = hash_copartition_apply(edges_bcc, masses, ["bcc"], ["B"],
-                                   _reduce, num_partitions=P)
+    # the mass rows are filtered to the informative (≠1) ones, so a
+    # graph with no articulation points ships an EMPTY mass side —
+    # hash_copartition_apply short-circuits an empty side to one
+    # (empty, empty) reduce call, which would silently drop every
+    # edge; partition the edges alone in that case
+    masses = masses.materialize()
+    if masses.count() == 0:
+        from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
+        empty_m = pa.table({"B": pa.array([], pa.int64()),
+                            "a": pa.array([], pa.int64()),
+                            "mass": pa.array([], pa.float64())})
+        parts = hash_partition_apply(
+            edges_bcc, ["bcc"], lambda t, _m=empty_m: _reduce(t, _m),
+            num_partitions=P)
+    else:
+        parts = hash_copartition_apply(edges_bcc, masses, ["bcc"], ["B"],
+                                       _reduce, num_partitions=P)
 
     total = hash_aggregate(parts.union(cf_rows), ["v"], [("c", "sum")],
                            num_partitions=P)

@@ -231,3 +231,45 @@ def test_decomposed_distributed_giant_bcc_cap_is_loud():
     g = Graph(ray.data.from_arrow(tbl), config=cfg)
     with pytest.raises(Exception, match="decomp_bcc_edge_cap"):
         betweenness_decomposed(g).to_pandas()
+
+
+def test_decomposed_distributed_biconnected_no_art():
+    # cycle + chord: zero articulation points — the informative-mass
+    # side is EMPTY and the edges-only partition fallback must still
+    # run the per-BCC Brandes (regression: an empty co-partition side
+    # silently dropped every edge)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (0, 2)]
+    dense, sharded = _graphs_dense_sharded(edges)
+    ref = betweenness_centrality(dense).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    out = betweenness_decomposed(sharded).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert ref["bc"].to_numpy().sum() > 0  # non-trivial BC exists
+    np.testing.assert_allclose(out["bc"].to_numpy(), ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_orders_bcc_labels_closed_form():
+    # star forest: every edge its own BCC; the deterministic label is
+    # the CHILD endpoint's dense id (= #customers + rank of the order
+    # in sorted order ids) — the closed form the SQL oracle used before
+    # this check moved to pytest (the driver row stays on the cyclic
+    # lineitem graph to keep rule-A/rule-B under the external gate)
+    import pandas as pd
+
+    from centrality_gpu_ray import graph_queries as gq
+
+    sf = "/root/testdata/sf0.001"
+    got = gq.orders_bcc_labels(sf).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    orders = pd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    ncust = orders["o_custkey"].nunique()
+    want = pd.DataFrame({
+        "src": orders["o_custkey"].astype("int64"),
+        "dst": orders["o_orderkey"].astype("int64") + 10_000_000,
+    })
+    want = want.sort_values(["dst"]).reset_index(drop=True)
+    want["bcc"] = np.arange(len(want), dtype=np.int64) + ncust
+    want = want.sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
