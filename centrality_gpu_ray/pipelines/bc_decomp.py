@@ -478,6 +478,7 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
                     "integer edge weights < 2^31 (exact-equality DAG test; "
                     "see _validate_bc_weights)")
     st = _bicc_run(graph, cfg, metrics)
+    t_bicc = time.perf_counter()
     n = graph.num_vertices
     P = cfg.num_partitions
 
@@ -492,6 +493,7 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
             raise RuntimeError("decomposed BC: CC exceeded max_supersteps")
     comp_full = pool._assembler().remote(
         *[a.owner_get_state.remote() for a in pool.actors])
+    t_cc = time.perf_counter()
 
     nblocks = max(P, len(pool.actors))
     dense = ray.data.range(n, override_num_blocks=nblocks)
@@ -548,6 +550,7 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
                                           batch_format="pyarrow"),
                         ["a", "B"], [("contrib", "sum"), ("csize", "max")],
                         num_partitions=P).materialize()
+    t_branch = time.perf_counter()
 
     # closed forms: cf(a) = (csize-1)^2 - sum_B br^2  (0 for non-cut
     # vertices: a single branch of size csize-1)
@@ -637,6 +640,7 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
 
     total = hash_aggregate(parts.union(cf_rows), ["v"], [("c", "sum")],
                            num_partitions=P)
+    t_brandes = time.perf_counter()
 
     allv = dense.map_batches(
         lambda t: pa.table({"v": t.column("id").cast(pa.int64())}),
@@ -652,7 +656,14 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
 
     out = filled.map_batches(_finish, batch_format="pyarrow")
     if metrics is not None:
-        metrics.update({"sec": time.perf_counter() - t0,
-                        "mode": "distributed",
-                        "edge_cap": edge_cap})
+        metrics.update({
+            "sec": time.perf_counter() - t0,
+            "mode": "distributed",
+            "edge_cap": edge_cap, "work_cap": work_cap,
+            "phase_sec": {
+                "bicc": round(t_bicc - t0, 2),
+                "component_sizes": round(t_cc - t_bicc, 2),
+                "branch_shuffles": round(t_branch - t_cc, 2),
+                "per_bcc_brandes_and_merge": round(t_brandes - t_branch, 2),
+            }})
     return out

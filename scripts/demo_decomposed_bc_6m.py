@@ -153,6 +153,7 @@ def main():
         "exact_bc_decomposed_sec": round(bc_sec, 2),
         "metrics": {k: v for k, v in m.items()
                     if isinstance(v, (int, float, str))},
+        "phase_sec": m.get("phase_sec"),
         "spot_checks_passed": list(checks),
         "bc_sum": total_ref[0],
     }
