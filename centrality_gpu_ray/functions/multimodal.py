@@ -22,6 +22,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from centrality_gpu_ray.nputil import ragged_arange as _ragged_arange
+
 HAVE_REAL_CODECS = False  # no PIL/libav in this environment — stub decode
 
 _MAGIC = b"FAKE"
@@ -52,18 +54,6 @@ def synth_media_table(num_rows: int = 64, seed: int = 5) -> pa.Table:
         "num_frames": pa.array(frames, type=pa.int32()),
     })
 
-
-def _ragged_arange(counts: np.ndarray) -> np.ndarray:
-    """[0..c0), [0..c1), ... concatenated (vectorized)."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    nzc = counts[counts > 0]
-    out = np.ones(total, dtype=np.int64)
-    ends = np.cumsum(nzc)
-    out[0] = 0
-    out[ends[:-1]] = 1 - nzc[:-1]
-    return np.cumsum(out)
 
 
 def _binary_buffers(col) -> tuple[np.ndarray, np.ndarray]:

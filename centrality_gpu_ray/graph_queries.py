@@ -312,8 +312,10 @@ def lineitem_bridges(sf_dir: str):
     is not SQL territory); golden-tested in tests/test_bicc.py."""
     from centrality_gpu_ray.pipelines.bicc import bridges
 
-    return bridges(lineitem_graph(sf_dir)).sort_by(
-        [("src", "ascending"), ("dst", "ascending")])
+    out = bridges(lineitem_graph(sf_dir))
+    if isinstance(out, pa.Table):
+        return out.sort_by([("src", "ascending"), ("dst", "ascending")])
+    return out.sort(["src", "dst"])  # distributed mode yields a Dataset
 
 
 def lineitem_articulation_points(sf_dir: str):

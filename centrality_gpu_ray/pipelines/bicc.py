@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.nputil import ragged_arange as _ragged
 from centrality_gpu_ray.pipelines.graph import Graph
 
 
@@ -89,17 +90,6 @@ def _forest_bfs(s: np.ndarray, d: np.ndarray, n: int):
             frontier = np.empty(0, dtype=np.int64)
     return parent, level
 
-
-def _ragged(counts: np.ndarray) -> np.ndarray:
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    nz = counts[counts > 0]
-    out = np.ones(total, dtype=np.int64)
-    ends = np.cumsum(nz)
-    out[0] = 0
-    out[ends[:-1]] = 1 - nz[:-1]
-    return np.cumsum(out)
 
 
 def _preorder_and_sizes(parent: np.ndarray, level: np.ndarray):

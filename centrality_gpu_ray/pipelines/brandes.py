@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.nputil import ragged_arange as _ragged_arange
 from centrality_gpu_ray.pipelines.graph import Graph
 
 
@@ -177,15 +178,6 @@ def _validate_bc_weights(w: np.ndarray, where: str) -> None:
             f"path counts). Got min={w.min()}, max={w.max()}, "
             f"integral={bool(np.all(w == np.floor(w)))}.")
 
-
-def _ragged_arange(counts: np.ndarray) -> np.ndarray:
-    """[0..c0), [0..c1), ... concatenated (vectorized)."""
-    total = int(counts.sum())
-    out = np.ones(total, dtype=np.int64)
-    ends = np.cumsum(counts)
-    out[0] = 0
-    out[ends[:-1]] = 1 - counts[:-1]
-    return np.cumsum(out)
 
 
 class _BrandesActor:
@@ -373,8 +365,20 @@ def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
             pool.brandes_init()  # stale/foreign checkpoint: start over
     for lo in range(start, k, bsz):
         srcs = np.arange(lo, min(lo + bsz, k), dtype=np.int64)
+        # single-source batches take the direction-optimized variant:
+        # narrow levels run as a sparse frontier scatter over only
+        # their own adjacency segments instead of the full 2m gather
+        # (the batch pass can't — its (n, b) broadcast serves b
+        # different frontiers per round, so it always gathers dense)
         if weighted:
-            depths.append(pool.wbc_batch_pass(srcs, cfg.max_supersteps))
+            if srcs.size == 1:
+                depths.append(pool.wbc_source_pass(int(srcs[0]),
+                                                   cfg.max_supersteps))
+            else:
+                depths.append(pool.wbc_batch_pass(srcs,
+                                                  cfg.max_supersteps))
+        elif srcs.size == 1:
+            depths.append(pool.brandes_source_pass(int(srcs[0])))
         else:
             depths.append(pool.brandes_batch_pass(srcs))
         if (cfg.checkpoint_dir is not None
@@ -388,7 +392,9 @@ def _betweenness_sampled_sharded(graph: Graph, cfg: EngineConfig,
     if metrics is not None:
         metrics.update({
             "sec": elapsed, "sources": k, "sources_run": k - start,
-            "sources_per_sec": k / max(elapsed, 1e-9),
+            # rate over the sources THIS run executed — a resumed run
+            # must not claim the checkpointed sources' throughput
+            "sources_per_sec": (k - start) / max(elapsed, 1e-9),
             "max_depth": max(depths, default=0), "mode": "sharded",
         })
     return scores_dataset(graph.vdict, pool, "bc")

@@ -25,18 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from centrality_gpu_ray.nputil import ragged_arange as _ragged
 
-def _ragged(counts: np.ndarray) -> np.ndarray:
-    """[0..c0), [0..c1), ... concatenated (vectorized)."""
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    nz = counts[counts > 0]
-    out = np.ones(total, dtype=np.int64)
-    ends = np.cumsum(nz)
-    out[0] = 0
-    out[ends[:-1]] = 1 - nz[:-1]
-    return np.cumsum(out)
 
 
 def _shard_class():
@@ -479,9 +469,13 @@ def _shard_class():
             return True
 
         def owner_brandes_reset_source(self, src_dense: int) -> bool:
-            self.b_level.fill(-1.0)
-            self.b_sigma.fill(0.0)
-            self.b_delta.fill(0.0)
+            # reallocate, don't .fill(): a preceding BATCH pass leaves
+            # (width, b) matrices behind, and filling them would keep
+            # the stale shape (bit the mixed batch/single-source run)
+            m = self.hi - self.lo
+            self.b_level = np.full(m, -1.0)
+            self.b_sigma = np.zeros(m)
+            self.b_delta = np.zeros(m)
             if self.lo <= src_dense < self.hi:
                 self.b_level[src_dense - self.lo] = 0.0
                 self.b_sigma[src_dense - self.lo] = 1.0

@@ -607,3 +607,29 @@ def test_sharded_approx_diameter(graphs):
     assert out["max_depth"] >= 1
     # same seed → same dense sample → identical depth multiset
     assert sorted(out["depths"]) == sorted(ref["depths"])
+
+
+def test_sharded_single_source_sparse_brandes_matches_dense(graphs):
+    # bc_source_batch=1 routes every source through the
+    # direction-optimized single-source variants (sparse frontier
+    # scatter on narrow levels) — parity vs dense must hold for both
+    # the unit and the weighted kernels
+    from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
+
+    dense, sharded = graphs
+    cfg1 = EngineConfig(dense_vertex_limit=500,
+                        extra={"bc_source_batch": 1})
+    a = (betweenness_centrality(dense, max_sources=9, concurrency=2)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (betweenness_centrality(sharded, cfg1, max_sources=9)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    merged = a.merge(b, on="node", suffixes=("_d", "_s"))
+    assert np.allclose(merged["bc_d"], merged["bc_s"], atol=1e-9)
+    aw = (betweenness_centrality(dense, max_sources=5, weighted=True,
+                                 concurrency=2)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    bw = (betweenness_centrality(sharded, cfg1, max_sources=5,
+                                 weighted=True)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    mw = aw.merge(bw, on="node", suffixes=("_d", "_s"))
+    assert np.allclose(mw["bc_d"], mw["bc_s"], atol=1e-9)
