@@ -391,9 +391,35 @@ def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
     mo = np.lexsort((ma, mb))
     mb, ma, mw = mb[mo], ma[mo], mw[mo]
 
+    # Vectorized clique skip. The edges are canonical-deduped, so a
+    # block with exactly nv·(nv−1)/2 of them is a clique: every pair
+    # is adjacent, and with unit hops (or equal intra-block weights)
+    # any detour is strictly longer than the direct edge — no vertex
+    # is interior to ANY shortest path, so the mass-weighted Brandes
+    # contributes exactly zero and the closed forms already carry the
+    # block's whole answer. Link graphs are dominated by single-edge
+    # and triangle blocks, so this removes the per-block Python loop
+    # cost for the common case (and a clique needs no work/edge-cap
+    # check: it does no serial work at all).
+    nedges = np.diff(bounds)
+    bb = np.concatenate([b, b])
+    vv = np.concatenate([s, d])
+    po = np.lexsort((vv, bb))
+    bbs, vvs = bb[po], vv[po]
+    first = np.concatenate([[True], (bbs[1:] != bbs[:-1])
+                            | (vvs[1:] != vvs[:-1])])
+    pair_block = bbs[first]  # sorted; one row per distinct (block, v)
+    nv_per = (np.searchsorted(pair_block, ub, side="right")
+              - np.searchsorted(pair_block, ub, side="left"))
+    is_clique = nedges == nv_per * (nv_per - 1) // 2
+    if weighted and is_clique.any():
+        wmin = np.minimum.reduceat(w, bounds[:-1])
+        wmax = np.maximum.reduceat(w, bounds[:-1])
+        is_clique &= wmin == wmax
+
     out_v: list[np.ndarray] = []
     out_c: list[np.ndarray] = []
-    for k in range(ub.size):
+    for k in np.flatnonzero(~is_clique):
         lo, hi = bounds[k], bounds[k + 1]
         if hi - lo > edge_cap:
             raise ValueError(

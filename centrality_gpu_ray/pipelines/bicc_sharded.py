@@ -86,9 +86,18 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
             metrics.update({"sec": cached["sec"], "mode": "distributed",
                             "num_aux_edges": cached["n_aux"],
                             "bfs_depth": cached["max_lvl"],
-                            "num_roots": cached["roots"]})
+                            "num_roots": cached["roots"],
+                            "bicc_phase_sec": cached.get("phase_sec", {})})
         return cached
     t0 = time.perf_counter()
+    phase: dict[str, float] = {}
+    _tp = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        phase[name] = round(now - _tp[0], 3)
+        _tp[0] = now
+
     pool = graph.pool
     P = len(pool.actors)
     actors = pool.actors
@@ -103,6 +112,7 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
             raise RuntimeError(
                 f"bicc: CC exceeded max_supersteps={cfg.max_supersteps}")
     roots = int(sum(ray.get([a.owner_bicc_init.remote() for a in actors])))
+    _mark("cc_roots")
 
     # 2. BFS forest (all roots at level 0)
     depth, frontier = 0, roots
@@ -118,6 +128,7 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
             raise RuntimeError(
                 f"bicc: BFS exceeded max_supersteps={cfg.max_supersteps}")
     max_lvl = depth
+    _mark("bfs_forest")
 
     asm = pool._assembler()
     pair_asm = pool._assembler_pair()
@@ -128,6 +139,7 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
         prs = [a.owner_bicc_size_partial.remote(float(k)) for a in actors]
         pair = pair_asm.remote(*prs)
         ray.get([a.owner_bicc_size_combine.remote(pair) for a in actors])
+    _mark("subtree_sizes")
 
     # 4. preorder: roots get a global layout from P scalar sums, then
     # a two-exchange top-down sweep per level
@@ -143,6 +155,7 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
                 for a in actors]
         pair = pair_asm.remote(*outs)
         ray.get([a.owner_bicc_write_pre.remote(pair) for a in actors])
+    _mark("preorder")
 
     # 5. per-vertex non-tree preorder min/max (one full-edge pass)
     parent_full = asm.remote(*[a.owner_get_aux.remote() for a in actors])
@@ -152,12 +165,14 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
             for a in actors]
     ray.get([actors[p].owner_bicc_minmax_combine.remote(p, *outs)
              for p in range(P)])
+    _mark("nontree_minmax")
 
     # 6. OUTMIN/OUTMAX, bottom-up
     for k in range(max_lvl, 0, -1):
         trs = [a.owner_bicc_out_partial.remote(float(k)) for a in actors]
         triple = cols_asm.remote(*trs)
         ray.get([a.owner_bicc_out_combine.remote(triple) for a in actors])
+    _mark("outminmax")
 
     # 7. auxiliary edges (rule A shard-side, rule B owner-side)
     size_full = asm.remote(*[a.owner_get_bicc.remote("size")
@@ -169,6 +184,7 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
                    for a in actors])
     aux_ds = ray.data.from_arrow_refs(aux_refs)
     n_aux = aux_ds.count()
+    _mark("aux_edges")
 
     # 8. BCC labels = min-label CC of the aux graph. The aux edges are
     # already in PARENT dense-id space and the shard schema (s, d, w),
@@ -198,6 +214,7 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
     else:
         ray.get([a.owner_bicc_set_label_chunk.remote(None)
                  for a in actors])
+    _mark("aux_cc_labels")
     label_full = asm.remote(*[a.owner_get_bicc.remote("label")
                               for a in actors])
     level_full = asm.remote(*[a.owner_get_state.remote() for a in actors])
@@ -213,11 +230,13 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
         "pairs_refs": pairs_refs,
         "roots": roots, "max_lvl": max_lvl,
         "sec": time.perf_counter() - t0,
+        "phase_sec": dict(phase),
     }
     if metrics is not None:
         metrics.update({"sec": state["sec"], "mode": "distributed",
                         "num_aux_edges": int(n_aux), "bfs_depth": max_lvl,
-                        "num_roots": roots})
+                        "num_roots": roots,
+                        "bicc_phase_sec": dict(phase)})
     graph._bicc_dist = state
     return state
 

@@ -154,6 +154,7 @@ def main():
         "metrics": {k: v for k, v in m.items()
                     if isinstance(v, (int, float, str))},
         "phase_sec": m.get("phase_sec"),
+        "bicc_phase_sec": m.get("bicc_phase_sec"),
         "spot_checks_passed": list(checks),
         "bc_sum": total_ref[0],
     }

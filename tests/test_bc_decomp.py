@@ -273,3 +273,53 @@ def test_orders_bcc_labels_closed_form():
     want["bcc"] = np.arange(len(want), dtype=np.int64) + ncust
     want = want.sort_values(["src", "dst"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def _clique_pendant_edges():
+    """Blocks that are pure cliques (K3, K4, K5) joined by bridges and
+    pendant chains — exercises the reducer's vectorized clique skip
+    (a clique block has no interior shortest paths; the closed forms
+    carry its whole answer) against plain whole-graph Brandes."""
+    edges = []
+    base = 0
+    for k in (3, 4, 5):
+        vs = list(range(base, base + k))
+        edges += [(vs[i], vs[j]) for i in range(k) for j in range(i + 1, k)]
+        base += k
+    edges += [(0, 3), (4, 8)]          # bridges chaining the cliques
+    edges += [(7, 100), (100, 101), (101, 102)]   # pendant chain on K5
+    edges += [(1, 200)]                # pendant on K3
+    return edges
+
+
+def test_decomposed_distributed_clique_blocks_parity():
+    edges = _clique_pendant_edges()
+    dense, sharded = _graphs_dense_sharded(edges)
+    ref = betweenness_centrality(dense).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    m = {}
+    out = betweenness_decomposed(sharded, metrics=m).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert m["mode"] == "distributed"
+    assert list(ref["node"]) == list(out["node"])
+    np.testing.assert_allclose(out["bc"].to_numpy(), ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_decomposed_distributed_weighted_clique_blocks():
+    """Equal-weight cliques skip; an UNEQUAL-weight clique must NOT
+    (w(u,v) > w(u,x)+w(x,v) re-routes pairs through interior
+    vertices) — parity vs plain weighted Brandes covers both."""
+    edges = _clique_pendant_edges()
+    # weight 5 on one K4 edge makes its 2-hop detour (1+1) shorter:
+    # vertex-interior shortest paths exist inside that clique block
+    weights = [1] * len(edges)
+    k4_first = 3  # edges are K3's 3 rows, then K4's 6 rows
+    weights[k4_first] = 5
+    dense, sharded = _graphs_dense_sharded(edges, weights)
+    ref = betweenness_centrality(dense, weighted=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    out = betweenness_decomposed(sharded, weighted=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(out["bc"].to_numpy(), ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
