@@ -508,17 +508,10 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
     n = graph.num_vertices
     P = cfg.num_partitions
 
-    # component labels + sizes (the BiCC snapshot refs are immutable
-    # plasma objects, so reusing the pool's state vector is safe)
-    pool.setup_owners_sharded(n)
-    pool.reset_labels()
-    steps = 0
-    while pool.cc_step() > 0:
-        steps += 1
-        if steps > cfg.max_supersteps:
-            raise RuntimeError("decomposed BC: CC exceeded max_supersteps")
-    comp_full = pool._assembler().remote(
-        *[a.owner_get_state.remote() for a in pool.actors])
+    # component labels: the BiCC run already converged exactly this
+    # min-label CC to pick its roots and snapshotted it (immutable
+    # plasma object) before re-initialising owner state for the BFS
+    comp_full = st["comp_full"]
     t_cc = time.perf_counter()
 
     nblocks = max(P, len(pool.actors))

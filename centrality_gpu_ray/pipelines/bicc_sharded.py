@@ -111,6 +111,13 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
         if steps > cfg.max_supersteps:
             raise RuntimeError(
                 f"bicc: CC exceeded max_supersteps={cfg.max_supersteps}")
+    # snapshot the converged component labels BEFORE owner_bicc_init
+    # re-initialises owner state for the BFS forest (actor tasks
+    # serialize, so the get materializes first): betweenness_decomposed
+    # needs exactly this min-label CC again for component sizes and
+    # would otherwise re-run the supersteps from scratch
+    comp_full = pool._assembler().remote(
+        *[a.owner_get_state.remote() for a in actors])
     roots = int(sum(ray.get([a.owner_bicc_init.remote() for a in actors])))
     _mark("cc_roots")
 
@@ -227,6 +234,7 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
         "pool": pool, "n_aux": int(n_aux),
         "parent_full": parent_full, "level_full": level_full,
         "label_full": label_full, "size_full": size_full,
+        "comp_full": comp_full,
         "pairs_refs": pairs_refs,
         "roots": roots, "max_lvl": max_lvl,
         "sec": time.perf_counter() - t0,
