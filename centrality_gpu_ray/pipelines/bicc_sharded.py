@@ -18,10 +18,11 @@ driver (reference semantics ``bicc.cpp:81-161``):
    preorder-interval test), rule B owner-side (subtree escapes the
    parent's interval);
 8. BCC labels = pointer-jumped min-label CC of the auxiliary graph —
-   the aux edges are already in parent dense-id space, so they feed a
-   SECOND ShardPool directly (no dedup/relabel/Graph rebuild; min-label
-   CC is indifferent to duplicate edges) and each parent owner slices
-   its label range off one assembled vector; labels are min dense ids,
+   the aux edges are already in parent dense-id space and the shard
+   schema, so they load as a SECONDARY edge set on the same actors
+   (``load_alt_edges``: no second pool spawn, no duplicated owner
+   state; min-label CC is indifferent to duplicate edges) and each
+   owner installs its own label range; labels are min dense ids,
    identical to the dense path's ``_min_label_cc``, with aux-isolated
    tree edges keeping their child's own id and roots −1;
 9. articulation points = vertices whose incident tree edges carry ≥ 2
@@ -189,42 +190,45 @@ def _bicc_run(graph: Graph, cfg: EngineConfig, metrics: dict | None) -> dict:
                 + [a.owner_bicc_rule_b.remote(parent_full, pre_full,
                                               size_full)
                    for a in actors])
-    aux_ds = ray.data.from_arrow_refs(aux_refs)
-    n_aux = aux_ds.count()
+    # the aux CC below reuses THIS pool's owners (reset_labels clobbers
+    # the BFS-level state vector) — snapshot levels to plasma first
+    level_full = asm.remote(*[a.owner_get_state.remote() for a in actors])
+    # the aux edges are already in dense-id space and the shard schema
+    # (s, d, w): round-robin the 2P blocks onto the SAME actors as a
+    # secondary edge set — no second pool spawn, no duplicated owner
+    # state, no Dataset materialization
+    per: list[list] = [[] for _ in range(P)]
+    for i, r in enumerate(aux_refs):
+        per[i % P].append(r)
+    n_aux = int(sum(ray.get([a.load_alt_edges.remote(*rs)
+                             for a, rs in zip(actors, per)])))
     _mark("aux_edges")
 
-    # 8. BCC labels = min-label CC of the aux graph. The aux edges are
-    # already in PARENT dense-id space and the shard schema (s, d, w),
-    # so no dedup/relabel/Graph rebuild is needed: feed the blocks to a
-    # SECOND ShardPool with the same owner count (same bounds formula →
-    # chunk p maps 1:1 onto parent owner p), run the pointer-jumped CC
-    # supersteps, hand each label chunk straight to the parent owner.
-    # (Duplicate/self-free-ness is irrelevant to min-label CC.)
+    # 8. BCC labels = pointer-jumped min-label CC of the aux graph, run
+    # over the SAME pool's secondary edge set (owner ranges are already
+    # set; reset_labels re-inits only the state vector — the BiCC aux/
+    # bicc fields and the plasma snapshots above survive). Duplicate/
+    # self-free-ness is irrelevant to min-label CC.
     if n_aux > 0:
-        from centrality_gpu_ray.pipelines.shards import ShardPool
-
-        aux_pool = ShardPool(aux_ds, num_shards=P)
-        aux_pool.setup_owners_sharded(graph.num_vertices)
-        aux_pool.reset_labels()
+        pool.reset_labels()
         steps = 0
-        while aux_pool.cc_step() > 0:
+        while pool.cc_step(alt=True) > 0:
             steps += 1
             if steps > cfg.max_supersteps:
                 raise RuntimeError(
                     f"bicc: aux-graph CC exceeded max_supersteps="
                     f"{cfg.max_supersteps}")
-        aux_label_full = aux_pool._assembler().remote(
-            *[a.owner_get_state.remote() for a in aux_pool.actors])
+        aux_label_full = asm.remote(
+            *[a.owner_get_state.remote() for a in actors])
         ray.get([a.owner_bicc_set_label_chunk.remote(aux_label_full)
                  for a in actors])
-        aux_pool.shutdown()
     else:
         ray.get([a.owner_bicc_set_label_chunk.remote(None)
                  for a in actors])
+    ray.get([a.drop_alt_edges.remote() for a in actors])
     _mark("aux_cc_labels")
     label_full = asm.remote(*[a.owner_get_bicc.remote("label")
                               for a in actors])
-    level_full = asm.remote(*[a.owner_get_state.remote() for a in actors])
     # snapshot the articulation pair tables NOW: they read live owner
     # state (aux/labels), which a later algorithm reusing the same pool
     # would clobber — the cached refs below are immutable plasma objects

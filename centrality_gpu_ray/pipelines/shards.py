@@ -98,6 +98,45 @@ def _shard_class():
         def ready(self) -> int:
             return self.num_edges
 
+        def load_alt_edges(self, *tables: pa.Table) -> int:
+            """Load a SECONDARY edge set (e.g. the BiCC auxiliary
+            graph) so iterative supersteps can run over it on the SAME
+            actors — no second pool spawn (seconds of fixed cost) and
+            no duplicated owner-state memory. Same v-sorted message
+            layout as ``__init__``; returns this slice's edge count."""
+            s = np.concatenate([t.column("s").to_numpy() for t in tables]) \
+                if tables else np.empty(0, np.int64)
+            d = np.concatenate([t.column("d").to_numpy() for t in tables]) \
+                if tables else np.empty(0, np.int64)
+            v = np.concatenate([d, s])
+            u = np.concatenate([s, d])
+            order = np.lexsort((u, v))
+            v = v[order]
+            u = u[order]
+            uniq_v, seg = np.unique(v, return_index=True)
+            idt = np.int32 if (v.size == 0 or
+                               max(int(v.max(initial=0)),
+                                   int(u.max(initial=0))) < 2**31) \
+                else np.int64
+            self.alt_u = np.ascontiguousarray(u.astype(idt, copy=False))
+            self.alt_uniq_v, self.alt_seg = uniq_v, seg
+            return int(s.size)
+
+        def drop_alt_edges(self) -> bool:
+            self.alt_u = self.alt_uniq_v = self.alt_seg = None
+            return True
+
+        def shard_gather_min_alt(self, bounds: np.ndarray,
+                                 lab: np.ndarray):
+            """``shard_gather_min`` over the secondary edge set (no
+            replica tiling — alt sets are always plain)."""
+            c = lab[self.alt_u]
+            mins = np.minimum.reduceat(c, self.alt_seg) if c.size else c
+            cuts = np.searchsorted(self.alt_uniq_v, bounds)
+            return tuple((self.alt_uniq_v[cuts[i]:cuts[i + 1]],
+                          mins[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
         def weight_profile(self) -> tuple[bool, float]:
             """(all weights positive integers, max weight) — one-time
             validation for the exact-equality weighted-BC DAG test."""
@@ -1572,16 +1611,18 @@ class ShardPool:
             [a.owner_affine_pending.remote(alpha, beta)
              for a in self.actors])))
 
-    def cc_step(self) -> int:
+    def cc_step(self, alt: bool = False) -> int:
         """One owner-combined min-label superstep WITH pointer jumping
         (label distances contract geometrically — O(log n) supersteps,
-        not O(diameter)); returns #changed."""
+        not O(diameter)); returns #changed. ``alt=True`` runs over the
+        actors' secondary edge set (``load_alt_edges``)."""
         import ray
 
         P = len(self.actors)
         lab_refs = [a.owner_get_state.remote() for a in self.actors]
         lab_full = self._assembler().remote(*lab_refs)
-        outs = [a.shard_gather_min.remote(self.bounds, lab_full)
+        outs = [(a.shard_gather_min_alt if alt
+                 else a.shard_gather_min).remote(self.bounds, lab_full)
                 for a in self.actors]
         changed_refs = [
             self.actors[p].owner_combine_min_jump.remote(lab_full, p, *outs)

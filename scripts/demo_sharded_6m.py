@@ -152,6 +152,7 @@ def main():
         "biconnectivity": {"sec": round(bicc_sec, 2),
                            "bfs_depth": m_bicc.get("bfs_depth"),
                            "num_aux_edges": m_bicc.get("num_aux_edges"),
+                           "phase_sec": m_bicc.get("bicc_phase_sec"),
                            "articulation_points": n_art},
         "betweenness_sampled8": {"sec": round(bc_sec, 2),
                                  "sources_per_sec": round(
