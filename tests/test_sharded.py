@@ -633,3 +633,56 @@ def test_sharded_single_source_sparse_brandes_matches_dense(graphs):
           .to_pandas().sort_values("node").reset_index(drop=True))
     mw = aw.merge(bw, on="node", suffixes=("_d", "_s"))
     assert np.allclose(mw["bc_d"], mw["bc_s"], atol=1e-9)
+
+
+def test_alt_edge_set_cc_on_same_actors():
+    """load_alt_edges + cc_step(alt=True): the SAME pool actors run a
+    min-label CC over a secondary edge set (the BiCC aux-graph path)
+    without a second pool spawn; primary gathers are untouched."""
+    import ray
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.shards import ShardPool
+
+    # primary graph: one 8-cycle (single component)
+    n = 8
+    prim = pa.table({
+        "s": pa.array(list(range(n)), type=pa.int64()),
+        "d": pa.array([(i + 1) % n for i in range(n)], type=pa.int64()),
+        "w": pa.array([1] * n, type=pa.int64()),
+    })
+    pool = ShardPool(ray.data.from_arrow(prim), num_shards=2)
+    pool.setup_owners_sharded(n)
+    pool.reset_labels()
+    while pool.cc_step() > 0:
+        pass
+    prim_lab = np.concatenate(
+        ray.get([a.owner_get_state.remote() for a in pool.actors]))
+    assert set(prim_lab.astype(int)) == {0}
+
+    # secondary edge set: two components {0,1,2} and {4,5}; 3,6,7 isolated
+    alt = pa.table({
+        "s": pa.array([0, 1, 4], type=pa.int64()),
+        "d": pa.array([1, 2, 5], type=pa.int64()),
+        "w": pa.array([1, 1, 1], type=pa.int64()),
+    })
+    counts = ray.get([pool.actors[0].load_alt_edges.remote(alt)]
+                     + [a.load_alt_edges.remote()
+                        for a in pool.actors[1:]])
+    assert sum(counts) == 3
+    pool.reset_labels()
+    while pool.cc_step(alt=True) > 0:
+        pass
+    alt_lab = np.concatenate(
+        ray.get([a.owner_get_state.remote() for a in pool.actors]))
+    assert list(alt_lab.astype(int)) == [0, 0, 0, 3, 4, 4, 6, 7]
+
+    # primary edge set is untouched: the full-graph CC still converges
+    ray.get([a.drop_alt_edges.remote() for a in pool.actors])
+    pool.reset_labels()
+    while pool.cc_step() > 0:
+        pass
+    again = np.concatenate(
+        ray.get([a.owner_get_state.remote() for a in pool.actors]))
+    assert set(again.astype(int)) == {0}
+    pool.shutdown()
