@@ -296,6 +296,19 @@ def betweenness_decomposed(graph: Graph,
     # work items: only BCCs with an interior (≥3 vertices); giant BCCs
     # split by source range so one block never serializes the pool
     kk = np.flatnonzero(nverts >= 3)
+    # clique skip (same rule as the distributed reducer): a
+    # canonical-deduped block with nv·(nv−1)/2 edges is a clique — with
+    # unit hops (or equal intra-block weights) no vertex is interior to
+    # any shortest path, so its Brandes contribution is exactly zero
+    if kk.size:
+        nedges_b = boffs[1:] - boffs[:-1]
+        ic = nedges_b[kk] == nverts[kk] * (nverts[kk] - 1) // 2
+        if weighted and ic.any():
+            starts = np.minimum(boffs[:-1], max(es.size - 1, 0))
+            wmin = np.minimum.reduceat(ew, starts)
+            wmax = np.maximum.reduceat(ew, starts)
+            ic &= wmin[kk] == wmax[kk]
+        kk = kk[~ic]
     bc = cf  # accumulate into the closed-form vector
     work_dec = 0
     if kk.size:

@@ -60,7 +60,9 @@ def test_decomposed_barbell_and_cycle_pendants():
              (4, 5), (5, 6), (6, 4),            # triangle B
              (0, 7), (7, 8), (5, 9)]            # pendants
     m = _assert_parity(edges)
-    assert m["num_bcc_run"] == 2  # only the two triangles run Brandes
+    # the two triangles are cliques — the clique skip answers them via
+    # closed forms alone, so NO per-BCC Brandes items run at all
+    assert m["num_bcc_run"] == 0
     assert m["work_decomposed_edge_ops"] < m["work_plain_edge_ops"]
     # square with a pendant (worked through by hand in the derivation)
     _assert_parity([(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)])
@@ -321,5 +323,29 @@ def test_decomposed_distributed_weighted_clique_blocks():
         .sort_values("node").reset_index(drop=True)
     out = betweenness_decomposed(sharded, weighted=True).to_pandas() \
         .sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(out["bc"].to_numpy(), ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_decomposed_dense_clique_blocks_parity():
+    """Dense-path clique skip: K3/K4/K5 blocks contribute only their
+    closed forms; metrics confirm no per-BCC Brandes items ran."""
+    m = _assert_parity(_clique_pendant_edges())
+    assert m["num_bcc_run"] == 0  # every block is a clique or an edge
+
+
+def test_decomposed_dense_weighted_unequal_clique_runs():
+    """A K4 with one heavy edge re-routes pairs through interior
+    vertices — the dense weighted path must NOT skip it."""
+    edges = _clique_pendant_edges()
+    weights = [1] * len(edges)
+    weights[3] = 5  # first K4 edge (after K3's 3 rows)
+    dense, _ = _graphs_dense_sharded(edges, weights)
+    ref = betweenness_centrality(dense, weighted=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    m = {}
+    out = betweenness_decomposed(dense, weighted=True, metrics=m) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    assert m["num_bcc_run"] >= 1  # the unequal-weight K4 ran
     np.testing.assert_allclose(out["bc"].to_numpy(), ref["bc"].to_numpy(),
                                rtol=1e-9, atol=1e-9)
