@@ -304,9 +304,11 @@ def betweenness_decomposed(graph: Graph,
         nedges_b = boffs[1:] - boffs[:-1]
         ic = nedges_b[kk] == nverts[kk] * (nverts[kk] - 1) // 2
         if weighted and ic.any():
-            starts = np.minimum(boffs[:-1], max(es.size - 1, 0))
-            wmin = np.minimum.reduceat(ew, starts)
-            wmax = np.maximum.reduceat(ew, starts)
+            # every dense BCC label has >=1 edge (labels come from
+            # np.unique return_inverse), so boffs[:-1] is in range —
+            # reduceat raises loudly if that invariant ever breaks
+            wmin = np.minimum.reduceat(ew, boffs[:-1])
+            wmax = np.maximum.reduceat(ew, boffs[:-1])
             ic &= wmin[kk] == wmax[kk]
         kk = kk[~ic]
     bc = cf  # accumulate into the closed-form vector
@@ -525,7 +527,6 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
     # min-label CC to pick its roots and snapshotted it (immutable
     # plasma object) before re-initialising owner state for the BFS
     comp_full = st["comp_full"]
-    t_cc = time.perf_counter()
 
     nblocks = max(P, len(pool.actors))
     dense = ray.data.range(n, override_num_blocks=nblocks)
@@ -694,8 +695,10 @@ def _betweenness_decomposed_distributed(graph: Graph, cfg: EngineConfig,
             "edge_cap": edge_cap, "work_cap": work_cap,
             "phase_sec": {
                 "bicc": round(t_bicc - t0, 2),
-                "component_sizes": round(t_cc - t_bicc, 2),
-                "branch_shuffles": round(t_branch - t_cc, 2),
+                # component sizes ride the branch-shuffle window (the
+                # csize aggregate executes lazily inside it; the CC
+                # itself is reused from the BiCC run at zero cost)
+                "branch_shuffles": round(t_branch - t_bicc, 2),
                 "per_bcc_brandes_and_merge": round(t_brandes - t_branch, 2),
             }})
     return out

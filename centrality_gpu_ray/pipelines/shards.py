@@ -29,6 +29,54 @@ from centrality_gpu_ray.nputil import ragged_arange as _ragged
 
 
 
+def _msg_layout(tables):
+    """Both message directions of an (s, d, w) edge slice, lexsorted by
+    (v, u) with per-destination segment starts — the resident layout
+    every superstep gather relies on. Returns
+    ``(n_edges, u, v, ww, uniq_v, seg)``; shared by the primary shard
+    build and ``load_alt_edges`` so the two layouts cannot diverge."""
+    s = np.concatenate([t.column("s").to_numpy() for t in tables]) \
+        if tables else np.empty(0, np.int64)
+    d = np.concatenate([t.column("d").to_numpy() for t in tables]) \
+        if tables else np.empty(0, np.int64)
+    w = np.concatenate([t.column("w").to_numpy() for t in tables]) \
+        if tables else np.empty(0, np.int64)
+    # both message directions, fixed (v=dst of message, u=src)
+    v = np.concatenate([d, s])
+    u = np.concatenate([s, d])
+    ww = np.concatenate([w, w]).astype(np.float64)
+    order = np.lexsort((u, v))
+    v = v[order]
+    u = u[order]
+    ww = ww[order]
+    uniq_v, seg = np.unique(v, return_index=True)
+    return int(s.size), u, v, ww, uniq_v, seg
+
+
+def _msg_idtype(u: np.ndarray, v: np.ndarray):
+    """int32 message arrays when ids fit: u is the per-message gather
+    index — the single biggest superstep stream — and halving it halves
+    the dominant DRAM traffic (dense ids < 2^31 is the documented
+    vertex envelope; consumers that do id arithmetic cast to int64
+    first)."""
+    return np.int32 if (v.size == 0 or
+                        max(int(v.max(initial=0)),
+                            int(u.max(initial=0))) < 2**31) else np.int64
+
+
+def _range_split_min(u, seg, uniq_v, rep_fold, bounds, lab):
+    """Per-destination min gather over one message layout, range-split
+    by owner bounds (the CC superstep's shard half)."""
+    c = lab[u]
+    mins = np.minimum.reduceat(c, seg) if c.size else c
+    if rep_fold > 1:
+        mins = mins.reshape(rep_fold, -1).min(axis=0)
+    cuts = np.searchsorted(uniq_v, bounds)
+    return tuple((uniq_v[cuts[i]:cuts[i + 1]],
+                  mins[cuts[i]:cuts[i + 1]])
+                 for i in range(len(bounds) - 1))
+
+
 def _shard_class():
     import ray
 
@@ -44,21 +92,7 @@ def _shard_class():
             offsets r·stride (bench scaling jobs build an R×-size graph
             without R× sort cost — replica id ranges are disjoint and
             increasing, so sorted single-copy arrays tile sorted)."""
-            s = np.concatenate([t.column("s").to_numpy() for t in tables]) \
-                if tables else np.empty(0, np.int64)
-            d = np.concatenate([t.column("d").to_numpy() for t in tables]) \
-                if tables else np.empty(0, np.int64)
-            w = np.concatenate([t.column("w").to_numpy() for t in tables]) \
-                if tables else np.empty(0, np.int64)
-            # both message directions, fixed (v=dst of message, u=src)
-            v = np.concatenate([d, s])
-            u = np.concatenate([s, d])
-            ww = np.concatenate([w, w]).astype(np.float64)
-            order = np.lexsort((u, v))
-            v = v[order]
-            u = u[order]
-            ww = ww[order]
-            uniq_v, seg = np.unique(v, return_index=True)
+            n_edges, u, v, ww, uniq_v, seg = _msg_layout(tables)
             self.rep_fold = 1
             if replicas > 1:
                 M = u.size
@@ -81,19 +115,12 @@ def _shard_class():
                     v = np.tile(v, replicas)
                     self.rep_fold = replicas
                 ww = np.tile(ww, replicas)
-            # int32 message arrays when ids fit: u is the per-message
-            # gather index — the single biggest superstep stream — and
-            # halving it halves the dominant DRAM traffic (dense ids
-            # < 2^31 is the documented vertex envelope; consumers that
-            # do id arithmetic cast to int64 first)
-            idt = np.int32 if (v.size == 0 or
-                               max(int(v.max(initial=0)),
-                                   int(u.max(initial=0))) < 2**31) else np.int64
+            idt = _msg_idtype(u, v)
             self.v = np.ascontiguousarray(v.astype(idt, copy=False))
             self.u = np.ascontiguousarray(u.astype(idt, copy=False))
             self.w = np.ascontiguousarray(ww)
             self.uniq_v, self.seg = uniq_v, seg
-            self.num_edges = int(s.size * replicas)
+            self.num_edges = n_edges * replicas
 
         def ready(self) -> int:
             return self.num_edges
@@ -104,23 +131,11 @@ def _shard_class():
             actors — no second pool spawn (seconds of fixed cost) and
             no duplicated owner-state memory. Same v-sorted message
             layout as ``__init__``; returns this slice's edge count."""
-            s = np.concatenate([t.column("s").to_numpy() for t in tables]) \
-                if tables else np.empty(0, np.int64)
-            d = np.concatenate([t.column("d").to_numpy() for t in tables]) \
-                if tables else np.empty(0, np.int64)
-            v = np.concatenate([d, s])
-            u = np.concatenate([s, d])
-            order = np.lexsort((u, v))
-            v = v[order]
-            u = u[order]
-            uniq_v, seg = np.unique(v, return_index=True)
-            idt = np.int32 if (v.size == 0 or
-                               max(int(v.max(initial=0)),
-                                   int(u.max(initial=0))) < 2**31) \
-                else np.int64
+            n_alt, u, v, _ww, uniq_v, seg = _msg_layout(tables)
+            idt = _msg_idtype(u, v)
             self.alt_u = np.ascontiguousarray(u.astype(idt, copy=False))
             self.alt_uniq_v, self.alt_seg = uniq_v, seg
-            return int(s.size)
+            return n_alt
 
         def drop_alt_edges(self) -> bool:
             self.alt_u = self.alt_uniq_v = self.alt_seg = None
@@ -130,12 +145,8 @@ def _shard_class():
                                  lab: np.ndarray):
             """``shard_gather_min`` over the secondary edge set (no
             replica tiling — alt sets are always plain)."""
-            c = lab[self.alt_u]
-            mins = np.minimum.reduceat(c, self.alt_seg) if c.size else c
-            cuts = np.searchsorted(self.alt_uniq_v, bounds)
-            return tuple((self.alt_uniq_v[cuts[i]:cuts[i + 1]],
-                          mins[cuts[i]:cuts[i + 1]])
-                         for i in range(len(bounds) - 1))
+            return _range_split_min(self.alt_u, self.alt_seg,
+                                    self.alt_uniq_v, 1, bounds, lab)
 
         def weight_profile(self) -> tuple[bool, float]:
             """(all weights positive integers, max weight) — one-time
@@ -1087,14 +1098,8 @@ def _shard_class():
                          for i in range(len(bounds) - 1))
 
         def shard_gather_min(self, bounds: np.ndarray, lab: np.ndarray):
-            c = lab[self.u]
-            mins = np.minimum.reduceat(c, self.seg) if c.size else c
-            if self.rep_fold > 1:
-                mins = mins.reshape(self.rep_fold, -1).min(axis=0)
-            cuts = np.searchsorted(self.uniq_v, bounds)
-            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]],
-                          mins[cuts[i]:cuts[i + 1]])
-                         for i in range(len(bounds) - 1))
+            return _range_split_min(self.u, self.seg, self.uniq_v,
+                                    self.rep_fold, bounds, lab)
 
         def pr_contrib(self, wvec: np.ndarray):
             """Partial PageRank gather: sums of wvec[u] per dst (sorted
