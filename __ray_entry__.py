@@ -18,6 +18,13 @@ from typing import Any
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# Corpus-mixture rates for doc_mixture_sample: keep all English,
+# half of the other identified languages, a quarter of 'und'. The
+# thresholds derived from these are shared byte-for-byte with the
+# DuckDB oracle (functions/sampling.py::mixture_sample_sql).
+_MIX_RATES = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5,
+              "it": 0.5, "pt": 0.5, "und": 0.25}
+
 # ---------------------------------------------------------------------------
 # entry — flagship pipeline
 # ---------------------------------------------------------------------------
@@ -108,6 +115,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: t.rename_columns(["doc_id", "content"]),
             batch_format="pyarrow")
         return with_content_sha256(ds)
+
+    def doc_pack_sequences(sf_dir):
+        """Concat-and-chunk sequence packing: every document's span in
+        the doc_id-ordered global token stream, chunked at 256 tokens
+        — value-checked against a DuckDB windowed-cumsum oracle."""
+        from centrality_gpu_ray.functions.packing import pack_sequences
+
+        return pack_sequences(_docs(sf_dir), context_len=256)
+
+    def doc_mixture_sample(sf_dir):
+        """Deterministic per-language corpus downsampling via sha256
+        thresholds — value-checked against DuckDB's sha256."""
+        from centrality_gpu_ray.functions.sampling import mixture_sample
+
+        return mixture_sample(_docs(sf_dir), _MIX_RATES)
 
     def minhash_dedup_docs(sf_dir):
         return dd.minhash_dedup(_docs(sf_dir), threshold=0.5)
@@ -222,8 +244,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": rel.events_asof_orders,
         "events_range_60m": rel.events_range_self,
         "user_sessions": rel.user_sessions,
-        "lineitem_filter_project": rel.lineitem_filter_project,
-        "order_priority_histogram": rel.order_priority_histogram,
         "supplier_nation_join": rel.supplier_nation_join,
         # documents / training-data operators
         "doc_dedup_exact_ids": doc_dedup_exact_ids,
@@ -232,6 +252,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": lambda sf: tx.quality_scores(_docs(sf)),
         "doc_language_id": lambda sf: tx.language_id(_docs(sf)),
         "doc_fingerprints": lambda sf: tx.fingerprints(_docs(sf)),
+        # pretraining-layout operators (swapped in for the two trivial
+        # relational rows lineitem_filter_project /
+        # order_priority_histogram, whose operator surface — filter+
+        # project, groupby-count — every other relational row already
+        # exercises; both keep their library functions + pytest rows)
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_mixture_sample": doc_mixture_sample,
     }
 
 
@@ -260,6 +287,60 @@ deg AS (
     SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY node
 )
 """
+
+# Language-ID oracle, shared by doc_language_id (verbatim) and
+# doc_mixture_sample (as the language CTE). Mirrors
+# functions/text.py::TextAnalyzer.lang_id exactly: per-language
+# stopword-hit ratios (single int/int divisions — bit-identical
+# float64), first max in sorted language order, 'und' below 0.05.
+_LANG_ID_ORACLE_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(COALESCE(text, '')),
+                                        '[a-z]+') AS ws
+              FROM documents
+            ), sc AS (
+              SELECT doc_id,
+                GREATEST(len(ws), 1) * 1.0 AS n,
+                len(list_filter(ws, t -> list_contains(
+                  ['der','die','das','und','ist','nicht','ich','ein','zu','mit'], t))) AS h_de,
+                len(list_filter(ws, t -> list_contains(
+                  ['the','and','of','to','a','in','is','it','you','that'], t))) AS h_en,
+                len(list_filter(ws, t -> list_contains(
+                  ['el','la','los','y','es','un','una','que','no','en'], t))) AS h_es,
+                len(list_filter(ws, t -> list_contains(
+                  ['le','la','les','et','est','un','une','je','que','pas'], t))) AS h_fr,
+                len(list_filter(ws, t -> list_contains(
+                  ['il','la','i','e','è','un','una','che','non','per'], t))) AS h_it,
+                len(list_filter(ws, t -> list_contains(
+                  ['o','a','os','e','é','um','uma','que','não','em'], t))) AS h_pt
+              FROM toks
+            ), r AS (
+              SELECT doc_id,
+                h_de / n AS s_de, h_en / n AS s_en, h_es / n AS s_es,
+                h_fr / n AS s_fr, h_it / n AS s_it, h_pt / n AS s_pt
+              FROM sc
+            )
+            SELECT doc_id,
+              CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_it,s_pt) < 0.05
+                   THEN 'und'
+                   WHEN s_de >= GREATEST(s_en,s_es,s_fr,s_it,s_pt) THEN 'de'
+                   WHEN s_en >= GREATEST(s_es,s_fr,s_it,s_pt) THEN 'en'
+                   WHEN s_es >= GREATEST(s_fr,s_it,s_pt) THEN 'es'
+                   WHEN s_fr >= GREATEST(s_it,s_pt) THEN 'fr'
+                   WHEN s_it >= s_pt THEN 'it'
+                   ELSE 'pt' END AS pred_lang,
+              ROUND(GREATEST(s_de,s_en,s_es,s_fr,s_it,s_pt), 6)
+                  AS confidence
+            FROM r"""
+
+
+def _mixture_oracle_sql() -> str:
+    """doc_mixture_sample oracle: language CTE + sha256-prefix keep
+    rule with the engine's own threshold constants."""
+    from centrality_gpu_ray.functions.sampling import mixture_sample_sql
+
+    return mixture_sample_sql(_MIX_RATES, 1.0, _LANG_ID_ORACLE_SQL)
 
 
 def _cc_oracle_sql(rounds: int = 20, sizes: bool = False) -> str:
@@ -689,46 +770,12 @@ def oracle_sql() -> dict[str, str]:
         # mirrors TextAnalyzer.lang_id exactly: per-language stopword-hit
         # ratios (single int/int divisions — bit-identical float64), the
         # first max in sorted language order, 'und' below 0.05
-        "doc_language_id": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(COALESCE(text, '')),
-                                        '[a-z]+') AS ws
-              FROM documents
-            ), sc AS (
-              SELECT doc_id,
-                GREATEST(len(ws), 1) * 1.0 AS n,
-                len(list_filter(ws, t -> list_contains(
-                  ['der','die','das','und','ist','nicht','ich','ein','zu','mit'], t))) AS h_de,
-                len(list_filter(ws, t -> list_contains(
-                  ['the','and','of','to','a','in','is','it','you','that'], t))) AS h_en,
-                len(list_filter(ws, t -> list_contains(
-                  ['el','la','los','y','es','un','una','que','no','en'], t))) AS h_es,
-                len(list_filter(ws, t -> list_contains(
-                  ['le','la','les','et','est','un','une','je','que','pas'], t))) AS h_fr,
-                len(list_filter(ws, t -> list_contains(
-                  ['il','la','i','e','è','un','una','che','non','per'], t))) AS h_it,
-                len(list_filter(ws, t -> list_contains(
-                  ['o','a','os','e','é','um','uma','que','não','em'], t))) AS h_pt
-              FROM toks
-            ), r AS (
-              SELECT doc_id,
-                h_de / n AS s_de, h_en / n AS s_en, h_es / n AS s_es,
-                h_fr / n AS s_fr, h_it / n AS s_it, h_pt / n AS s_pt
-              FROM sc
-            )
-            SELECT doc_id,
-              CASE WHEN GREATEST(s_de,s_en,s_es,s_fr,s_it,s_pt) < 0.05
-                   THEN 'und'
-                   WHEN s_de >= GREATEST(s_en,s_es,s_fr,s_it,s_pt) THEN 'de'
-                   WHEN s_en >= GREATEST(s_es,s_fr,s_it,s_pt) THEN 'en'
-                   WHEN s_es >= GREATEST(s_fr,s_it,s_pt) THEN 'es'
-                   WHEN s_fr >= GREATEST(s_it,s_pt) THEN 'fr'
-                   WHEN s_it >= s_pt THEN 'it'
-                   ELSE 'pt' END AS pred_lang,
-              ROUND(GREATEST(s_de,s_en,s_es,s_fr,s_it,s_pt), 6)
-                  AS confidence
-            FROM r""",
+        "doc_language_id": _LANG_ID_ORACLE_SQL,
+        # deterministic per-language downsampling: the same language-ID
+        # CTE, keep ⇔ sha256(doc_id)[:16] < per-language threshold —
+        # thresholds are the identical Python-computed hex constants
+        # the engine compares against (functions/sampling.py)
+        "doc_mixture_sample": _mixture_oracle_sql(),
         # The customer–nation graph is a forest of stars (each customer
         # attaches to exactly one nation), so exact ordered-pair BC has
         # a closed form: center k leaves → k·(k-1); leaves → 0. An
@@ -976,17 +1023,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, MIN(ts) AS session_start,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_seq""",
-        "lineitem_filter_project": """
-            SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
-            FROM lineitem
-            WHERE l_returnflag = 'R' AND l_extendedprice > 45000.0""",
-        "order_priority_histogram": """
-            WITH per_cust AS (
-                SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
-                FROM orders GROUP BY 1, 2
-            )
-            SELECT n, CAST(COUNT(*) AS BIGINT) AS num_groups
-            FROM per_cust GROUP BY n""",
         "supplier_nation_join": """
             SELECT s_suppkey, n_name, r_name
             FROM supplier
@@ -1076,4 +1112,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10""",
+        # concat-and-chunk sequence packing: the same whitespace token
+        # count as doc_token_stats, a windowed cumulative sum for the
+        # global stream offset, integer-division chunk ids (context 256)
+        "doc_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN LENGTH(TRIM(COALESCE(text,''))) = 0
+                          THEN 0
+                          ELSE LEN(regexp_split_to_array(TRIM(text),
+                                                         '\s+'))
+                          END AS BIGINT) AS n_tokens
+              FROM documents),
+            s AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) - n_tokens AS st
+              FROM t WHERE n_tokens > 0)
+            SELECT doc_id, n_tokens, CAST(st AS BIGINT) AS start_token,
+                   CAST(st // 256 AS BIGINT) AS first_chunk,
+                   CAST((st + n_tokens - 1) // 256 AS BIGINT)
+                       AS last_chunk,
+                   CAST((st + n_tokens - 1) // 256 - st // 256 + 1
+                        AS BIGINT) AS n_chunks
+            FROM s""",
     }

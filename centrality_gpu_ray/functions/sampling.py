@@ -1,0 +1,101 @@
+"""Deterministic corpus-mixture sampling — downsample a multi-language
+corpus to target per-language rates without any randomness state.
+
+A 100 TB training-data pipeline rebalances its corpus mix (e.g. keep
+all English, 30% of each other language) as a pure per-row predicate:
+``keep(doc) ⇔ sha256(str(doc_id))[:16] < threshold(lang)`` where the
+threshold is the 16-hex-digit fixed-point encoding of the rate. That
+makes sampling
+
+* deterministic and resumable — the same doc survives in every run,
+  on every partitioning, with no RNG seed to ship;
+* embarrassingly parallel — one ``map_batches`` over the language-ID
+  stage, no shuffle, no driver state;
+* exactly auditable — DuckDB's ``sha256`` computes the identical hex,
+  so the surviving set is value-checkable by SQL (`oracle_sql()`).
+
+Language comes from :func:`centrality_gpu_ray.functions.text
+.language_id` (itself oracle-checked). The reference engine has no
+sampling surface at all (SURVEY.md §2.6 covers only its BFS-depth
+sampling); this is new-engine training-data surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Rate in [0, 1] → 16-hex-digit lowercase threshold string.
+
+    keep ⇔ sha256 hex prefix (16 chars) < threshold. rate >= 1 maps to
+    ``"g"`` which lexicographically exceeds every hex string → keep
+    all; rate <= 0 maps to ``""`` → keep none.
+    """
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return ""
+    return format(int(rate * (1 << 64)), "016x")
+
+
+def _sample_batch(batch: pd.DataFrame, thresholds: dict,
+                  default_hex: str) -> pd.DataFrame:
+    import hashlib
+
+    ids = batch["doc_id"].to_numpy()
+    prefixes = np.fromiter(
+        (hashlib.sha256(str(int(i)).encode("ascii")).hexdigest()[:16]
+         for i in ids),
+        dtype=object, count=ids.size)
+    th = batch["pred_lang"].map(
+        lambda l: thresholds.get(l, default_hex)).to_numpy(dtype=object)
+    keep = prefixes < th
+    return batch.loc[keep, ["doc_id", "pred_lang"]]
+
+
+def mixture_sample(ds, rates: dict[str, float], default_rate: float = 1.0):
+    """Keep each document with its language's target rate.
+
+    Args:
+        ds: Dataset with ``doc_id`` and ``text`` columns.
+        rates: language code (as emitted by ``language_id``, including
+            ``"und"``) → keep rate in [0, 1].
+        default_rate: rate for languages not in ``rates``.
+
+    Returns:
+        Dataset with ``doc_id, pred_lang`` for the surviving docs.
+    """
+    from centrality_gpu_ray.functions.text import language_id
+
+    thresholds = {k: rate_threshold_hex(v) for k, v in rates.items()}
+    default_hex = rate_threshold_hex(default_rate)
+
+    langs = language_id(ds).select_columns(["doc_id", "pred_lang"])
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return _sample_batch(batch, thresholds, default_hex)
+
+    fn.__name__ = "mixture_sample"
+    return langs.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+def mixture_sample_sql(rates: dict[str, float], default_rate: float,
+                       lang_cte_sql: str) -> str:
+    """The exact DuckDB oracle for :func:`mixture_sample`.
+
+    ``lang_cte_sql`` is the language-ID oracle query (any SELECT
+    yielding ``doc_id, pred_lang``); the thresholds are the same
+    Python-computed hex constants the engine compares against, so
+    engine and oracle share every byte of the decision rule.
+    """
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{rate_threshold_hex(r)}'"
+        for lang, r in sorted(rates.items()))
+    return f"""
+        WITH lang AS ({lang_cte_sql})
+        SELECT doc_id, pred_lang FROM lang
+        WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16) <
+              CASE pred_lang {cases}
+                   ELSE '{rate_threshold_hex(default_rate)}' END"""
