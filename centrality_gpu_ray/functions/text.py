@@ -212,3 +212,76 @@ def language_id(ds, **kw):
 
 def fingerprints(ds, **kw):
     return _stage(ds.select_columns(["doc_id", "text"]), "fingerprint", **kw)
+
+
+# -- vocabulary ------------------------------------------------------------
+
+def _vocab_partial(batch: pd.DataFrame) -> "pa.Table":
+    """Map-side combine: collapse a batch to (unique token, count).
+
+    The 100 TB-critical step — a batch of thousands of documents
+    reduces to its distinct-token histogram BEFORE the shuffle, so the
+    exchange moves vocabulary-sized rows, not corpus-sized ones.
+    Whitespace tokens, the same rule as ``token_stats`` / the DuckDB
+    ``regexp_split_to_array(TRIM(text), '\\s+')`` oracle."""
+    import pyarrow as pa
+
+    text = batch["text"].fillna("").str.strip()
+    toks = text[text.str.len() > 0].str.split(_analyzer().ws)
+    flat = np.asarray(
+        [t for lst in toks for t in lst], dtype=object)
+    if flat.size == 0:
+        return pa.table({"token": pa.array([], type=pa.string()),
+                         "count": pa.array([], type=pa.int64())})
+    uniq, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"token": pa.array(uniq, type=pa.string()),
+                     "count": pa.array(cnt.astype(np.int64))})
+
+
+def _block_topk(tbl: "pa.Table", k: int) -> "pa.Table":
+    import pyarrow as pa
+
+    if tbl.num_rows <= k:
+        return tbl
+    cnt = tbl.column("count").to_numpy()
+    tok = tbl.column("token").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -cnt))[:k]  # count desc, token asc
+    return tbl.take(pa.array(order))
+
+
+def vocab_topk(ds, k: int = 1000, num_partitions: int = 32) -> "pa.Table":
+    """Exact global top-k token frequencies → ``(token, count, rank)``.
+
+    Shape at scale: map-side combine per batch (``_vocab_partial``),
+    one hash shuffle keyed on the token (``hash_aggregate``), then
+    per-block candidate top-k. After the hash aggregate every token
+    appears in EXACTLY ONE output row (keys are hash-disjoint across
+    partitions and combined within), so per-block top-k → driver merge
+    of ≤ blocks·k candidate rows → final top-k is exact, never a full
+    sort. Ties break (count desc, token asc): numpy code-point order ==
+    DuckDB's binary UTF-8 collation (UTF-8 preserves code-point order),
+    so ranks are value-checkable by SQL ROW_NUMBER().
+    """
+    import pyarrow as pa
+
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
+
+    pre = ds.select_columns(["doc_id", "text"]).map_batches(
+        _vocab_partial, batch_format="pandas", batch_size=2048)
+    agg = hash_aggregate(pre, ["token"], [("count", "sum")],
+                         num_partitions=num_partitions)
+    cand = agg.map_batches(lambda t: _block_topk(t, k),
+                           batch_format="pyarrow")
+    parts = list(cand.iter_batches(batch_size=None, batch_format="pyarrow"))
+    schema = pa.schema([("token", pa.string()), ("count", pa.int64())])
+    merged = (pa.concat_tables([p.select(["token", "count"]) for p in parts])
+              if parts else schema.empty_table())
+    final = _block_topk(merged, k)
+    cnt = final.column("count").to_numpy()
+    tok = final.column("token").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -cnt))
+    return pa.table({
+        "token": pa.array(tok[order], type=pa.string()),
+        "count": pa.array(cnt[order].astype(np.int64)),
+        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+    })

@@ -69,3 +69,39 @@ def test_analyzer_smoke_direct():
     df = pd.DataFrame({"doc_id": [1], "text": ["Hello, world! 42"]})
     assert a.token_stats(df)["n_tokens"].iloc[0] == 3
     assert a.token_stats(df)["n_bpeish_tokens"].iloc[0] == 5  # Hello , world ! 42
+
+
+def test_vocab_topk_matches_duckdb_oracle(docs):
+    import duckdb
+
+    from centrality_gpu_ray.functions.text import vocab_topk
+
+    k = 50
+    out = vocab_topk(docs, k=k, num_partitions=8)
+    con = duckdb.connect()
+    con.register("documents", docs.to_pandas())
+    oracle = con.execute(r"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS token
+          FROM documents
+          WHERE LENGTH(TRIM(COALESCE(text, ''))) > 0
+        ), c AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS count
+          FROM toks GROUP BY token
+        )
+        SELECT token, count,
+               ROW_NUMBER() OVER (ORDER BY count DESC, token) AS rank
+        FROM c ORDER BY rank LIMIT 50""").fetch_df()
+    got = out.to_pandas()
+    assert got["token"].tolist() == oracle["token"].tolist()
+    assert got["count"].tolist() == oracle["count"].tolist()
+    assert got["rank"].tolist() == oracle["rank"].tolist()
+
+
+def test_vocab_topk_partitioning_invariant(docs):
+    from centrality_gpu_ray.functions.text import vocab_topk
+
+    a = vocab_topk(docs, k=20, num_partitions=4).to_pandas()
+    b = vocab_topk(docs.repartition(9), k=20,
+                   num_partitions=16).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
