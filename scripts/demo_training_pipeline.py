@@ -8,8 +8,11 @@ checks, composed:
       │ exact dedup (hash-partitioned winner marking)
       │ MinHash+LSH near-dup clustering (keepers only)
       │ quality + language filters (actor/task-pool scoring, semi-joins)
+      │ benchmark-contamination scrub (broadcast n-gram membership)
+      │ mixture rebalance (per-language sha256 thresholds)
       ▼
   curated corpus ──token stats──► corpus size accounting
+      └─ sequence packing ──► 2048-token context chunks + fill stats
   synthetic corpus (input_hint shape) ──co-occurrence edges──►
       Graph ──► PageRank + components + decomposed exact BC
   embeddings ──► IVF ANN vs brute-force ground truth (recall check)
@@ -111,6 +114,49 @@ def main() -> dict:
     assert 0 < n_curated <= n_near
     _mark("quality_lang_filter")
 
+    # contamination scrub: drop docs overlapping a (synthetic) eval
+    # suite — here the 3 lexically-largest doc texts stand in for a
+    # benchmark; broadcast path, one streaming pass
+    from centrality_gpu_ray.functions.contamination import contamination_check
+
+    bench_texts = (curated.to_pandas().nlargest(3, "doc_id")["text"]
+                   .fillna("").tolist())
+    dirty = contamination_check(curated, bench_texts, n=6).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    dirty_ids = {int(r["doc_id"]) for b in dirty.iter_batches(
+        batch_size=None, batch_format="pyarrow")
+        for r in b.to_pylist()}
+    clean = curated.map_batches(
+        lambda t, _d=tuple(sorted(dirty_ids)): t.filter(
+            pc.invert(pc.is_in(t.column("doc_id"),
+                               value_set=pa.array(_d, type=pa.int64())))),
+        batch_format="pyarrow").materialize()
+    n_clean = clean.count()
+    assert 0 < n_clean < n_curated  # the 3 seeded docs must be caught
+    _mark("contamination_scrub")
+
+    # mixture rebalance: keep all en, half the rest, quarter of 'und'
+    from centrality_gpu_ray.functions.sampling import mixture_sample
+
+    mix_ids = mixture_sample(clean, {"en": 0.8, "und": 0.25},
+                             default_rate=0.5).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    mixed = hash_semi_join(clean, mix_ids, on="doc_id").materialize()
+    n_mixed = mixed.count()
+    assert 0 < n_mixed < n_clean  # every language is downsampled
+    _mark("mixture_sample")
+
+    # sequence packing: lay the final corpus into 2048-token windows
+    from centrality_gpu_ray.functions.packing import (chunk_fill_stats,
+                                                      pack_sequences)
+
+    packed = pack_sequences(mixed, context_len=2048)
+    pdf = packed.to_pandas()
+    packed_tokens = int(pdf["n_tokens"].sum()) if len(pdf) else 0
+    n_chunks = len(chunk_fill_stats(packed, context_len=2048).to_pandas())
+    assert n_chunks == -(-packed_tokens // 2048)  # exact chunk count
+    _mark("sequence_packing")
+
     tok = hash_aggregate(
         token_stats(curated).map_batches(
             lambda t: pa.table({"all": pa.array(np.zeros(len(t), np.int64)),
@@ -124,6 +170,10 @@ def main() -> dict:
     out["counts"].update({"docs_raw": n_raw, "after_exact_dedup": n_exact,
                           "after_near_dedup": n_near,
                           "after_quality_lang": n_curated,
+                          "after_contamination": n_clean,
+                          "after_mixture": n_mixed,
+                          "packed_tokens": packed_tokens,
+                          "context_chunks_2048": n_chunks,
                           "curated_tokens": total_tokens})
 
     # ---- 2. graph analytics over the input_hint-shaped corpus ----------
