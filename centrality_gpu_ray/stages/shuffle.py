@@ -515,3 +515,59 @@ def hash_copartition_apply(left_ds, right_ds, left_keys: list[str],
                                   *shard(right_shards, p))
                for p in range(num_partitions)]
     return ray.data.from_arrow_refs(reduced)
+
+
+def hash_equi_join(left_ds, right_ds, on: str, right_on: str | None = None,
+                   num_partitions: int = 32, suffix: str = "_r"):
+    """General N:M inner equi-join (duplicate keys allowed on BOTH
+    sides) — the one join shape ``hash_lookup_join`` (unique dict) and
+    ``hash_semi_join`` (existence only) don't cover.
+
+    Co-partitions both sides on the key hash
+    (:func:`hash_copartition_apply`), then per partition sorts the
+    right side once and expands matches with two ``searchsorted``
+    bounds + a ragged arange — fully vectorized, output rows =
+    Σ|matches|, never an all-pairs. Right columns that collide with
+    left names get ``suffix``. Use the native ``Dataset.join`` never
+    (deadlocks at small CPU counts on this substrate — see dev notes);
+    use this for N:M, ``hash_lookup_join`` when the right side is
+    unique-keyed (cheaper: no expansion)."""
+    from centrality_gpu_ray.nputil import ragged_arange
+
+    r_key = right_on or on
+
+    def reduce_fn(l: pa.Table, r: pa.Table) -> pa.Table:
+        out_names = list(l.column_names) + [
+            (c if c not in l.column_names else c + suffix)
+            for c in r.column_names if c != r_key]
+        if l.num_rows == 0 or r.num_rows == 0:
+            cols = {}
+            for c in l.column_names:
+                cols[c] = pa.array([], type=l.schema.field(c).type)
+            for c in r.column_names:
+                if c == r_key:
+                    continue
+                name = c if c not in l.column_names else c + suffix
+                cols[name] = pa.array([], type=r.schema.field(c).type)
+            return pa.table(cols)
+        rk = r.column(r_key).to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rks = rk[order]
+        lk = l.column(on).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rks, lk, "left")
+        hi = np.searchsorted(rks, lk, "right")
+        cnt = hi - lo
+        li = np.repeat(np.arange(lk.size, dtype=np.int64), cnt)
+        ri = order[np.repeat(lo, cnt) + ragged_arange(cnt)]
+        li_a, ri_a = pa.array(li), pa.array(ri)
+        cols = {c: l.column(c).take(li_a) for c in l.column_names}
+        for c in r.column_names:
+            if c == r_key:
+                continue
+            name = c if c not in l.column_names else c + suffix
+            cols[name] = r.column(c).take(ri_a)
+        assert list(cols) == out_names
+        return pa.table(cols)
+
+    return hash_copartition_apply(left_ds, right_ds, [on], [r_key],
+                                  reduce_fn, num_partitions=num_partitions)

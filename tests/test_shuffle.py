@@ -193,3 +193,67 @@ def test_hash_lookup_join_outer_fill_dtype_pinned_to_dict():
     df2 = out2.to_pandas()
     assert df2["val"].dtype == "float64"
     assert (df2["val"] == 0.0).all()
+
+
+def test_hash_equi_join_nm_vs_duckdb():
+    """N:M inner equi-join vs DuckDB on orders x lineitem (duplicate
+    keys on the lineitem side, 1:N) and on a synthetic N:M case."""
+    import duckdb
+    import ray.data
+
+    sf = "/root/testdata/sf0.001"
+    from centrality_gpu_ray.stages.shuffle import hash_equi_join
+
+    orders = ray.data.read_parquet(f"{sf}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(f"{sf}/lineitem.parquet",
+                               columns=["l_orderkey", "l_linenumber"])
+    out = hash_equi_join(orders, li, on="o_orderkey",
+                         right_on="l_orderkey",
+                         num_partitions=8).to_pandas()
+    oracle = duckdb.execute(f"""
+        SELECT o_orderkey, o_custkey, l_linenumber
+        FROM read_parquet('{sf}/orders.parquet') o
+        JOIN read_parquet('{sf}/lineitem.parquet') l
+          ON o.o_orderkey = l.l_orderkey""").fetch_df()
+    cols = ["o_orderkey", "o_custkey", "l_linenumber"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hash_equi_join_duplicates_both_sides_and_collisions():
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_equi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "v": pa.array([10, 11, 20, 30], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "v": pa.array([100, 101, 102, 200], type=pa.int64())}))
+    out = hash_equi_join(left, right, on="k",
+                         num_partitions=4).to_pandas()
+    # N:M expansion: key 1 -> 2*3 rows, key 2 -> 1, key 3 -> dropped
+    assert len(out) == 7
+    assert set(out.columns) == {"k", "v", "v_r"}
+    assert sorted(out.loc[out.k == 1, "v_r"].unique()) == [100, 101, 102]
+    assert (out.loc[out.k == 2, "v_r"] == 200).all()
+    assert 3 not in set(out.k)
+
+
+def test_hash_equi_join_empty_side():
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_equi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], type=pa.int64()),
+        "v": pa.array([10, 20], type=pa.int64())}))
+    empty = ray.data.from_arrow(pa.table({
+        "k": pa.array([], type=pa.int64()),
+        "w": pa.array([], type=pa.int64())}))
+    out = hash_equi_join(left, empty, on="k", num_partitions=4)
+    df = out.to_pandas()
+    assert len(df) == 0
