@@ -173,6 +173,29 @@ def run_bench() -> dict:
 
     timed("doc_token_minhash", _docs_ops)
 
+    # late-round-3 training-data surface, one timed entry each
+    import ray.data as _rdd
+
+    from centrality_gpu_ray.functions.contamination import \
+        contamination_check
+    from centrality_gpu_ray.functions.packing import pack_sequences
+    from centrality_gpu_ray.functions.sampling import mixture_sample
+    from centrality_gpu_ray.functions.sketch import hll_distinct_tokens
+    from centrality_gpu_ray.functions.text import vocab_topk
+
+    docs_ds = _rdd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]).materialize()
+    bench_texts = docs_ds.limit(20).to_pandas()["text"].fillna("").tolist()
+    timed("vocab_topk", lambda: vocab_topk(docs_ds, k=1000))
+    timed("contamination_scan",
+          lambda: contamination_check(docs_ds, bench_texts, n=8).count())
+    timed("pack_sequences",
+          lambda: pack_sequences(docs_ds, context_len=2048).count())
+    timed("mixture_sample",
+          lambda: mixture_sample(docs_ds, {"en": 0.8, "und": 0.25},
+                                 default_rate=0.5).count())
+    timed("hll_vocab", lambda: hll_distinct_tokens(docs_ds, p=12))
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
