@@ -1,0 +1,163 @@
+"""Training-data curation at 2M documents — the text-pipeline scale
+demo (companion to demo_sharded_6m.py's graph-side one).
+
+The sf tables top out at 5,000 documents, so this synthesizes a
+2M-row corpus DISTRIBUTED (16 deterministic chunk tasks feeding
+``from_arrow_refs`` — the driver never holds the table) and streams it
+through the curation surface:
+
+  exact dedup → token accounting → vocab top-k → HLL-vs-exact
+  vocabulary cross-check → benchmark-contamination scan → mixture
+  sampling → 2048-token sequence packing
+
+Prints one JSON line with per-stage seconds + counts, asserting the
+cross-stage invariants inline (dedup monotone, HLL within 5% of the
+engine's own exact distinct count, packing chunk-count arithmetic).
+
+Run: python scripts/demo_curation_2m.py [num_rows]  (owns its Ray
+session; defaults 2,000,000 rows / 32 CPUs via RAY_GRAFT_CPUS.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("RAY_worker_niceness", "0")
+
+CHUNKS = 16
+
+
+def main() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from centrality_gpu_ray.functions.contamination import contamination_check
+    from centrality_gpu_ray.functions.dedup import exact_dedup
+    from centrality_gpu_ray.functions.packing import pack_sequences
+    from centrality_gpu_ray.functions.sampling import mixture_sample
+    from centrality_gpu_ray.functions.sketch import hll_distinct_tokens
+    from centrality_gpu_ray.functions.text import token_stats, vocab_topk
+    from centrality_gpu_ray.sources.corpus import generate_corpus_table
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    chunk = n_rows // CHUNKS
+    out: dict = {"rows": n_rows, "stage_sec": {}, "counts": {}}
+    marks = [time.perf_counter()]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        out["stage_sec"][name] = round(now - marks[0], 3)
+        marks[0] = now
+
+    @ray.remote
+    def gen(c: int) -> pa.Table:
+        t = generate_corpus_table(num_rows=chunk, seed=9100 + c)
+        return pa.table({
+            "doc_id": pa.array(np.arange(c * chunk, (c + 1) * chunk,
+                                         dtype=np.int64)),
+            "text": t.column("content"),
+        })
+
+    docs = ray.data.from_arrow_refs(
+        [gen.remote(c) for c in range(CHUNKS)]).materialize()
+    _mark("synthesize")
+
+    survivors = exact_dedup(docs).materialize()
+    n_unique = survivors.count()
+    assert 0 < n_unique <= n_rows
+    out["counts"]["unique_docs"] = n_unique
+    _mark("exact_dedup")
+
+    tok = hash_aggregate(
+        token_stats(survivors).map_batches(
+            lambda t: pa.table({
+                "all": pa.array(np.zeros(len(t), np.int64)),
+                "n_tokens": t.column("n_tokens")}),
+            batch_format="pyarrow"),
+        ["all"], [("n_tokens", "sum")], num_partitions=4).to_pandas()
+    total_tokens = int(tok["n_tokens"].iloc[0])
+    assert total_tokens > n_unique  # every snippet has several tokens
+    out["counts"]["total_tokens"] = total_tokens
+    _mark("token_accounting")
+
+    vocab = vocab_topk(survivors, k=100)
+    out["counts"]["top_token_count"] = int(vocab.column("count")[0].as_py())
+    _mark("vocab_topk")
+
+    # exact distinct tokens via the engine's own keyed aggregate,
+    # cross-checked against the shuffle-free HLL estimate
+    def _tok_rows(batch):
+        text = batch["text"].fillna("").str.strip()
+        toks = text[text.str.len() > 0].str.split()
+        flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+        u = np.unique(flat) if flat.size else flat
+        return pa.table({"token": pa.array(u, type=pa.string())})
+
+    exact_vocab = hash_aggregate(
+        survivors.map_batches(_tok_rows, batch_format="pandas",
+                              batch_size=4096),
+        ["token"], [([], "count_all")], num_partitions=32).count()
+    est = hll_distinct_tokens(survivors, p=14)
+    err = abs(est - exact_vocab) / exact_vocab
+    assert err < 0.05, (est, exact_vocab)
+    out["counts"].update({"vocab_exact": exact_vocab,
+                          "vocab_hll": round(est, 1),
+                          "hll_rel_err": round(err, 4)})
+    _mark("vocab_distinct_exact_vs_hll")
+
+    bench_texts = survivors.limit(100).to_pandas()["text"].tolist()
+    dirty = contamination_check(survivors, bench_texts, n=6).materialize()
+    n_dirty = dirty.count()
+    assert n_dirty >= 100  # the seeded docs must at least self-match
+    out["counts"]["contaminated_docs"] = n_dirty
+    _mark("contamination_scan")
+
+    mixed = mixture_sample(survivors, {"und": 0.5}, default_rate=1.0)
+    n_mixed = mixed.count()
+    assert 0 < n_mixed < n_unique
+    out["counts"]["after_mixture"] = n_mixed
+    _mark("mixture_sample")
+
+    packed = pack_sequences(survivors, context_len=2048)
+    span = packed.map_batches(
+        lambda t: pa.table({
+            "all": pa.array(np.zeros(len(t), np.int64)),
+            "n_tokens": t.column("n_tokens"),
+            "last_chunk": t.column("last_chunk")}),
+        batch_format="pyarrow")
+    agg = hash_aggregate(span, ["all"], [("n_tokens", "sum"),
+                                         ("last_chunk", "max")],
+                         num_partitions=2).to_pandas()
+    packed_tokens = int(agg["n_tokens"].iloc[0])
+    max_chunk = int(agg["last_chunk"].iloc[0])
+    assert max_chunk == (packed_tokens - 1) // 2048  # layout arithmetic
+    out["counts"].update({"packed_tokens": packed_tokens,
+                          "context_chunks_2048": max_chunk + 1})
+    _mark("sequence_packing")
+
+    out["total_sec"] = round(sum(out["stage_sec"].values()), 3)
+    out["docs_per_sec_curation"] = round(
+        n_rows / max(1e-9, out["total_sec"] - out["stage_sec"]["synthesize"]))
+    print(json.dumps(out))
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    main()
