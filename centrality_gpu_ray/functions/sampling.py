@@ -99,3 +99,53 @@ def mixture_sample_sql(rates: dict[str, float], default_rate: float,
         WHERE substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16) <
               CASE pred_lang {cases}
                    ELSE '{rate_threshold_hex(default_rate)}' END"""
+
+
+def _sha_hex(ids: np.ndarray) -> np.ndarray:
+    import hashlib
+
+    return np.fromiter(
+        (hashlib.sha256(str(int(i)).encode("ascii")).hexdigest()
+         for i in ids), dtype=object, count=ids.size)
+
+
+def stratified_sample(ds, stratum_col: str, k: int,
+                      id_col: str = "doc_id", num_partitions: int = 32):
+    """Exactly ``min(k, |stratum|)`` rows per stratum — deterministic
+    fixed-size eval-set construction, the complement of rate-based
+    :func:`mixture_sample`.
+
+    Rows are ranked inside each stratum by the full sha256 hex of
+    their id (then the id itself — a total order), so the selection is
+    deterministic, partitioning-invariant, and reproducible by DuckDB
+    ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY
+    sha256(CAST(id AS VARCHAR)), id)``. One hash shuffle keyed on the
+    stratum (``hash_partition_apply``); assumes each stratum's rows
+    fit one reduce task — the same per-key-fits-a-task contract as
+    sessionization (salt or pre-filter a hot stratum otherwise).
+    """
+    import pyarrow as pa
+
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        ids = tbl.column(id_col).to_numpy()
+        strata = tbl.column(stratum_col).to_numpy(zero_copy_only=False)
+        sha = _sha_hex(ids)
+        order = np.lexsort((ids, sha, strata))
+        s_sorted = strata[order]
+        # segment starts of each stratum run
+        starts = np.flatnonzero(
+            np.concatenate([[True], s_sorted[1:] != s_sorted[:-1]]))
+        run_idx = np.arange(s_sorted.size) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [s_sorted.size]])))
+        keep = order[run_idx < k]
+        return tbl.take(pa.array(np.sort(keep)))
+
+    return hash_partition_apply(ds, [stratum_col], reduce_fn,
+                                 num_partitions=num_partitions)

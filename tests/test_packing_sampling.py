@@ -132,3 +132,46 @@ def test_rate_threshold_hex_edges():
     # monotone in rate
     hs = [rate_threshold_hex(r) for r in np.linspace(0.01, 0.99, 20)]
     assert hs == sorted(hs)
+
+
+def test_stratified_sample_matches_duckdb_rownumber():
+    import duckdb
+
+    from centrality_gpu_ray.functions.sampling import stratified_sample
+
+    k = 7
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    out = stratified_sample(docs, "lang", k=k,
+                            num_partitions=8).to_pandas()
+    oracle = duckdb.execute(f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+          FROM read_parquet('{SF}/documents.parquet')) WHERE rn <= {k}
+        """).fetch_df()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = oracle.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[["doc_id", "lang"]],
+                                  b[["doc_id", "lang"]])
+    # exactly min(k, |stratum|) per stratum
+    full = docs.to_pandas()["lang"].value_counts()
+    got = out["lang"].value_counts()
+    for lang, n in full.items():
+        assert got.get(lang, 0) == min(k, n), lang
+
+
+def test_stratified_sample_partitioning_invariant():
+    from centrality_gpu_ray.functions.sampling import stratified_sample
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    a = stratified_sample(docs, "lang", k=5,
+                          num_partitions=4).to_pandas()
+    b = stratified_sample(docs.repartition(9), "lang", k=5,
+                          num_partitions=16).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", k=0)
