@@ -1,4 +1,5 @@
-"""Distributed sketches — HyperLogLog distinct counting.
+"""Distributed sketches — HyperLogLog distinct counting, exact/binned
+value histograms with quantile extraction, count-min frequency sketch.
 
 At 100 TB, "how many distinct tokens / URLs / content hashes" must not
 cost a key shuffle. HyperLogLog gives a (1.04/√m)-relative-error
@@ -124,3 +125,206 @@ def hll_distinct_tokens(ds, p: int = 14,
                        np.frombuffer(buf.as_py(), dtype=np.uint8),
                        out=merged)
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Value histogram → quantiles
+# ---------------------------------------------------------------------------
+#
+# Quantiles over a 100 TB column must not sort the column. Two
+# shuffle-free modes, both merged on the driver by summing per-block
+# count vectors (commutative ⇒ partitioning-invariant):
+#
+# * EXACT integer mode — when the value range (hi-lo) fits a count
+#   array (default cap 2^20 buckets, 8 MiB of int64): per-block sparse
+#   bincount, exact CDF, exact quantiles. Doc lengths, token counts,
+#   degrees, status codes all live here.
+# * BINNED mode — floats or wide ranges: a min/max pass sizes `bins`
+#   uniform buckets; quantiles interpolate inside the hit bucket, so
+#   the error is at most one bucket width.
+#
+# Rank rule (shared with the SQL oracle in tests): the q-quantile is
+# the smallest value whose cumulative count >= max(1, ceil(q*n)).
+
+class HistogramSketch:
+    """Merged column distribution: ``counts[i]`` values in bucket i.
+
+    exact mode: bucket i covers the single integer ``lo + i``.
+    binned mode: bucket i covers ``[edges[i], edges[i+1])`` (last
+    bucket closed).
+    """
+
+    def __init__(self, counts: np.ndarray, lo: float, hi: float,
+                 exact: bool):
+        self.counts = counts
+        self.lo = lo
+        self.hi = hi
+        self.exact = exact
+        self.n = int(counts.sum())
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            raise ValueError("empty histogram")
+        rank = max(1, int(np.ceil(q * self.n)))
+        cdf = np.cumsum(self.counts)
+        i = int(np.searchsorted(cdf, rank))
+        if self.exact:
+            return float(self.lo + i)
+        # interpolate within bucket i by rank position
+        m = self.counts.size
+        width = (self.hi - self.lo) / m
+        below = cdf[i - 1] if i else 0
+        frac = (rank - below) / max(1, self.counts[i])
+        return float(self.lo + (i + frac) * width)
+
+    def quantiles(self, qs) -> list:
+        return [self.quantile(q) for q in qs]
+
+
+def _column_min_max(ds, col: str) -> tuple:
+    """Per-block min/max → driver reduce (no native row-based agg)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)]
+        if v.size == 0:
+            return pa.table({"mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())]})
+
+    fn.__name__ = f"minmax_{col}"
+    t = ds.select_columns([col]).map_batches(
+        fn, batch_format="pyarrow").to_pandas()
+    if len(t) == 0:
+        raise ValueError(f"column {col!r} has no non-null values")
+    return float(t["mn"].min()), float(t["mx"].max())
+
+
+def column_histogram(ds, col: str, bins: int = 4096,
+                     exact_range_cap: int = 1 << 20,
+                     lo: float | None = None,
+                     hi: float | None = None) -> HistogramSketch:
+    """One streaming pass (plus a min/max pass when bounds are not
+    given): per-block SPARSE (bucket, count) pairs, summed on the
+    driver with ``np.add.at`` (duplicate-safe under block coalescing,
+    see CLAUDE.md iter_batches note)."""
+    if lo is None or hi is None:
+        lo, hi = _column_min_max(ds, col)
+    exact = (float(lo).is_integer() and float(hi).is_integer()
+             and (hi - lo) + 1 <= exact_range_cap)
+    if exact:
+        m = int(hi - lo) + 1
+    else:
+        m = bins
+
+    lo_f, hi_f = float(lo), float(hi)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        v = np.asarray(v, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if exact:
+            idx = (v - lo_f).astype(np.int64)
+        else:
+            scale = m / (hi_f - lo_f) if hi_f > lo_f else 0.0
+            idx = np.minimum(((v - lo_f) * scale).astype(np.int64), m - 1)
+        idx = np.clip(idx, 0, m - 1)
+        u, c = np.unique(idx, return_counts=True)
+        return pa.table({"bucket": pa.array(u, type=pa.int64()),
+                         "count": pa.array(c, type=pa.int64())})
+
+    fn.__name__ = f"hist_{col}"
+    parts = ds.select_columns([col]).map_batches(fn, batch_format="pyarrow")
+    counts = np.zeros(m, dtype=np.int64)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        np.add.at(counts, b.column("bucket").to_numpy(),
+                  b.column("count").to_numpy())
+    return HistogramSketch(counts, lo_f, hi_f, exact)
+
+
+def column_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.95, 0.99),
+                     **kw) -> dict:
+    """Convenience: histogram + named quantiles (exact for integer
+    columns within the range cap)."""
+    h = column_histogram(ds, col, **kw)
+    return {f"q{int(q * 100):02d}": h.quantile(q) for q in qs}
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — point frequency estimates without a key shuffle
+# ---------------------------------------------------------------------------
+#
+# A d×w int64 matrix per block, SUM-merged (commutative). Query of a
+# value takes the MIN over its d row hashes: an overestimate by at most
+# eps·N (eps = e/w) with probability 1-delta (delta = e^-d) — Cormode &
+# Muthukrishnan 2005. Heavy-hitter counts for the vocab family without
+# the vocab_topk exchange; exact top-k stays `vocab_topk`.
+
+# pd.util.hash_array's hash_key parameter only perturbs OBJECT/string
+# hashing — numeric arrays ignore it, which would make every CMS row
+# identical (depth would buy nothing). Derive the d rows instead by
+# xor-ing a per-row seed into the base 64-bit hash and running a
+# splitmix64 finalizer — independent-enough rows for both dtypes.
+_CMS_SEEDS = np.array(
+    [0x9E3779B97F4A7C15 * (i + 1) & 0xFFFFFFFFFFFFFFFF for i in range(8)],
+    dtype=np.uint64)
+
+
+def _cms_hash(values: np.ndarray, row: int, width: int) -> np.ndarray:
+    x = pd.util.hash_array(np.asarray(values)) ^ _CMS_SEEDS[row]
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(width)).astype(np.int64)
+
+
+def cms_from_values(values: np.ndarray, depth: int, width: int,
+                    weights: np.ndarray | None = None) -> np.ndarray:
+    """One block's d×w count matrix."""
+    cms = np.zeros((depth, width), dtype=np.int64)
+    if values.size == 0:
+        return cms
+    w = weights if weights is not None else np.ones(values.size, np.int64)
+    for r in range(depth):
+        np.add.at(cms[r], _cms_hash(values, r, width), w)
+    return cms
+
+
+def cms_build(ds, col: str, depth: int = 4, width: int = 8192,
+              tokens: bool = False) -> np.ndarray:
+    """Merged CMS over a column (or over its whitespace tokens when
+    ``tokens=True``). Driver receives one d×w matrix per block
+    (256 KiB at 4×8192) and sums them — no shuffle, no driver rows."""
+    assert depth <= len(_CMS_SEEDS)
+
+    def fn(batch: pd.DataFrame) -> pa.Table:
+        if tokens:
+            text = batch[col].fillna("").str.strip()
+            lists = text[text.str.len() > 0].str.split()
+            vals = np.asarray([t for lst in lists for t in lst],
+                              dtype=object)
+        else:
+            vals = batch[col].dropna().to_numpy()
+        cms = cms_from_values(vals, depth, width)
+        return pa.table({"cms": pa.array([cms.tobytes()],
+                                         type=pa.binary())})
+
+    fn.__name__ = f"cms_{col}"
+    parts = ds.select_columns([col]).map_batches(
+        fn, batch_format="pandas", batch_size=4096)
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b.column("cms"):
+            merged += np.frombuffer(buf.as_py(),
+                                    dtype=np.int64).reshape(depth, width)
+    return merged
+
+
+def cms_query(cms: np.ndarray, values) -> np.ndarray:
+    """Estimated counts for ``values`` (vectorized min over rows)."""
+    vals = np.asarray(values, dtype=object) \
+        if not isinstance(values, np.ndarray) else values
+    depth, width = cms.shape
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        est = np.minimum(est, cms[r][_cms_hash(vals, r, width)])
+    return est

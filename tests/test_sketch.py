@@ -50,3 +50,102 @@ def test_hll_distinct_tokens_vs_duckdb():
           WHERE LENGTH(TRIM(COALESCE(text, ''))) > 0)""").fetchone()[0]
     # tiny true cardinality lands in the exact linear-counting regime
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+# --- histogram / quantiles -------------------------------------------------
+
+from centrality_gpu_ray.functions.sketch import (  # noqa: E402
+    HistogramSketch, cms_build, cms_from_values, cms_query,
+    column_histogram, column_quantiles)
+
+
+def _rank_quantile_sql(table_path, col, q):
+    """The shared rank rule: smallest value with cum count >= ceil(q*n)."""
+    return duckdb.execute(f"""
+        WITH s AS (SELECT {col} AS v,
+                          ROW_NUMBER() OVER (ORDER BY {col}) AS rn,
+                          COUNT(*) OVER () AS n
+                   FROM read_parquet('{table_path}')
+                   WHERE {col} IS NOT NULL)
+        SELECT MIN(v) FROM s WHERE rn >= GREATEST(1, CEIL({q} * n))
+        """).fetchone()[0]
+
+
+def test_exact_int_histogram_quantiles_vs_duckdb():
+    path = f"{SF}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["n_chars"])
+    h = column_histogram(docs, "n_chars")
+    assert h.exact
+    for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0):
+        assert h.quantile(q) == _rank_quantile_sql(path, "n_chars", q), q
+    # partitioning invariance of the merged counts
+    h2 = column_histogram(docs.repartition(7), "n_chars")
+    assert np.array_equal(h.counts, h2.counts)
+
+
+def test_binned_histogram_quantiles_tolerance():
+    path = f"{SF}/lineitem.parquet"
+    li = ray.data.read_parquet(path, columns=["l_extendedprice"])
+    h = column_histogram(li, "l_extendedprice", bins=4096)
+    assert not h.exact
+    width = (h.hi - h.lo) / h.counts.size
+    for q in (0.25, 0.5, 0.9):
+        exact = float(_rank_quantile_sql(path, "l_extendedprice", q))
+        assert abs(h.quantile(q) - exact) <= width, (q, h.quantile(q), exact)
+
+
+def test_column_quantiles_convenience():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["n_chars"])
+    out = column_quantiles(docs, "n_chars", qs=(0.5,))
+    assert set(out) == {"q50"} and out["q50"] > 0
+
+
+def test_histogram_sketch_rank_rule_unit():
+    # counts for values 10,10,11,13 at lo=10
+    h = HistogramSketch(np.array([2, 1, 0, 1]), 10, 13, exact=True)
+    assert h.quantile(0.0) == 10 and h.quantile(0.5) == 10
+    assert h.quantile(0.75) == 11 and h.quantile(1.0) == 13
+
+
+# --- count-min sketch ------------------------------------------------------
+
+def test_cms_never_underestimates_and_merge_is_sum():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 500, size=20_000)
+    cms = cms_from_values(vals, depth=4, width=2048)
+    a, b = vals[:9_000], vals[9_000:]
+    merged = (cms_from_values(a, 4, 2048) + cms_from_values(b, 4, 2048))
+    assert np.array_equal(cms, merged)
+    probe = np.arange(500)
+    exact = np.bincount(vals, minlength=500)
+    est = cms_query(cms, probe)
+    assert np.all(est >= exact)
+    # eps*N bound (eps = e/width) holds per query with prob 1-e^-depth;
+    # over 500 probes expect a few-percent tail, so assert the rate and
+    # a generous hard cap rather than per-probe.
+    over = est - exact
+    assert np.mean(over <= np.e / 2048 * vals.size) >= 0.95
+    assert np.all(over <= np.e / 2048 * vals.size * 10)
+
+
+def test_cms_token_counts_vs_duckdb():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["text"])
+    cms = cms_build(docs, "text", depth=4, width=16384, tokens=True)
+    top = duckdb.execute(r"""
+        SELECT tok, COUNT(*) AS c FROM (
+          SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+          FROM read_parquet('""" + SF + r"""/documents.parquet')
+          WHERE LENGTH(TRIM(COALESCE(text, ''))) > 0)
+        GROUP BY tok ORDER BY c DESC, tok LIMIT 20""").fetchall()
+    toks = np.asarray([t for t, _ in top], dtype=object)
+    exact = np.asarray([c for _, c in top], dtype=np.int64)
+    est = cms_query(cms, toks)
+    n_tokens = int(duckdb.execute(r"""
+        SELECT COUNT(*) FROM (
+          SELECT unnest(regexp_split_to_array(TRIM(text), '\s+')) AS tok
+          FROM read_parquet('""" + SF + r"""/documents.parquet')
+          WHERE LENGTH(TRIM(COALESCE(text, ''))) > 0)""").fetchone()[0])
+    assert np.all(est >= exact)
+    assert np.all(est - exact <= np.e / 16384 * n_tokens * 4)
