@@ -6,6 +6,11 @@ from centrality_gpu_ray.functions.dedup import (
 from centrality_gpu_ray.functions.similarity import ann_brute_force, ann_lsh
 from centrality_gpu_ray.functions.multimodal import (
     synth_media_table, decode_media, extract_features, sample_frames)
+from centrality_gpu_ray.functions.sketch import (
+    hll_distinct, hll_distinct_tokens, column_histogram, column_quantiles,
+    cms_build, cms_query)
+from centrality_gpu_ray.functions.scrub import scrub_pii, normalize_text
+from centrality_gpu_ray.functions.search import bm25_topk, corpus_stats
 
 __all__ = [
     "TextAnalyzer", "token_stats", "quality_scores", "language_id", "fingerprints",
@@ -13,4 +18,7 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_near_dup",
     "ann_brute_force", "ann_lsh",
     "synth_media_table", "decode_media", "extract_features", "sample_frames",
+    "hll_distinct", "hll_distinct_tokens", "column_histogram",
+    "column_quantiles", "cms_build", "cms_query",
+    "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
 ]
