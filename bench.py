@@ -196,6 +196,21 @@ def run_bench() -> dict:
                                  default_rate=0.5).count())
     timed("hll_vocab", lambda: hll_distinct_tokens(docs_ds, p=12))
 
+    from centrality_gpu_ray.functions.scrub import scrub_pii
+    from centrality_gpu_ray.functions.search import bm25_topk
+    from centrality_gpu_ray.functions.sketch import cms_build, \
+        column_quantiles
+
+    docs_nc = _rdd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["n_chars"]).materialize()
+    timed("scrub_pii", lambda: scrub_pii(docs_ds).count())
+    timed("bm25_topk",
+          lambda: bm25_topk(docs_ds, ["data", "model", "the"], k=10))
+    timed("quantile_sketch",
+          lambda: column_quantiles(docs_nc, "n_chars"))
+    timed("cms_tokens",
+          lambda: cms_build(docs_ds, "text", tokens=True))
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
