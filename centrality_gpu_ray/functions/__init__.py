@@ -11,6 +11,8 @@ from centrality_gpu_ray.functions.sketch import (
     cms_build, cms_query)
 from centrality_gpu_ray.functions.scrub import scrub_pii, normalize_text
 from centrality_gpu_ray.functions.search import bm25_topk, corpus_stats
+from centrality_gpu_ray.functions.clustering import (
+    kmeans, kmeans_assign, kmeans_fit)
 
 __all__ = [
     "TextAnalyzer", "token_stats", "quality_scores", "language_id", "fingerprints",
@@ -21,4 +23,5 @@ __all__ = [
     "hll_distinct", "hll_distinct_tokens", "column_histogram",
     "column_quantiles", "cms_build", "cms_query",
     "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
+    "kmeans", "kmeans_assign", "kmeans_fit",
 ]
