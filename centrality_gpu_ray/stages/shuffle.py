@@ -571,3 +571,47 @@ def hash_equi_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
     return hash_copartition_apply(left_ds, right_ds, [on], [r_key],
                                   reduce_fn, num_partitions=num_partitions)
+
+
+def hash_group_topk(ds, keys: list[str], order: str, k: int,
+                    descending: bool = True,
+                    tiebreak: list[str] | None = None,
+                    num_partitions: int = 32):
+    """Per-key top-k rows by a numeric ``order`` column — SQL's
+    ``ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order) <= k``
+    without a global sort: one hash exchange on ``keys``, then a
+    vectorized per-partition lexsort + grouped-rank filter (rank =
+    position − group start, groups detected by key-change on the
+    sorted rows — no hash-collision risk). ``tiebreak`` columns
+    (ascending) make the result deterministic when ``order`` ties;
+    rows keep their full schema.
+    """
+    tiebreak = tiebreak or []
+
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl
+        keyarrs = [tbl.column(c).to_numpy(zero_copy_only=False)
+                   for c in keys]
+        ordv = np.asarray(
+            tbl.column(order).to_numpy(zero_copy_only=False),
+            dtype=np.float64)
+        sort_cols = []  # np.lexsort: LAST key is primary
+        for c in reversed(tiebreak):
+            sort_cols.append(tbl.column(c).to_numpy(zero_copy_only=False))
+        sort_cols.append(-ordv if descending else ordv)
+        sort_cols.extend(reversed(keyarrs))
+        perm = np.lexsort(tuple(sort_cols))
+        n = tbl.num_rows
+        new_grp = np.zeros(n, dtype=bool)
+        new_grp[0] = True
+        for a in keyarrs:
+            s = a[perm]
+            new_grp[1:] |= s[1:] != s[:-1]
+        idx = np.arange(n)
+        grp_start = np.maximum.accumulate(np.where(new_grp, idx, 0))
+        keep = (idx - grp_start) < k
+        return tbl.take(pa.array(perm[keep]))
+
+    return hash_partition_apply(ds, keys, reduce_fn,
+                                num_partitions=num_partitions)

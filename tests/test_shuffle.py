@@ -257,3 +257,53 @@ def test_hash_equi_join_empty_side():
     out = hash_equi_join(left, empty, on="k", num_partitions=4)
     df = out.to_pandas()
     assert len(df) == 0
+
+
+def test_hash_group_topk_vs_duckdb_row_number():
+    import duckdb
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_group_topk
+
+    sf = "/root/testdata/sf0.01"
+    ev = ray.data.read_parquet(f"{sf}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+    out = hash_group_topk(ev, ["user_id"], "value", k=3,
+                          tiebreak=["event_id"],
+                          num_partitions=8).to_pandas()
+    oracle = duckdb.execute(f"""
+        SELECT event_id, user_id, value FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id) AS rn
+          FROM read_parquet('{sf}/events.parquet'))
+        WHERE rn <= 3""").fetch_df()
+    cols = ["user_id", "event_id", "value"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hash_group_topk_string_keys_ascending():
+    import duckdb
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_group_topk
+
+    sf = "/root/testdata/sf0.01"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    out = hash_group_topk(docs, ["lang"], "n_chars", k=2,
+                          descending=False, tiebreak=["doc_id"],
+                          num_partitions=4).to_pandas()
+    oracle = duckdb.execute(f"""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY n_chars ASC, doc_id) AS rn
+          FROM read_parquet('{sf}/documents.parquet'))
+        WHERE rn <= 2""").fetch_df()
+    cols = ["lang", "doc_id", "n_chars"]
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # groups smaller than k come back whole
+    assert (out.groupby("lang").size() <= 2).all()
