@@ -1,0 +1,161 @@
+"""Sketch / scrub / search / clustering at scale — 2M documents and
+500k embeddings, companion to demo_curation_2m.py (text funnel) and
+demo_sharded_6m.py (graph side).
+
+Synthesizes the corpus DISTRIBUTED (deterministic chunk tasks →
+``from_arrow_refs``; the driver never holds the table), planting one
+email + one IPv4 in every 1000th document so redaction arithmetic is
+exactly checkable, then streams:
+
+  PII scrub (audit counts == planted counts, exactly)
+  → NFC/whitespace normalization
+  → histogram quantile sketch over n_chars (exact integer mode)
+  → count-min token-frequency sketch (estimates >= truth by design)
+  → BM25 top-10 keyword retrieval (two streaming passes)
+  → distributed Lloyd k-means over 500k x 32-d embeddings (4 rounds)
+
+Prints one JSON line with per-stage seconds + invariant checks.
+
+Run: python scripts/demo_sketch_search_2m.py [num_rows] (owns its Ray
+session; defaults 2,000,000 rows / 32 CPUs via RAY_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("RAY_worker_niceness", "0")
+
+CHUNKS = 16
+PLANT_EVERY = 1000
+PLANT = " contact planted.user@example.com from 10.1.2.3 now"
+
+
+def main() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from centrality_gpu_ray.functions.clustering import kmeans_fit
+    from centrality_gpu_ray.functions.scrub import normalize_text, scrub_pii
+    from centrality_gpu_ray.functions.search import bm25_topk
+    from centrality_gpu_ray.functions.sketch import (
+        cms_build, cms_query, column_quantiles)
+    from centrality_gpu_ray.sources.corpus import generate_corpus_table
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    chunk = n_rows // CHUNKS
+    n_vecs = max(1000, n_rows // 4)
+    vec_chunk = n_vecs // CHUNKS
+    out: dict = {"rows": n_rows, "vecs": n_vecs, "stage_sec": {},
+                 "counts": {}}
+    marks = [time.perf_counter()]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        out["stage_sec"][name] = round(now - marks[0], 3)
+        marks[0] = now
+
+    @ray.remote
+    def gen(c: int) -> pa.Table:
+        t = generate_corpus_table(num_rows=chunk, seed=9300 + c)
+        ids = np.arange(c * chunk, (c + 1) * chunk, dtype=np.int64)
+        text = t.column("content").to_pandas()
+        planted = ids % PLANT_EVERY == 0
+        text[planted] = text[planted] + PLANT
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "text": pa.array(text, type=pa.string()),
+            "n_chars": pa.array(text.str.len().to_numpy(np.int64)),
+        })
+
+    docs = ray.data.from_arrow_refs(
+        [gen.remote(c) for c in range(CHUNKS)]).materialize()
+    n_planted = sum(1 for i in range(0, n_rows, PLANT_EVERY))
+    _mark("synthesize")
+
+    # --- PII scrub: audit counts must equal planted counts exactly ---
+    scrubbed = scrub_pii(docs)
+
+    def _audit(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "emails": [int(np.sum(t.column("n_email").to_numpy()))],
+            "ips": [int(np.sum(t.column("n_ipv4").to_numpy()))],
+            "rows": [t.num_rows]})
+
+    audit = scrubbed.map_batches(_audit, batch_format="pyarrow") \
+        .to_pandas().sum()
+    assert int(audit["rows"]) == n_rows
+    assert int(audit["emails"]) == n_planted, (audit["emails"], n_planted)
+    assert int(audit["ips"]) == n_planted
+    out["counts"]["planted_pii"] = n_planted
+    _mark("scrub_pii")
+
+    assert normalize_text(docs, lowercase=True).count() == n_rows
+    _mark("normalize")
+
+    q = column_quantiles(docs, "n_chars", qs=(0.25, 0.5, 0.75, 0.99))
+    vals = [q["q25"], q["q50"], q["q75"], q["q99"]]
+    assert all(vals[i] <= vals[i + 1] for i in range(3))
+    out["counts"]["n_chars_quantiles"] = q
+    _mark("quantile_sketch")
+
+    cms = cms_build(docs, "text", depth=4, width=1 << 15, tokens=True)
+    est = cms_query(cms, ["from", "planted.user@example.com"])
+    # "from" appears at least once per planted doc; CMS never under-counts
+    assert est[1] >= n_planted
+    out["counts"]["cms_planted_email_est"] = int(est[1])
+    _mark("cms_tokens")
+
+    top = bm25_topk(docs, ["planted.user@example.com", "from"], k=10)
+    assert len(top) == 10 and (top["score"] > 0).all()
+    # planted docs dominate: the rare term carries almost all the idf
+    assert (top["doc_id"].to_numpy() % PLANT_EVERY == 0).all()
+    out["counts"]["bm25_top_score"] = round(float(top["score"].iloc[0]), 4)
+    _mark("bm25_topk")
+
+    # --- distributed k-means over synthesized embeddings ---
+    @ray.remote
+    def gen_vec(c: int) -> pa.Table:
+        rng = np.random.default_rng(77 + c)
+        centers = rng.standard_normal((8, 32)) * 5.0
+        lab = rng.integers(0, 8, vec_chunk)
+        X = centers[lab] + rng.standard_normal((vec_chunk, 32))
+        ids = np.arange(c * vec_chunk, (c + 1) * vec_chunk,
+                        dtype=np.int64)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(X.astype(np.float64)),
+                                  type=pa.list_(pa.float64()))})
+
+    emb = ray.data.from_arrow_refs(
+        [gen_vec.remote(c) for c in range(CHUNKS)]).materialize()
+    _mark("synthesize_embeddings")
+
+    fit = kmeans_fit(emb, k=64, iters=4, tol=0.0)
+    h = fit["inertia_history"]
+    assert all(h[i + 1] <= h[i] + 1e-6 for i in range(len(h) - 1))
+    out["counts"]["kmeans_inertia"] = [round(x) for x in h]
+    _mark("kmeans_4_iters")
+
+    out["total_sec"] = round(sum(out["stage_sec"].values()), 3)
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(main()))
