@@ -206,9 +206,11 @@ def hash_mark_min(ds, key: str, order: str, num_partitions: int = 32,
     return hash_partition_apply(ds, [key], mark, num_partitions=num_partitions)
 
 
-def hash_semi_join(rows_ds, keys_ds, on: str, num_partitions: int = 32):
+def hash_semi_join(rows_ds, keys_ds, on: str, num_partitions: int = 32,
+                   anti: bool = False):
     """Keep the rows of ``rows_ds`` whose ``on`` value appears in
-    ``keys_ds`` (which must have an ``on`` column). Both sides are
+    ``keys_ds`` (which must have an ``on`` column) — or does NOT, with
+    ``anti=True`` (SQL's NOT EXISTS / anti-join). Both sides are
     hash-partitioned on ``on``; each reduce filters its row shard by
     sorted-membership against its key shard. Exactly the data movement
     of a distributed semi-join, with the row schema (column order
@@ -238,12 +240,13 @@ def hash_semi_join(rows_ds, keys_ds, on: str, num_partitions: int = 32):
             return shards[0].slice(0, 0)
         rows = pa.concat_tables(row_tabs)
         if not key_tabs:
-            return rows.slice(0, 0)
+            return rows if anti else rows.slice(0, 0)
         keys = np.unique(np.concatenate(
             [t.column(on).to_numpy(zero_copy_only=False) for t in key_tabs]))
         vals = rows.column(on).to_numpy(zero_copy_only=False)
         idx = np.minimum(np.searchsorted(keys, vals), keys.size - 1)
-        return rows.filter(pa.array(keys[idx] == vals))
+        member = keys[idx] == vals
+        return rows.filter(pa.array(~member if anti else member))
 
     rows_mat = rows_ds.materialize()
     row_blocks = _nonempty_block_refs(rows_mat)
@@ -260,6 +263,14 @@ def hash_semi_join(rows_ds, keys_ds, on: str, num_partitions: int = 32):
                                   *shard(row_shards, p), *shard(key_shards, p))
                for p in range(num_partitions)]
     return ray.data.from_arrow_refs(reduced)
+
+
+def hash_anti_join(rows_ds, keys_ds, on: str, num_partitions: int = 32):
+    """Rows of ``rows_ds`` whose ``on`` value does NOT appear in
+    ``keys_ds`` (SQL NOT EXISTS) — e.g. subtracting a denylist or an
+    already-processed id set. Same exchange as ``hash_semi_join``."""
+    return hash_semi_join(rows_ds, keys_ds, on,
+                          num_partitions=num_partitions, anti=True)
 
 
 def hash_lookup_join(rows_ds, dict_ds, row_key: str, dict_key: str,

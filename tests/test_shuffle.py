@@ -307,3 +307,52 @@ def test_hash_group_topk_string_keys_ascending():
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # groups smaller than k come back whole
     assert (out.groupby("lang").size() <= 2).all()
+
+
+def test_hash_anti_join_vs_duckdb_not_exists():
+    import duckdb
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import (
+        hash_anti_join, hash_semi_join)
+
+    sf = "/root/testdata/sf0.001"
+    cust = ray.data.read_parquet(f"{sf}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+    # every customer has SOME order at this sf, so anti-join against a
+    # deterministic subset (every third order) to get a non-empty result
+    orders = ray.data.read_parquet(f"{sf}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"]) \
+        .map_batches(
+            lambda t: t.filter(
+                pa.compute.equal(
+                    pa.compute.bit_wise_and(t.column("o_orderkey"), 3), 0))
+            .select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow")
+    out = hash_anti_join(cust, orders, "c_custkey",
+                         num_partitions=8).to_pandas()
+    oracle = duckdb.execute(f"""
+        SELECT c_custkey, c_name FROM read_parquet('{sf}/customer.parquet') c
+        WHERE NOT EXISTS (SELECT 1 FROM read_parquet('{sf}/orders.parquet') o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND (o.o_orderkey & 3) = 0)
+        ORDER BY c_custkey""").fetch_df()
+    assert len(oracle) > 0
+    a = out.sort_values("c_custkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, oracle, check_dtype=False)
+    # semi + anti partition the input exactly
+    n_semi = hash_semi_join(cust, orders, "c_custkey",
+                            num_partitions=8).count()
+    assert n_semi + len(out) == cust.count()
+
+
+def test_hash_anti_join_empty_key_side_keeps_all():
+    import pyarrow as pa
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_anti_join
+
+    rows = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "v": [9, 8, 7]}))
+    empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out = hash_anti_join(rows, empty, "k", num_partitions=4).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
