@@ -386,3 +386,34 @@ def ann_ivf(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 64,
     scored = hash_partition_apply(assigned, ["list"], score_partition,
                                   num_partitions=16)
     return _merge_topk(scored, k)
+
+
+def project_embeddings(emb_ds, out_dim: int, seed: int = 29,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id", normalize: bool = False):
+    """Johnson–Lindenstrauss random projection to ``out_dim`` — the
+    standard pre-ANN dimensionality reduction. The (d, out_dim)
+    Gaussian matrix (scaled 1/sqrt(out_dim)) is derived ONCE from the
+    seed inside each task (cheaper than shipping it for small d) and
+    every batch is one GEMM; distances are preserved within the usual
+    JL factor. Deterministic: same seed → same projection on any
+    partitioning."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        X = _matrix_from_arrow(batch.column(vec_col))
+        if X.size == 0:
+            return pa.table({id_col: batch.column(id_col),
+                             vec_col: batch.column(vec_col)})
+        d = X.shape[1]
+        R = (np.random.default_rng(seed).standard_normal((d, out_dim))
+             / np.sqrt(out_dim))
+        Y = X @ R
+        if normalize:
+            Y = _normalize(Y)
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: pa.array(list(Y), type=pa.list_(pa.float64()))})
+
+    fn.__name__ = f"jl_project_{out_dim}"
+    return emb_ds.select_columns([id_col, vec_col]).map_batches(
+        fn, batch_format="pyarrow")

@@ -328,3 +328,25 @@ def cms_query(cms: np.ndarray, values) -> np.ndarray:
     for r in range(depth):
         est = np.minimum(est, cms[r][_cms_hash(vals, r, width)])
     return est
+
+
+def filter_by_quantile(ds, col: str, lo_q: float = 0.0,
+                       hi_q: float = 1.0, **hist_kw):
+    """Keep rows whose ``col`` lies within the [lo_q, hi_q] quantile
+    band — the percentile-based quality/length filter of a curation
+    funnel. Two streaming passes: the histogram sketch fixes the two
+    scalar thresholds (exact for integer columns within the range
+    cap), then a stateless vectorized filter. Returns
+    ``(filtered_ds, (lo_val, hi_val))``; the band is CLOSED on both
+    ends, matching the rank-rule oracle in tests."""
+    h = column_histogram(ds, col, **hist_kw)
+    lo_v = h.quantile(lo_q) if lo_q > 0.0 else -np.inf
+    hi_v = h.quantile(hi_q)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        return batch.filter(pa.array((v >= lo_v) & (v <= hi_v)))
+
+    fn.__name__ = f"quantile_band_{col}"
+    return ds.map_batches(fn, batch_format="pyarrow"), (lo_v, hi_v)

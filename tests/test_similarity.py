@@ -106,3 +106,36 @@ def test_ann_ivf_recall_on_clustered_data():
         hits += len(got & set(oracle[qi]))
         total += 10
     assert hits / total >= 0.9, hits / total
+
+
+def test_project_embeddings_jl():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from centrality_gpu_ray.functions.similarity import (
+        _matrix_from_arrow, project_embeddings)
+
+    sf = "/root/testdata/sf0.01"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = project_embeddings(emb, out_dim=8, seed=5)
+    t = pa.concat_tables(out.iter_batches(batch_size=None,
+                                          batch_format="pyarrow"))
+    order = np.argsort(t.column("vec_id").to_numpy())
+    Y = _matrix_from_arrow(t.column("embedding"))[order]
+    assert Y.shape[1] == 8
+    # parity vs a serial numpy projection with the same seed
+    import pyarrow.parquet as pq
+    src = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    sorder = np.argsort(src.column("vec_id").to_numpy())
+    X = _matrix_from_arrow(src.column("embedding"))[sorder]
+    R = np.random.default_rng(5).standard_normal((X.shape[1], 8)) / np.sqrt(8)
+    assert np.allclose(Y, X @ R, atol=1e-12)
+    # partitioning invariance (same R derived in every task)
+    out2 = project_embeddings(emb.repartition(7), out_dim=8, seed=5)
+    t2 = pa.concat_tables(out2.iter_batches(batch_size=None,
+                                            batch_format="pyarrow"))
+    o2 = np.argsort(t2.column("vec_id").to_numpy())
+    assert np.allclose(_matrix_from_arrow(t2.column("embedding"))[o2], Y)

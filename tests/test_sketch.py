@@ -149,3 +149,24 @@ def test_cms_token_counts_vs_duckdb():
           WHERE LENGTH(TRIM(COALESCE(text, ''))) > 0)""").fetchone()[0])
     assert np.all(est >= exact)
     assert np.all(est - exact <= np.e / 16384 * n_tokens * 4)
+
+
+def test_filter_by_quantile_vs_duckdb():
+    from centrality_gpu_ray.functions.sketch import filter_by_quantile
+
+    path = f"{SF}/documents.parquet"
+    docs = ray.data.read_parquet(path, columns=["doc_id", "n_chars"])
+    out, (lo_v, hi_v) = filter_by_quantile(docs, "n_chars",
+                                           lo_q=0.1, hi_q=0.9)
+    got = sorted(out.to_pandas()["doc_id"].tolist())
+    lo_sql = _rank_quantile_sql(path, "n_chars", 0.1)
+    hi_sql = _rank_quantile_sql(path, "n_chars", 0.9)
+    assert (lo_v, hi_v) == (lo_sql, hi_sql)
+    want = duckdb.execute(
+        f"SELECT doc_id FROM read_parquet('{path}') "
+        f"WHERE n_chars BETWEEN {lo_sql} AND {hi_sql} "
+        f"ORDER BY doc_id").fetchdf()["doc_id"].tolist()
+    assert got == want
+    # lo_q=0 keeps the bottom tail
+    all_out, (lo0, _) = filter_by_quantile(docs, "n_chars", hi_q=1.0)
+    assert all_out.count() == docs.count() and lo0 == -np.inf
