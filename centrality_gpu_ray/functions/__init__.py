@@ -8,7 +8,8 @@ from centrality_gpu_ray.functions.multimodal import (
     synth_media_table, decode_media, extract_features, sample_frames)
 from centrality_gpu_ray.functions.sketch import (
     hll_distinct, hll_distinct_tokens, column_histogram, column_quantiles,
-    cms_build, cms_query)
+    cms_build, cms_query, filter_by_quantile)
+from centrality_gpu_ray.functions.similarity import project_embeddings
 from centrality_gpu_ray.functions.scrub import scrub_pii, normalize_text
 from centrality_gpu_ray.functions.search import bm25_topk, corpus_stats
 from centrality_gpu_ray.functions.clustering import (
@@ -24,4 +25,5 @@ __all__ = [
     "column_quantiles", "cms_build", "cms_query",
     "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
     "kmeans", "kmeans_assign", "kmeans_fit",
+    "filter_by_quantile", "project_embeddings",
 ]
