@@ -302,7 +302,8 @@ def ann_ivf(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 64,
             nprobe: int = 8, train_sample: int = 16384,
             kmeans_iters: int = 10, id_col: str = "vec_id",
             vec_col: str = "embedding", seed: int = 17,
-            query_ids: np.ndarray | None = None):
+            query_ids: np.ndarray | None = None,
+            centroids: np.ndarray | None = None):
     """IVF (inverted-file) cosine top-k — the classic coarse-quantizer
     scale path alongside :func:`ann_lsh`: a spherical k-means over a
     BOUNDED sample (driver-side, O(train_sample·d), deterministic)
@@ -322,12 +323,18 @@ def ann_ivf(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 64,
                 if query_ids is None
                 else np.asarray(query_ids, dtype=np.int64))
 
-    # train on a bounded sample (limit() streams only that many rows)
-    sample = pa.concat_tables(list(
-        emb_ds.select_columns([vec_col]).limit(train_sample)
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
-    C = _kmeans_spherical(_matrix_from_arrow(sample.column(vec_col)),
-                          nlist, kmeans_iters, seed)
+    if centroids is not None:
+        # externally-trained quantizer (e.g. clustering.kmeans_fit over
+        # the FULL table, normalized) — rows are unit-normalized here
+        C = _normalize(np.asarray(centroids, dtype=np.float64))
+        nlist = C.shape[0]
+    else:
+        # train on a bounded sample (limit() streams only that many rows)
+        sample = pa.concat_tables(list(
+            emb_ds.select_columns([vec_col]).limit(train_sample)
+            .iter_batches(batch_size=None, batch_format="pyarrow")))
+        C = _kmeans_spherical(_matrix_from_arrow(sample.column(vec_col)),
+                              nlist, kmeans_iters, seed)
 
     # per-list probing queries, broadcast once with the centroids
     np_probe = min(nprobe, nlist)

@@ -139,3 +139,29 @@ def test_project_embeddings_jl():
                                             batch_format="pyarrow"))
     o2 = np.argsort(t2.column("vec_id").to_numpy())
     assert np.allclose(_matrix_from_arrow(t2.column("embedding"))[o2], Y)
+
+
+def test_ann_ivf_with_external_kmeans_centroids():
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from centrality_gpu_ray.functions.clustering import kmeans_fit
+    from centrality_gpu_ray.functions.similarity import (
+        _matrix_from_arrow, _normalize, ann_brute_force, ann_ivf)
+
+    sf = "/root/testdata/sf0.01"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    src = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    Q = _matrix_from_arrow(src.column("embedding"))[:3]
+    fit = kmeans_fit(emb, k=8, iters=5)
+    # nprobe == nlist probes every list → exact, matching brute force
+    got = ann_ivf(emb, Q, k=5, nprobe=8,
+                  centroids=fit["centroids"]).to_pandas()
+    want = ann_brute_force(emb, Q, k=5).to_pandas()
+    key = ["query_id", "vec_id"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = want.sort_values(key).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    assert np.allclose(a["score"], b["score"], atol=1e-12)
