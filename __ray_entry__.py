@@ -125,6 +125,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(_docs(sf_dir), context_len=256)
 
+    def _doc_quantile_band(sf_dir):
+        """Percentile quality/length gate: keep docs whose n_chars lies
+        in the [0.1, 0.9] quantile band — thresholds from the exact
+        integer histogram sketch, value-checked against the identical
+        SQL rank rule (smallest value with cum count >= ceil(q*n))."""
+        import ray.data
+
+        from centrality_gpu_ray.functions.sketch import filter_by_quantile
+
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "n_chars"])
+        out, _ = filter_by_quantile(ds, "n_chars", lo_q=0.1, hi_q=0.9)
+        return out
+
     def doc_mixture_sample(sf_dir):
         """Deterministic per-language corpus downsampling via sha256
         thresholds — value-checked against DuckDB's sha256."""
@@ -220,8 +234,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_closeness": gq.lineitem_closeness,
         "graph_closeness_weighted": gq.lineitem_closeness_weighted,
         "graph_eigenvector_fixed": gq.lineitem_eigenvector_fixed,
-        "graph_eigenvector_weighted_fixed":
-            lambda sf: gq.lineitem_eigenvector_fixed(sf, weighted=True),
+        # swapped in (round 3) for graph_eigenvector_weighted_fixed: the
+        # weighted gather path keeps three value-checked gate rows
+        # (weighted PR / closeness / BC-nation) plus the sharded parity
+        # pytest suite, and the quantile-band filter is a new operator
+        # with an exactly-matching SQL threshold rule
+        "doc_quantile_band": _doc_quantile_band,
         "graph_edge_support": gq.lineitem_edge_support,
         "graph_ktruss": gq.lineitem_ktruss,
         "graph_katz_fixed": gq.lineitem_katz_fixed,
@@ -758,7 +776,17 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness_weighted": _closeness_oracle_sql(weighted=True,
                                                           rounds=40),
         "graph_eigenvector_fixed": _eigen_fixed_oracle_sql(),
-        "graph_eigenvector_weighted_fixed": _eigen_fixed_oracle_sql(weighted=True),
+        "doc_quantile_band": """
+            WITH s AS (SELECT n_chars AS v,
+                              ROW_NUMBER() OVER (ORDER BY n_chars) AS rn,
+                              COUNT(*) OVER () AS n
+                       FROM documents WHERE n_chars IS NOT NULL),
+            lo AS (SELECT MIN(v) AS v FROM s
+                   WHERE rn >= GREATEST(1, CEIL(0.1 * n))),
+            hi AS (SELECT MIN(v) AS v FROM s
+                   WHERE rn >= GREATEST(1, CEIL(0.9 * n)))
+            SELECT doc_id, n_chars FROM documents, lo, hi
+            WHERE n_chars BETWEEN lo.v AND hi.v""",
         "graph_ktruss": _ktruss_oracle_sql(),
         "graph_katz_fixed": _katz_fixed_oracle_sql(),
         "graph_ppr_fixed": _ppr_fixed_oracle_sql(),
