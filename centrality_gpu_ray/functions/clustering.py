@@ -73,7 +73,9 @@ def kmeans_fit(emb_ds, k: int, iters: int = 10, tol: float = 1e-6,
     C = (np.asarray(init, dtype=np.float64) if init is not None
          else _init_centroids(emb_ds, k, vec_col, id_col))
     d = C.shape[1]
-    vecs = emb_ds.select_columns([vec_col])
+    # pin the pruned column once — a lazy source would re-execute its
+    # whole read/transform chain on EVERY Lloyd iteration
+    vecs = emb_ds.select_columns([vec_col]).materialize()
     history = []
     prev = np.inf
     it = 0

@@ -48,6 +48,8 @@ def corpus_stats(ds, terms, text_col: str = "text") -> dict:
     frequency. Driver receives one row per block."""
     terms_sorted = np.sort(np.asarray(list(terms), dtype=object))
     T = terms_sorted.size
+    if T == 0:
+        raise ValueError("terms must be non-empty")
 
     def fn(batch: pd.DataFrame) -> pa.Table:
         text = batch[text_col].fillna("").str.strip()

@@ -209,7 +209,11 @@ def column_histogram(ds, col: str, bins: int = 4096,
     see CLAUDE.md iter_batches note)."""
     if lo is None or hi is None:
         lo, hi = _column_min_max(ds, col)
-    exact = (float(lo).is_integer() and float(hi).is_integer()
+    # exact mode requires an INTEGER column by schema — integral
+    # min/max alone would silently floor-bin a float column whose
+    # endpoints happen to be whole numbers
+    field = ds.schema().base_schema.field(col)
+    exact = (pa.types.is_integer(field.type)
              and (hi - lo) + 1 <= exact_range_cap)
     if exact:
         m = int(hi - lo) + 1

@@ -170,3 +170,16 @@ def test_filter_by_quantile_vs_duckdb():
     # lo_q=0 keeps the bottom tail
     all_out, (lo0, _) = filter_by_quantile(docs, "n_chars", hi_q=1.0)
     assert all_out.count() == docs.count() and lo0 == -np.inf
+
+
+def test_float_column_with_integral_endpoints_stays_binned():
+    import pyarrow as pa
+
+    # min=0.0 / max=10.0 are whole numbers but the values between are
+    # fractional — exact (floor-bin) mode would corrupt the quantiles
+    vals = np.concatenate([[0.0, 10.0], np.full(98, 0.5)])
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)}))
+    h = column_histogram(ds, "x", bins=1000)
+    assert not h.exact
+    # median must land on 0.5's bucket, not floor to 0
+    assert abs(h.quantile(0.5) - 0.5) < (10.0 / 1000) + 1e-9
