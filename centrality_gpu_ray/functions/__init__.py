@@ -1,5 +1,6 @@
 from centrality_gpu_ray.functions.text import (
-    TextAnalyzer, token_stats, quality_scores, language_id, fingerprints)
+    TextAnalyzer, token_stats, quality_scores, language_id, fingerprints,
+    corpus_report)
 from centrality_gpu_ray.functions.dedup import (
     exact_dedup, minhash_dedup, simhash_signatures, simhash_dedup,
     ngram_jaccard_pairs, embedding_near_dup)
@@ -25,5 +26,5 @@ __all__ = [
     "column_quantiles", "cms_build", "cms_query",
     "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
     "kmeans", "kmeans_assign", "kmeans_fit",
-    "filter_by_quantile", "project_embeddings",
+    "filter_by_quantile", "project_embeddings", "corpus_report",
 ]

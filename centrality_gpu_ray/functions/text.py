@@ -285,3 +285,37 @@ def vocab_topk(ds, k: int = 1000, num_partitions: int = 32) -> "pa.Table":
         "count": pa.array(cnt[order].astype(np.int64)),
         "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
     })
+
+
+# -- corpus composition report ----------------------------------------------
+
+def corpus_report(ds, group_cols: list[str] | None = None,
+                  text_col: str = "text", num_partitions: int = 8):
+    """Per-(source, lang) corpus composition — the mixture dashboard a
+    curation run publishes: document counts, token totals, and total
+    chars per group. Map-side combine inside each batch (groups
+    collapse to one row before any exchange) then a ``hash_aggregate``
+    over the tiny (source, lang) key space — the same
+    shuffle-lightness contract as ``vocab_topk``. Returns a Dataset of
+    ``group_cols + [n_docs, n_tokens, n_chars]`` rows."""
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
+
+    group_cols = group_cols or ["source", "lang"]
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch[text_col].fillna("")
+        tok = text.str.split().str.len().to_numpy(np.int64)
+        chars = text.str.len().to_numpy(np.int64)
+        df = pd.DataFrame({c: batch[c] for c in group_cols})
+        df["n_docs"] = np.ones(len(batch), dtype=np.int64)
+        df["n_tokens"] = tok
+        df["n_chars"] = chars
+        return df.groupby(group_cols, as_index=False, sort=True).sum()
+
+    partial.__name__ = "corpus_report_partial"
+    partials = ds.select_columns(group_cols + [text_col]).map_batches(
+        partial, batch_format="pandas", batch_size=4096)
+    return hash_aggregate(
+        partials, group_cols,
+        [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")],
+        num_partitions=num_partitions)

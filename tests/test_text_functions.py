@@ -105,3 +105,34 @@ def test_vocab_topk_partitioning_invariant(docs):
     b = vocab_topk(docs.repartition(9), k=20,
                    num_partitions=16).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_report_vs_duckdb():
+    import duckdb
+    import ray.data
+
+    from centrality_gpu_ray.functions.text import corpus_report
+
+    sf = "/root/testdata/sf0.01"
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"])
+    got = corpus_report(docs).to_pandas() \
+        .sort_values(["source", "lang"]).reset_index(drop=True)
+    want = duckdb.execute(rf"""
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN LENGTH(TRIM(COALESCE(text,''))) = 0
+                        THEN 0 ELSE LENGTH(regexp_split_to_array(
+                             TRIM(text), '\s+')) END) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(LENGTH(COALESCE(text, ''))) AS BIGINT) AS n_chars
+        FROM read_parquet('{sf}/documents.parquet')
+        GROUP BY source, lang ORDER BY source, lang""").fetch_df()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)
+    # partitioning invariance (combine-then-aggregate is exact)
+    got2 = corpus_report(docs.repartition(9)).to_pandas() \
+        .sort_values(["source", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()],
+                                  got2[want.columns.tolist()])
