@@ -73,6 +73,14 @@ def kmeans_fit(emb_ds, k: int, iters: int = 10, tol: float = 1e-6,
     C = (np.asarray(init, dtype=np.float64) if init is not None
          else _init_centroids(emb_ds, k, vec_col, id_col))
     d = C.shape[1]
+    # every block ships a (k, d) float64 partial; keep the broadcast +
+    # driver merge bounded (128 MiB per partial) — at larger k·d use a
+    # hierarchical merge or minibatch variant instead
+    if k * d > 16_777_216:
+        raise ValueError(
+            f"k*d = {k * d} exceeds the 2^24 partial-size cap; "
+            f"per-block sufficient statistics would be "
+            f"{k * d * 8 / 2**20:.0f} MiB")
     # pin the pruned column once — a lazy source would re-execute its
     # whole read/transform chain on EVERY Lloyd iteration
     vecs = emb_ds.select_columns([vec_col]).materialize()
