@@ -88,6 +88,16 @@ def main() -> dict:
     n_raw = docs.count()
     _mark("read")
 
+    # raw corpus composition dashboard (per source x lang totals)
+    from centrality_gpu_ray.functions.text import corpus_report
+
+    report = corpus_report(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"])).to_pandas()
+    assert int(report["n_docs"].sum()) == n_raw
+    out["counts"]["composition_groups"] = len(report)
+    _mark("composition_report")
+
     survivors = exact_dedup(docs).materialize()
     n_exact = survivors.count()
     assert 0 < n_exact <= n_raw
@@ -123,17 +133,27 @@ def main() -> dict:
                    .fillna("").tolist())
     dirty = contamination_check(curated, bench_texts, n=6).map_batches(
         lambda t: t.select(["doc_id"]), batch_format="pyarrow")
-    dirty_ids = {int(r["doc_id"]) for b in dirty.iter_batches(
-        batch_size=None, batch_format="pyarrow")
-        for r in b.to_pylist()}
-    clean = curated.map_batches(
-        lambda t, _d=tuple(sorted(dirty_ids)): t.filter(
-            pc.invert(pc.is_in(t.column("doc_id"),
-                               value_set=pa.array(_d, type=pa.int64())))),
-        batch_format="pyarrow").materialize()
+    # subtract the contaminated set with the distributed anti-join —
+    # the dirty ids never land on the driver
+    from centrality_gpu_ray.stages.shuffle import hash_anti_join
+
+    clean = hash_anti_join(curated, dirty, on="doc_id").materialize()
     n_clean = clean.count()
     assert 0 < n_clean < n_curated  # the 3 seeded docs must be caught
     _mark("contamination_scrub")
+
+    # PII audit over the surviving corpus: redaction counts per shard
+    from centrality_gpu_ray.functions.scrub import scrub_pii
+
+    scrubbed = scrub_pii(clean)
+    redactions = scrubbed.map_batches(
+        lambda t: pa.table({"n": [int(
+            pc.sum(t.column("n_email")).as_py() or 0) + int(
+            pc.sum(t.column("n_ipv4")).as_py() or 0) + int(
+            pc.sum(t.column("n_phone")).as_py() or 0)]}),
+        batch_format="pyarrow").to_pandas()["n"].sum()
+    out["counts"]["pii_redactions"] = int(redactions)
+    _mark("pii_audit")
 
     # mixture rebalance: keep all en, half the rest, quarter of 'und'
     from centrality_gpu_ray.functions.sampling import mixture_sample
