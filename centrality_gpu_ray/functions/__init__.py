@@ -3,7 +3,7 @@ from centrality_gpu_ray.functions.text import (
     corpus_report)
 from centrality_gpu_ray.functions.dedup import (
     exact_dedup, minhash_dedup, simhash_signatures, simhash_dedup,
-    ngram_jaccard_pairs, embedding_near_dup)
+    ngram_jaccard_pairs, embedding_near_dup, remove_repeated_paragraphs)
 from centrality_gpu_ray.functions.similarity import ann_brute_force, ann_lsh
 from centrality_gpu_ray.functions.multimodal import (
     synth_media_table, decode_media, extract_features, sample_frames)
@@ -27,4 +27,5 @@ __all__ = [
     "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
     "kmeans", "kmeans_assign", "kmeans_fit",
     "filter_by_quantile", "project_embeddings", "corpus_report",
+    "remove_repeated_paragraphs",
 ]

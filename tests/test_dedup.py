@@ -111,3 +111,72 @@ def test_embedding_near_dup():
     })
     out = embedding_near_dup(ray.data.from_arrow(t), threshold=0.99).to_pandas()
     assert {(3, 7)} == set(map(tuple, out[["a", "b"]].values.tolist()))
+
+
+def _para_dedup_oracle_sql(table_expr):
+    return rf"""
+        WITH paras AS (
+          SELECT doc_id, u.p AS para, u.i AS idx FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       string_split(COALESCE(text, ''), chr(10)),
+                       (x, i) -> struct_pack(p := x, i := i))) AS u
+            FROM {table_expr})),
+        marked AS (
+          SELECT doc_id, para, idx,
+                 doc_id * 1048576 + (idx - 1) AS pos,
+                 MIN(doc_id * 1048576 + (idx - 1))
+                     OVER (PARTITION BY para) AS wpos
+          FROM paras)
+        SELECT doc_id, STRING_AGG(para, chr(10) ORDER BY idx) AS text
+        FROM marked WHERE pos = wpos GROUP BY doc_id ORDER BY doc_id"""
+
+
+def test_remove_repeated_paragraphs_planted():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from centrality_gpu_ray.functions.dedup import remove_repeated_paragraphs
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER"
+    df = pd.DataFrame({
+        "doc_id": [3, 7, 9, 12],
+        "text": [
+            f"alpha one\n{boiler}\nalpha two",
+            f"{boiler}\nbeta only",
+            f"gamma\ngamma\n{boiler}",       # intra-doc repeat too
+            boiler,                            # fully-removed doc drops
+        ],
+    })
+    con = duckdb.connect()
+    con.register("pd_docs", df)
+    want = con.execute(_para_dedup_oracle_sql("pd_docs")).fetchdf()
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    got = remove_repeated_paragraphs(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # semantics spot-checks
+    t = dict(zip(got["doc_id"], got["text"]))
+    assert t[3] == f"alpha one\n{boiler}\nalpha two"  # first occurrence kept
+    assert t[7] == "beta only"
+    assert t[9] == "gamma"
+    assert 12 not in t  # every span removed -> doc dropped
+
+
+def test_remove_repeated_paragraphs_documents_table():
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from centrality_gpu_ray.functions.dedup import remove_repeated_paragraphs
+
+    sf = "/root/testdata/sf0.01"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = remove_repeated_paragraphs(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.execute(_para_dedup_oracle_sql(
+        f"read_parquet('{sf}/documents.parquet')")).fetchdf()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
