@@ -121,6 +121,36 @@ def main() -> dict:
     out["counts"]["cms_planted_email_est"] = int(est[1])
     _mark("cms_tokens")
 
+    # span-level dedup at scale: plant a boilerplate paragraph on every
+    # 10th doc; after removal exactly ONE doc still contains it
+    from centrality_gpu_ray.functions.dedup import remove_repeated_paragraphs
+
+    boiler = "FOLLOW US FOR MORE UPDATES EVERY DAY"
+
+    def plant_boiler(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pd.Series(t.column("text").to_pandas())
+        m = ids % 10 == 0
+        text[m] = text[m] + "\n" + boiler
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(text, type=pa.string())})
+
+    spanned = docs.map_batches(plant_boiler,
+                               batch_format="pyarrow").materialize()
+    marks[0] = time.perf_counter()  # don't bill the planting
+    deduped = remove_repeated_paragraphs(spanned).materialize()
+    n_out = deduped.count()
+    assert 0 < n_out <= n_rows
+    n_boiler = deduped.map_batches(
+        lambda t: pa.table({"n": [int(np.sum(np.char.find(np.asarray(
+            t.column("text").to_pylist(), dtype=str), boiler) >= 0))]}),
+        batch_format="pyarrow").to_pandas()["n"].sum()
+    assert int(n_boiler) == 1, n_boiler
+    out["counts"]["para_dedup_docs_out"] = n_out
+    _mark("paragraph_dedup")
+
     top = bm25_topk(docs, ["planted.user@example.com", "from"], k=10)
     assert len(top) == 10 and (top["score"] > 0).all()
     # planted docs dominate: the rare term carries almost all the idf
