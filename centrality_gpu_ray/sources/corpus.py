@@ -94,3 +94,66 @@ def write_corpus_parquet(path: str, num_rows: int = 5_000, seed: int = 42, **kw)
 
     pq.write_table(generate_corpus_table(num_rows=num_rows, seed=seed, **kw), path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Interchange readers — JSONL / CSV corpora normalized to one schema
+# ---------------------------------------------------------------------------
+
+def _normalize_documents(batch, id_col: str, text_col: str):
+    """Shared normalize: ensure (doc_id:int64, text:string) lead the
+    schema; missing ids are minted from the text's sha256 prefix —
+    stable across partitionings, unlike row position (which depends on
+    how files split)."""
+    import pandas as pd
+
+    out = batch.copy()
+    if text_col not in out.columns:
+        raise ValueError(f"corpus lacks a {text_col!r} field")
+    out[text_col] = out[text_col].astype(object).fillna("")
+    # schema union across files/rows leaves missing ids as NaN, not as
+    # an absent column — mint per-row where null
+    if id_col not in out.columns:
+        out[id_col] = np.nan
+    ids = out[id_col]
+    null = pd.isna(ids)
+    if null.any():
+        minted = [
+            int.from_bytes(hashlib.sha256(t.encode()).digest()[:8],
+                           "big") >> 1
+            for t in out.loc[null, text_col]]
+        ids = ids.astype(object)
+        ids[null.to_numpy()] = minted
+        out[id_col] = ids
+    out[id_col] = out[id_col].astype(np.int64)
+    cols = [id_col, text_col] + [c for c in out.columns
+                                 if c not in (id_col, text_col)]
+    return out[cols]
+
+
+def documents_from_jsonl(paths, id_col: str = "doc_id",
+                         text_col: str = "text", **read_kw):
+    """Read a JSONL corpus (the most common training-data interchange
+    format) into the engine's ``documents`` shape. Streaming:
+    ``ray.data.read_json`` + one vectorized normalize pass."""
+    import ray.data
+
+    def norm(batch):
+        return _normalize_documents(batch, id_col, text_col)
+
+    norm.__name__ = "normalize_jsonl"
+    return ray.data.read_json(paths, **read_kw).map_batches(
+        norm, batch_format="pandas")
+
+
+def documents_from_csv(paths, id_col: str = "doc_id",
+                       text_col: str = "text", **read_kw):
+    """CSV variant of :func:`documents_from_jsonl` (same normalize)."""
+    import ray.data
+
+    def norm(batch):
+        return _normalize_documents(batch, id_col, text_col)
+
+    norm.__name__ = "normalize_csv"
+    return ray.data.read_csv(paths, **read_kw).map_batches(
+        norm, batch_format="pandas")

@@ -90,3 +90,41 @@ def test_checkpoint_atomicity(tmp_path):
     # a newer checkpoint wins
     write_checkpoint(root, 4, t, {"algorithm": "pagerank"})
     assert latest_checkpoint(root)[0] == 4
+
+
+def test_documents_from_jsonl_and_csv(tmp_path):
+    import json as _json
+
+    import numpy as np
+
+    from centrality_gpu_ray.sources.corpus import (
+        documents_from_csv, documents_from_jsonl)
+
+    rows = [{"text": "alpha beta", "lang": "en"},
+            {"text": "gamma", "lang": "de"},
+            {"doc_id": 42, "text": "delta", "lang": "en"}]
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    ds = documents_from_jsonl(str(jl))
+    df = ds.to_pandas()
+    assert list(df.columns[:2]) == ["doc_id", "text"]
+    assert df["doc_id"].dtype == np.int64
+    assert set(df["text"]) == {"alpha beta", "gamma", "delta"}
+    # explicit ids survive; minted ids are deterministic (same text ->
+    # same id regardless of file/partition layout)
+    assert 42 in df["doc_id"].tolist()
+    jl2 = tmp_path / "corpus2.jsonl"
+    jl2.write_text(_json.dumps(rows[0]) + "\n")
+    df2 = documents_from_jsonl(str(jl2)).to_pandas()
+    a = df.loc[df["text"] == "alpha beta", "doc_id"].iloc[0]
+    assert df2["doc_id"].iloc[0] == a
+
+    cv = tmp_path / "corpus.csv"
+    cv.write_text("text,lang\nalpha beta,en\nepsilon,fr\n")
+    dfc = documents_from_csv(str(cv)).to_pandas()
+    assert list(dfc.columns[:2]) == ["doc_id", "text"]
+    # the same text mints the same id across formats
+    assert dfc.loc[dfc["text"] == "alpha beta", "doc_id"].iloc[0] == a
+    # the normalized output feeds the engine's operators directly
+    from centrality_gpu_ray.functions.text import token_stats
+    assert token_stats(ds).count() == 3
