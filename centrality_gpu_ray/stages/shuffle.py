@@ -626,3 +626,47 @@ def hash_group_topk(ds, keys: list[str], order: str, k: int,
 
     return hash_partition_apply(ds, keys, reduce_fn,
                                 num_partitions=num_partitions)
+
+
+def hash_group_quantiles(ds, keys: list[str], value: str,
+                         qs=(0.25, 0.5, 0.75),
+                         num_partitions: int = 32):
+    """Per-key exact quantiles of a numeric column — one hash exchange
+    on ``keys``, then a vectorized per-partition sort + rank-rule pick
+    (the q-quantile is the smallest value whose within-group cumulative
+    count >= max(1, ceil(q·n)); identical to the histogram sketch's
+    rule and the SQL window oracle). Output: one row per key with a
+    ``q25``-style column per requested quantile."""
+    qcols = [f"q{int(q * 100):02d}" for q in qs]
+
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            cols = {c: pa.array([], type=tbl.schema.field(c).type)
+                    for c in keys}
+            cols.update({qc: pa.array([], type=pa.float64())
+                         for qc in qcols})
+            return pa.table(cols)
+        keyarrs = [tbl.column(c).to_numpy(zero_copy_only=False)
+                   for c in keys]
+        v = np.asarray(tbl.column(value).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        perm = np.lexsort((v, *reversed(keyarrs)))
+        v_s = v[perm]
+        n = v_s.size
+        new_grp = np.zeros(n, dtype=bool)
+        new_grp[0] = True
+        for a in keyarrs:
+            s = a[perm]
+            new_grp[1:] |= s[1:] != s[:-1]
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], n)
+        cols = {c: pa.array(a[perm][starts]) for c, a in zip(keys, keyarrs)}
+        sizes = ends - starts
+        for q, qc in zip(qs, qcols):
+            ranks = np.maximum(1, np.ceil(q * sizes).astype(np.int64))
+            cols[qc] = pa.array(v_s[starts + ranks - 1])
+        return pa.table(cols)
+
+    return hash_partition_apply(ds.select_columns(keys + [value]),
+                                keys, reduce_fn,
+                                num_partitions=num_partitions)

@@ -356,3 +356,35 @@ def test_hash_anti_join_empty_key_side_keeps_all():
     empty = ray.data.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     out = hash_anti_join(rows, empty, "k", num_partitions=4).to_pandas()
     assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
+def test_hash_group_quantiles_vs_duckdb_rank_rule():
+    import duckdb
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import hash_group_quantiles
+
+    sf = "/root/testdata/sf0.01"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["lang", "n_chars"])
+    got = hash_group_quantiles(docs, ["lang"], "n_chars",
+                               qs=(0.25, 0.5, 0.9),
+                               num_partitions=4).to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    want = duckdb.execute(f"""
+        WITH s AS (SELECT lang, n_chars AS v,
+                          ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n_chars) AS rn,
+                          COUNT(*) OVER (PARTITION BY lang) AS n
+                   FROM read_parquet('{sf}/documents.parquet')
+                   WHERE n_chars IS NOT NULL)
+        SELECT lang,
+          CAST(MIN(CASE WHEN rn >= GREATEST(1, CEIL(0.25 * n)) THEN v END)
+               AS DOUBLE) AS q25,
+          CAST(MIN(CASE WHEN rn >= GREATEST(1, CEIL(0.5 * n)) THEN v END)
+               AS DOUBLE) AS q50,
+          CAST(MIN(CASE WHEN rn >= GREATEST(1, CEIL(0.9 * n)) THEN v END)
+               AS DOUBLE) AS q90
+        FROM s GROUP BY lang ORDER BY lang""").fetch_df()
+    pd.testing.assert_frame_equal(got[["lang", "q25", "q50", "q90"]],
+                                  want, check_dtype=False)
