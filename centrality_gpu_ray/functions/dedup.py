@@ -446,10 +446,15 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
                                 num_partitions=num_partitions)
     verified = ngram_jaccard_pairs(ds, cands, ngram=ngram,
                                    num_partitions=num_partitions)
+    # materialize BEFORE count(): dup_pairs is lazy, and without this
+    # the count() executes the whole signature→LSH→Jaccard chain once
+    # and Graph(dup_pairs) re-executes it from scratch — at 100 TB that
+    # doubles the most expensive stage of the near-dup funnel. The
+    # materialized pair set is tiny (verified duplicate pairs only).
     dup_pairs = verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold))
         .select(["a", "b"]).rename_columns(["src", "dst"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     all_ids = hash_distinct(ds.select_columns(["doc_id"]), ["doc_id"],
                             num_partitions=num_partitions)

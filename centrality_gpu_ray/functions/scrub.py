@@ -47,7 +47,12 @@ class _Scrubber:
     def __init__(self):
         import re
 
-        self.pii = [(name, re.compile(pat), repl)
+        # re.ASCII pins \b to the ASCII word boundary ([0-9A-Za-z_] on
+        # one side) — exactly RE2's \b semantics. Without it Python's \b
+        # is Unicode-aware, so a digit adjacent to a non-ASCII letter
+        # (e.g. 'é192.168.0.1') is a boundary for the DuckDB oracle but
+        # not for the engine, and the two diverge on non-ASCII corpora.
+        self.pii = [(name, re.compile(pat, re.ASCII), repl)
                     for name, pat, repl in PII_PATTERNS]
         self.ws = re.compile(_WS)
 

@@ -169,7 +169,9 @@ class HistogramSketch:
         cdf = np.cumsum(self.counts)
         i = int(np.searchsorted(cdf, rank))
         if self.exact:
-            return float(self.lo + i)
+            # int-exact when lo is an int (no float64 detour for
+            # magnitudes past 2^53); plain float for float lo
+            return type(self.lo)(self.lo + i)
         # interpolate within bucket i by rank position
         m = self.counts.size
         width = (self.hi - self.lo) / m
@@ -181,9 +183,22 @@ class HistogramSketch:
         return [self.quantile(q) for q in qs]
 
 
-def _column_min_max(ds, col: str) -> tuple:
-    """Per-block min/max → driver reduce (no native row-based agg)."""
+def _column_min_max(ds, col: str, as_int: bool = False) -> tuple:
+    """Per-block min/max → driver reduce (no native row-based agg).
+    ``as_int=True`` (integer columns) keeps the bounds exact int64:
+    a float64 round-trip loses precision past 2^53 (e.g. sha-minted
+    doc ids), which would shift exact-mode buckets silently."""
+    import pyarrow.compute as pc
+
     def fn(batch: pa.Table) -> pa.Table:
+        if as_int:
+            v = pc.drop_null(batch.column(col)).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            if v.size == 0:
+                return pa.table({"mn": pa.array([], type=pa.int64()),
+                                 "mx": pa.array([], type=pa.int64())})
+            return pa.table({"mn": pa.array([int(v.min())], pa.int64()),
+                             "mx": pa.array([int(v.max())], pa.int64())})
         v = batch.column(col).to_numpy(zero_copy_only=False)
         v = v[~pd.isna(v)]
         if v.size == 0:
@@ -196,6 +211,8 @@ def _column_min_max(ds, col: str) -> tuple:
         fn, batch_format="pyarrow").to_pandas()
     if len(t) == 0:
         raise ValueError(f"column {col!r} has no non-null values")
+    if as_int:
+        return int(t["mn"].min()), int(t["mx"].max())
     return float(t["mn"].min()), float(t["mx"].max())
 
 
@@ -207,28 +224,39 @@ def column_histogram(ds, col: str, bins: int = 4096,
     given): per-block SPARSE (bucket, count) pairs, summed on the
     driver with ``np.add.at`` (duplicate-safe under block coalescing,
     see CLAUDE.md iter_batches note)."""
-    if lo is None or hi is None:
-        lo, hi = _column_min_max(ds, col)
     # exact mode requires an INTEGER column by schema — integral
     # min/max alone would silently floor-bin a float column whose
     # endpoints happen to be whole numbers
     field = ds.schema().base_schema.field(col)
-    exact = (pa.types.is_integer(field.type)
-             and (hi - lo) + 1 <= exact_range_cap)
+    is_int = pa.types.is_integer(field.type)
+    if lo is None or hi is None:
+        lo, hi = _column_min_max(ds, col, as_int=is_int)
+    # int64 range arithmetic: (hi - lo) in float64 is wrong past 2^53
+    # (two distinct huge ints can round to the same float), which could
+    # fake exact=True with a collapsed range
+    exact = is_int and int(hi) - int(lo) + 1 <= exact_range_cap
     if exact:
-        m = int(hi - lo) + 1
+        m = int(hi) - int(lo) + 1
     else:
         m = bins
 
     lo_f, hi_f = float(lo), float(hi)
+    lo_i = int(lo) if is_int else 0
 
     def fn(batch: pa.Table) -> pa.Table:
-        v = batch.column(col).to_numpy(zero_copy_only=False)
-        v = np.asarray(v, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        import pyarrow.compute as pc
+
         if exact:
-            idx = (v - lo_f).astype(np.int64)
+            # keep integer arithmetic end-to-end: a float64 detour
+            # mis-buckets int64 magnitudes above 2^53 while still
+            # reporting exact=True
+            v_int = pc.drop_null(batch.column(col)).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            idx = v_int - lo_i
         else:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            v = np.asarray(v, dtype=np.float64)
+            v = v[~np.isnan(v)]
             scale = m / (hi_f - lo_f) if hi_f > lo_f else 0.0
             idx = np.minimum(((v - lo_f) * scale).astype(np.int64), m - 1)
         idx = np.clip(idx, 0, m - 1)
@@ -242,6 +270,8 @@ def column_histogram(ds, col: str, bins: int = 4096,
     for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
         np.add.at(counts, b.column("bucket").to_numpy(),
                   b.column("count").to_numpy())
+    if exact:
+        return HistogramSketch(counts, int(lo), int(hi), exact)
     return HistogramSketch(counts, lo_f, hi_f, exact)
 
 
@@ -273,8 +303,25 @@ _CMS_SEEDS = np.array(
     dtype=np.uint64)
 
 
+def _canon_values(values) -> np.ndarray:
+    """ONE dtype rule shared by cms_from_values and cms_query:
+    pd.util.hash_array hashes numeric and object arrays on different
+    paths (and ints vs floats differently), so a sketch built from an
+    int64 column but queried with a plain Python list coerced to object
+    would read arbitrary buckets, silently breaking the
+    never-underestimate guarantee. Canonicalize: any integer width →
+    int64, floats → float64, bool → int64, strings/mixed → object."""
+    v = values if isinstance(values, np.ndarray) else np.asarray(values)
+    k = v.dtype.kind
+    if k in "iub":
+        return v.astype(np.int64, copy=False)
+    if k == "f":
+        return v.astype(np.float64, copy=False)
+    return v.astype(object)
+
+
 def _cms_hash(values: np.ndarray, row: int, width: int) -> np.ndarray:
-    x = pd.util.hash_array(np.asarray(values)) ^ _CMS_SEEDS[row]
+    x = pd.util.hash_array(values) ^ _CMS_SEEDS[row]
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     x = x ^ (x >> np.uint64(31))
@@ -287,9 +334,10 @@ def cms_from_values(values: np.ndarray, depth: int, width: int,
     cms = np.zeros((depth, width), dtype=np.int64)
     if values.size == 0:
         return cms
+    vals = _canon_values(values)
     w = weights if weights is not None else np.ones(values.size, np.int64)
     for r in range(depth):
-        np.add.at(cms[r], _cms_hash(values, r, width), w)
+        np.add.at(cms[r], _cms_hash(vals, r, width), w)
     return cms
 
 
@@ -324,9 +372,11 @@ def cms_build(ds, col: str, depth: int = 4, width: int = 8192,
 
 
 def cms_query(cms: np.ndarray, values) -> np.ndarray:
-    """Estimated counts for ``values`` (vectorized min over rows)."""
-    vals = np.asarray(values, dtype=object) \
-        if not isinstance(values, np.ndarray) else values
+    """Estimated counts for ``values`` (vectorized min over rows). The
+    input is canonicalized through the same dtype rule as the build
+    side (:func:`_canon_values`), so a plain Python list of ints reads
+    the same buckets as the int64 column the sketch was built from."""
+    vals = _canon_values(values)
     depth, width = cms.shape
     est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
     for r in range(depth):
@@ -344,13 +394,23 @@ def filter_by_quantile(ds, col: str, lo_q: float = 0.0,
     ``(filtered_ds, (lo_val, hi_val))``; the band is CLOSED on both
     ends, matching the rank-rule oracle in tests."""
     h = column_histogram(ds, col, **hist_kw)
-    lo_v = h.quantile(lo_q) if lo_q > 0.0 else -np.inf
+    lo_v = h.quantile(lo_q) if lo_q > 0.0 else None
     hi_v = h.quantile(hi_q)
 
     def fn(batch: pa.Table) -> pa.Table:
-        v = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
-                       dtype=np.float64)
-        return batch.filter(pa.array((v >= lo_v) & (v <= hi_v)))
+        import pyarrow.compute as pc
+
+        # compare in the column's native type (exact for int64 past
+        # 2^53 — the thresholds are native ints in exact mode); null
+        # rows drop
+        arr = batch.column(col)
+        mask = pc.less_equal(arr, hi_v)
+        if lo_v is not None:
+            mask = pc.and_kleene(mask, pc.greater_equal(arr, lo_v))
+        return batch.filter(pc.fill_null(mask, False))
 
     fn.__name__ = f"quantile_band_{col}"
-    return ds.map_batches(fn, batch_format="pyarrow"), (lo_v, hi_v)
+    # public contract: lo_q=0 reports -inf (keep-everything band) even
+    # though the filter itself skips the comparison to stay native-typed
+    lo_out = -np.inf if lo_v is None else lo_v
+    return ds.map_batches(fn, batch_format="pyarrow"), (lo_out, hi_v)

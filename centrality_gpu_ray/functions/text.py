@@ -310,7 +310,14 @@ def corpus_report(ds, group_cols: list[str] | None = None,
         df["n_docs"] = np.ones(len(batch), dtype=np.int64)
         df["n_tokens"] = tok
         df["n_chars"] = chars
-        return df.groupby(group_cols, as_index=False, sort=True).sum()
+        # dropna=False: documents with a null source/lang must NOT
+        # vanish from the composition report (sum(n_docs) would
+        # undercount the corpus); the downstream hash_aggregate
+        # hashes/groups null keys deterministically (pd.util.hash_array
+        # maps None to a fixed value, pyarrow group_by keeps a null
+        # group, sort_by orders nulls last).
+        return df.groupby(group_cols, as_index=False, sort=True,
+                          dropna=False).sum()
 
     partial.__name__ = "corpus_report_partial"
     partials = ds.select_columns(group_cols + [text_col]).map_batches(

@@ -378,9 +378,12 @@ def lineitem_assortativity(sf_dir: str):
     s_xx, s_xy)`` with m2 = 2·edges, s_x = Σ deg(u), s_xx = Σ deg(u)²,
     s_xy = Σ deg(u)·deg(v). The Pearson coefficient
     (m2·s_xy − s_x²) / (m2·s_xx − s_x²) is derivable exactly. Partial
-    sums per edge block against the broadcast degree vector; the
-    driver adds O(blocks) scalars."""
+    sums per edge block against the broadcast degree vector, folded
+    through ONE ``hash_aggregate`` on a constant key (the engine's
+    standard partial→exchange idiom — no driver-side block loop)."""
     import ray
+
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
     g = lineitem_graph(sf_dir)
     deg = g.out_degree.astype(np.int64)
@@ -391,6 +394,7 @@ def lineitem_assortativity(sf_dir: str):
         du = dg[t.column("s").to_numpy()]
         dv = dg[t.column("d").to_numpy()]
         return pa.table({
+            "_g": pa.array([0], type=pa.int64()),
             "m2": pa.array([2 * len(du)], type=pa.int64()),
             "s_x": pa.array([int(du.sum() + dv.sum())], type=pa.int64()),
             "s_xx": pa.array([int((du * du).sum() + (dv * dv).sum())],
@@ -398,13 +402,14 @@ def lineitem_assortativity(sf_dir: str):
             "s_xy": pa.array([2 * int((du * dv).sum())], type=pa.int64()),
         })
 
-    tot = {"m2": 0, "s_x": 0, "s_xx": 0, "s_xy": 0}
-    for b in (g.edges.map_batches(part, batch_format="pyarrow")
-              .iter_batches(batch_size=None, batch_format="pyarrow")):
-        for k in tot:
-            tot[k] += int(np.asarray(b.column(k)).sum())
-    return pa.table({k: pa.array([v], type=pa.int64())
-                     for k, v in tot.items()})
+    folded = hash_aggregate(
+        g.edges.map_batches(part, batch_format="pyarrow"), ["_g"],
+        [("m2", "sum"), ("s_x", "sum"), ("s_xx", "sum"), ("s_xy", "sum")],
+        num_partitions=1)
+    out = pa.concat_tables([
+        b for b in folded.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")])
+    return out.select(["m2", "s_x", "s_xx", "s_xy"])
 
 
 def lineitem_closeness_weighted(sf_dir: str, k: int = 8):

@@ -118,10 +118,22 @@ def _normalize_documents(batch, id_col: str, text_col: str):
     ids = out[id_col]
     null = pd.isna(ids)
     if null.any():
+        # mint from sha256(text + every OTHER column value): text alone
+        # would give two distinct rows with identical text the same id,
+        # violating the uniqueness downstream operators assume
+        # (exact_dedup keep-one, remove_repeated_paragraphs' pos
+        # encoding). Rows identical in EVERY column are true duplicates
+        # and still collapse to one id — documented behavior.
+        sub = out.loc[null]
+        key = sub[text_col].astype(str)
+        for c in out.columns:
+            if c in (id_col, text_col):
+                continue
+            key = key + "\x1f" + sub[c].astype(str)
         minted = [
-            int.from_bytes(hashlib.sha256(t.encode()).digest()[:8],
+            int.from_bytes(hashlib.sha256(k.encode()).digest()[:8],
                            "big") >> 1
-            for t in out.loc[null, text_col]]
+            for k in key]
         ids = ids.astype(object)
         ids[null.to_numpy()] = minted
         out[id_col] = ids

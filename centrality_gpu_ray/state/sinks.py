@@ -94,16 +94,45 @@ def read_scores(out_dir: str) -> pa.Table:
     ])
 
 
-def component_size_histogram(components_table: pa.Table) -> pa.Table:
+def component_size_histogram(components, num_partitions: int = 16) -> pa.Table:
     """(size, num_components) desc — the reference's BCC size histogram
     writer (``print_bicc_hist_to_file`` ``bicc.cpp:53-79``) as two
-    grouped counts."""
-    import pandas as pd
+    chained grouped counts.
 
-    df = components_table.to_pandas()
-    sizes = df.groupby("component").size()
-    hist = sizes.value_counts().sort_index(ascending=False)
-    return pa.table({
-        "size": pa.array(hist.index.to_numpy().astype(np.int64)),
-        "num_components": pa.array(hist.to_numpy().astype(np.int64)),
-    })
+    Accepts either a ``pyarrow.Table`` (small/dense path: one in-memory
+    double group) or a ``ray.data.Dataset`` of per-vertex component
+    labels (distributed path: two ``hash_aggregate`` exchanges — count
+    per component, then count per size — so the O(n) per-vertex table
+    never materializes on the driver; only the tiny (size, count)
+    histogram does)."""
+    if isinstance(components, pa.Table):
+        comp = components.column("component").to_numpy()
+        _, counts = np.unique(comp, return_counts=True)
+        size_vals, n_comp = np.unique(counts, return_counts=True)
+        order = np.argsort(-size_vals)
+        return pa.table({
+            "size": pa.array(size_vals[order].astype(np.int64)),
+            "num_components": pa.array(n_comp[order].astype(np.int64)),
+        })
+
+    from centrality_gpu_ray.stages.shuffle import hash_aggregate
+
+    per_comp = hash_aggregate(components.select_columns(["component"]),
+                              ["component"], [("component", "count_all")],
+                              num_partitions=num_partitions)
+    per_comp = per_comp.map_batches(
+        lambda t: pa.table({"size": t.column("count")}),
+        batch_format="pyarrow")
+    hist = hash_aggregate(per_comp, ["size"], [("size", "count_all")],
+                          num_partitions=max(1, num_partitions // 4))
+    parts = list(hist.iter_batches(batch_size=None, batch_format="pyarrow"))
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"size": pa.array([], type=pa.int64()),
+                         "num_components": pa.array([], type=pa.int64())})
+    t = pa.concat_tables(parts)
+    sizes = t.column("size").to_numpy().astype(np.int64)
+    cnts = t.column("count").to_numpy().astype(np.int64)
+    order = np.argsort(-sizes)
+    return pa.table({"size": pa.array(sizes[order]),
+                     "num_components": pa.array(cnts[order])})
