@@ -182,16 +182,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(to_micro, batch_format="pyarrow").sort("a")
 
     def multimodal_features(sf_dir):
-        """Multimodal binary-column plumbing end-to-end: deterministic
-        synthetic media table → decode stage (fake-codec path) →
-        feature-extract actor stage. Rows-only (binary payloads are not
-        SQL territory); the point is the schema/actor/batch plumbing."""
-        import ray.data
-
+        """Multimodal binary-column plumbing end-to-end, VALUE-checked:
+        documents → pack a FAKE binary payload per row (header fields
+        closed-form in doc_id, body = UTF-8 text bytes) → decode stage
+        parses the header from the Arrow binary buffers → feature row
+        (parsed dims + body length + body sha256). The DuckDB oracle
+        derives every output column directly from (doc_id, text), so a
+        hash match proves the pack → binary column → header-parse →
+        checksum chain round-trips bit-exactly. The 8-dim statistical
+        feature extractor (float output) stays pytest-covered."""
         from centrality_gpu_ray.functions import multimodal as mm
 
-        ds = ray.data.from_arrow(mm.synth_media_table(num_rows=256, seed=5))
-        return mm.extract_features(mm.decode_media(ds))
+        media = mm.media_from_documents(_docs(sf_dir))
+        return mm.header_features(mm.decode_media(media))
 
     # EXACTLY 50 entries: the driver emits CORRECTNESS rows for at most
     # 50 queries, and round 2 registered 57 — the 7 silently unchecked
@@ -754,6 +757,296 @@ def _kcore_oracle_sql(k: int = 3, rounds: int = 8) -> str:
     return "".join(parts)
 
 
+_MIX64 = 11400714819323198485  # 0x9E3779B97F4A7C15 (dedup.py::_MIX)
+_TWO64 = 18446744073709551616
+
+
+def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """simhash_pairs oracle: 64-bit SimHash rebuilt in SQL — token
+    hash = first 16 hex chars of sha256(token) (the engine's
+    ``_sha16_hash_tokens`` family), bit j set iff 2·Σ bit_j(h) >
+    n_tokens (strict majority, matching ``SimHasher``), then ALL pairs
+    with Hamming ≤ k. The engine finds pairs via pigeonhole band
+    buckets; with 4 bands any pair within Hamming ≤ 3 shares an exact
+    16-bit chunk, so the sets coincide (bucket caps cannot trigger at
+    gate scale: a bucket is bounded by the document count)."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                   '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        tok AS (SELECT doc_id, unnest(ws) AS t FROM toks),
+        th AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(('0x' || substr(sha256(t), 1, 16)) AS UBIGINT) AS h
+          FROM tok
+        ),
+        bits AS MATERIALIZED (
+          SELECT doc_id, j.j AS j,
+                 SUM(CAST((h >> j.j) & 1 AS BIGINT)) AS s,
+                 COUNT(*) AS n
+          FROM th CROSS JOIN
+               (SELECT unnest(generate_series(0, 63)) AS j) j
+          GROUP BY doc_id, j.j
+        ),
+        sh0 AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN 2 * s > n THEN CAST(1 AS HUGEINT) << j
+                          ELSE CAST(0 AS HUGEINT) END) AS x
+          FROM bits GROUP BY doc_id
+        ),
+        sh AS MATERIALIZED (
+          SELECT d.doc_id, CAST(COALESCE(s.x, 0) AS UBIGINT) AS u
+          FROM documents d LEFT JOIN sh0 s USING (doc_id)
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.u, b.u)) AS BIGINT) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.u, b.u)) <= {max_hamming}"""
+
+
+def _minhash_dedup_oracle_sql(threshold: float = 0.5, num_perm: int = 64,
+                              bands: int = 16, seed: int = 7,
+                              cc_rounds: int = 16) -> str:
+    """minhash_dedup_docs oracle: the ENTIRE near-dup funnel rebuilt in
+    SQL — byte-level rolling 5-shingles (polynomial base-256 → ·MIX
+    mod 2⁶⁴ → >>32, bit-identical to ``dedup.py::_rolling_shingles``),
+    sha256-derived multiply-shift permutations (``MinHasher``), the
+    xor-mix band fold (``_band_rows``), bucket candidate pairs, exact
+    word-3-gram Jaccard ≥ threshold verification, then min-label CC
+    with pointer jumping over the duplicate-pair graph (engine
+    clustering semantics: cluster = min doc_id of the component;
+    keep ⇔ doc_id == cluster). Bucket caps can't trigger at gate scale
+    (bucket size ≤ document count < BUCKET_CAP). Self-verifying: an
+    unconverged CC emits the -424242 sentinel row."""
+    rows = num_perm // bands
+
+    # (x·MIX) mod 2^64 without INT128 overflow: split x into 32-bit
+    # halves — ((xh·MIX mod 2^32)·2^32 + xl·MIX) mod 2^64, every term
+    # < 2^97. ``e`` must be a cheap column expression (inlined twice).
+    def _mulmix(e: str) -> str:
+        return (f"(((({e}) // 4294967296 * {_MIX64}) % 4294967296) "
+                f"* 4294967296 + (({e}) % 4294967296) * {_MIX64}) "
+                f"% {_TWO64}")
+
+    band_joins = "\n".join(
+        f"          JOIN sig s{c} ON s{c}.doc_id = s0.doc_id "
+        f"AND s{c}.p = bb.b * {rows} + {c}" for c in range(1, rows))
+    # band fold h ← (h ⊕ sig_c)·MIX mod 2^64, one chained CTE per row
+    # column (a single nested expression would duplicate exponentially)
+    carry = ", ".join(f"v{c}" for c in range(1, rows))
+    fold_ctes = [f""",
+        f0 AS (SELECT doc_id, band,
+                      {_mulmix('CAST(v0 AS HUGEINT)')} AS h{', ' + carry if carry else ''}
+               FROM bsig)"""]
+    for c in range(1, rows):
+        rest = ", ".join(f"v{x}" for x in range(c + 1, rows))
+        fold_ctes.append(f""",
+        f{c} AS (SELECT doc_id, band,
+                 {_mulmix(f'CAST(xor(CAST(h AS UBIGINT), v{c}) AS HUGEINT)')}
+                     AS h{', ' + rest if rest else ''}
+                 FROM f{c - 1})""")
+    fold_sql = "".join(fold_ctes)
+    parts = [f"""
+        WITH b0 AS (
+          SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx,
+                 octet_length(encode(COALESCE(text, ''))) AS n
+          FROM documents
+        ),
+        win AS (
+          SELECT doc_id, hx, unnest(generate_series(1, n - 4)) AS i,
+                 5 AS w
+          FROM b0 WHERE n >= 5
+          UNION ALL
+          SELECT doc_id, hx, 1, n FROM b0 WHERE n BETWEEN 1 AND 4
+        ),
+        byt AS (
+          SELECT doc_id, i, w, j.j AS j,
+                 CAST(CAST(('0x' || substr(hx, (i + j.j) * 2 - 1, 2))
+                           AS UBIGINT) AS HUGEINT) AS bv
+          FROM win CROSS JOIN
+               (SELECT unnest(generate_series(0, 4)) AS j) j
+          WHERE j.j < w
+        ),
+        shing AS MATERIALIZED (
+          SELECT doc_id, i,
+                 ((SUM(bv * CAST(CASE w - 1 - j
+                      WHEN 4 THEN 4294967296 WHEN 3 THEN 16777216
+                      WHEN 2 THEN 65536 WHEN 1 THEN 256 ELSE 1 END
+                      AS HUGEINT)) * {_MIX64})
+                  % {_TWO64}) // 4294967296 AS h32
+          FROM byt GROUP BY doc_id, i, w
+        ),
+        perms AS MATERIALIZED (
+          SELECT p.p AS p,
+                 CAST(('0x' || substr(sha256('minhash:{seed}:' || p.p),
+                                      1, 16)) AS UBIGINT)
+                 | CAST(1 AS UBIGINT) AS a
+          FROM (SELECT unnest(generate_series(0, {num_perm - 1})) AS p) p
+        ),
+        msig AS MATERIALIZED (
+          SELECT s.doc_id, perms.p,
+                 MIN((CAST(perms.a AS HUGEINT) * s.h32) % {_TWO64}) AS v
+          FROM shing s CROSS JOIN perms GROUP BY s.doc_id, perms.p
+        ),
+        sig AS MATERIALIZED (
+          SELECT d.doc_id, p.p, CAST(COALESCE(m.v, 0) AS UBIGINT) AS v
+          FROM documents d CROSS JOIN perms p
+          LEFT JOIN msig m ON m.doc_id = d.doc_id AND m.p = p.p
+        ),
+        bsig AS (
+          SELECT s0.doc_id, bb.b AS band,
+                 {", ".join(f"s{c}.v AS v{c}" for c in range(rows))}
+          FROM (SELECT unnest(generate_series(0, {bands - 1})) AS b) bb
+          JOIN sig s0 ON s0.p = bb.b * {rows}
+{band_joins}
+        ){fold_sql},
+        bnd AS MATERIALIZED (
+          SELECT doc_id, band, CAST(h // 2 AS BIGINT) AS band_hash
+          FROM f{rows - 1}
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bnd x JOIN bnd y
+            ON y.band = x.band AND y.band_hash = x.band_hash
+           AND x.doc_id < y.doc_id
+        ),
+        gb AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(COALESCE(text, ''),
+                                                   '\\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ),
+        gexpl AS (
+          SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+          FROM gb WHERE len(ws) >= 3
+        ),
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+          FROM gexpl
+          UNION
+          SELECT doc_id, array_to_string(ws, ' ')
+          FROM gb WHERE len(ws) BETWEEN 1 AND 2
+        ),
+        gsz AS MATERIALIZED (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM grams GROUP BY doc_id
+        ),
+        ginter AS MATERIALIZED (
+          SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS i
+          FROM cand c
+          JOIN grams ga ON ga.doc_id = c.a
+          JOIN grams g2 ON g2.doc_id = c.b AND g2.g = ga.g
+          GROUP BY c.a, c.b
+        ),
+        dup AS MATERIALIZED (
+          SELECT c.a, c.b
+          FROM cand c
+          LEFT JOIN gsz sa ON sa.doc_id = c.a
+          LEFT JOIN gsz sb ON sb.doc_id = c.b
+          LEFT JOIN ginter gi ON gi.a = c.a AND gi.b = c.b
+          WHERE COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                - COALESCE(gi.i, 0) > 0
+            AND CAST(COALESCE(gi.i, 0) AS DOUBLE)
+                / CAST(COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                       - COALESCE(gi.i, 0) AS DOUBLE) >= {threshold}
+        ),
+        se AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM dup UNION ALL SELECT b, a FROM dup),
+        l0 AS MATERIALIZED (
+          SELECT DISTINCT x AS node, x AS lab FROM se)"""]
+    for i in range(cc_rounds):
+        parts.append(f""",
+        n{i} AS MATERIALIZED (SELECT se.x AS node, MIN(l.lab) AS nblab
+                 FROM se JOIN l{i} l ON l.node = se.y GROUP BY se.x),
+        j{i} AS MATERIALIZED (SELECT l.node, j.lab AS jlab
+                 FROM l{i} l JOIN l{i} j ON j.node = l.lab),
+        l{i + 1} AS MATERIALIZED (SELECT l.node,
+                            LEAST(l.lab, COALESCE(n.nblab, l.lab),
+                                  COALESCE(j.jlab, l.lab)) AS lab
+                     FROM l{i} l
+                     LEFT JOIN n{i} n USING (node)
+                     LEFT JOIN j{i} j USING (node))""")
+    parts.append(f"""
+        SELECT d.doc_id,
+               CAST(COALESCE(l.lab, d.doc_id) AS BIGINT) AS cluster,
+               d.doc_id = COALESCE(l.lab, d.doc_id) AS keep
+        FROM documents d LEFT JOIN l{cc_rounds} l ON l.node = d.doc_id
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT), FALSE
+        WHERE EXISTS (SELECT 1 FROM l{cc_rounds} a
+                      JOIN l{cc_rounds - 1} b USING (node)
+                      WHERE a.lab <> b.lab)""")
+    return "".join(parts)
+
+
+def _ann_lsh_oracle_sql(k: int = 10, tables: int = 12, bits: int = 6,
+                        seed: int = 13) -> str:
+    """ann_lsh_topk oracle: the sign-LSH bucketing rebuilt in SQL —
+    symmetric-uniform integer hyperplanes from sha256 prefixes
+    (``similarity.py::_rademacher_planes``), embeddings quantized to
+    the 1e-6 integer grid (floor(x·1e6+0.5) — exact integer dot
+    products, no float-summation-order freedom), bucket = Σ (dot>0)·2^j
+    per table; candidates = vectors sharing any (table, bucket) with a
+    query; exact cosine re-rank top-k among candidates (same float
+    ordering as the hash-green ann_topk row)."""
+    return f"""
+        WITH ei AS MATERIALIZED (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+                 CAST(FLOOR(unnest(embedding) * 1000000.0 + 0.5)
+                      AS BIGINT) AS q
+          FROM embeddings
+        ),
+        dims AS (SELECT DISTINCT d FROM ei),
+        sgn AS MATERIALIZED (
+          SELECT t.t AS t, j.j AS j, dims.d AS d,
+                 CAST(CAST(('0x' || substr(sha256(
+                          'lsh:{seed}:' || t.t || ':' || j.j || ':'
+                          || dims.d), 1, 8)) AS UBIGINT) AS BIGINT)
+                 - 2147483648 AS s
+          FROM (SELECT unnest(generate_series(0, {tables - 1})) AS t) t
+          CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j) j
+          CROSS JOIN dims
+        ),
+        dots AS (
+          SELECT ei.vec_id, sgn.t, sgn.j, SUM(ei.q * sgn.s) AS dot
+          FROM ei JOIN sgn ON sgn.d = ei.d
+          GROUP BY ei.vec_id, sgn.t, sgn.j
+        ),
+        buck AS MATERIALIZED (
+          SELECT vec_id, t,
+                 SUM(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j
+                          ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id, t
+        ),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT qb.vec_id AS query_id, v.vec_id
+          FROM buck qb JOIN buck v
+            ON v.t = qb.t AND v.bucket = qb.bucket
+          WHERE qb.vec_id < 5
+        ),
+        scored AS (
+          SELECT c.query_id, c.vec_id,
+                 list_cosine_similarity(q.embedding, e.embedding) AS score
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings e ON e.vec_id = c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from centrality_gpu_ray.functions import scrub
 
@@ -1122,6 +1415,22 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(x AS HUGEINT) END AS BIGINT)
                        AS fingerprint
             FROM fp""",
+        "simhash_pairs": _simhash_pairs_oracle_sql(),
+        "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        # every output column is a closed form in (doc_id, text); a hash
+        # match proves the binary pack → Arrow binary → header-parse →
+        # body-checksum chain round-trips bit-exactly
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(16 + doc_id % 48 AS INT) AS dec_width,
+                   CAST(16 + (doc_id // 7) % 48 AS INT) AS dec_height,
+                   CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 15
+                             ELSE 1 END AS INT) AS dec_frames,
+                   CAST(octet_length(encode(COALESCE(text, '')))
+                        AS BIGINT) AS n_body_bytes,
+                   sha256(COALESCE(text, '')) AS body_sha256
+            FROM documents""",
         "embedding_near_dup_ids": """
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -177,12 +177,18 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5, seed: int = 7,
                  perm_chunk: int = 8):
-        rng = np.random.default_rng(seed)
+        import hashlib
+
         # multiply-shift universal family: odd 64-bit multipliers,
         # wrapping u64 product — no modulo in the inner loop (a Mersenne
-        # mod per element was ~4× the cost of the multiply)
-        self.a = (rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
-                  << np.uint64(1)) | np.uint64(1)
+        # mod per element was ~4× the cost of the multiply). Multipliers
+        # are sha256-derived (not PCG64) so the whole signature → LSH
+        # band chain is reproducible in DuckDB SQL and the
+        # minhash_dedup_docs driver row is value-hash-checked.
+        self.a = np.fromiter(
+            (int(hashlib.sha256(f"minhash:{seed}:{p}".encode())
+                 .hexdigest()[:16], 16) | 1 for p in range(num_perm)),
+            dtype=np.uint64, count=num_perm)
         self.num_perm = num_perm
         self.k = shingle_k
         self.perm_chunk = perm_chunk
@@ -493,10 +499,40 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
 # SimHash
 # ---------------------------------------------------------------------------
 
+# process-level token→sha256-prefix cache shared by every SimHash batch
+# on a worker: corpora have heavy vocabulary reuse across batches, so
+# steady-state hashing is dict gathers, not hashlib calls. Bounded so a
+# pathological unique-token stream can't grow it without limit.
+_SHA16_CACHE: dict = {}
+_SHA16_CACHE_CAP = 1 << 20
+
+
+def _sha16_hash_tokens(uniq: np.ndarray) -> np.ndarray:
+    """uint64 hash per UNIQUE token: first 16 hex chars of
+    sha256(token) — the same SQL-reproducible family as
+    ``text.py::TextAnalyzer.fingerprint`` (DuckDB ``sha256``), so every
+    operator built on it is value-oracle-checkable."""
+    import hashlib
+
+    out = np.empty(uniq.size, dtype=np.uint64)
+    cache = _SHA16_CACHE
+    for i, t in enumerate(uniq):
+        v = cache.get(t)
+        if v is None:
+            v = int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:16], 16)
+            if len(cache) < _SHA16_CACHE_CAP:
+                cache[t] = v
+        out[i] = v
+    return out
+
+
 class SimHasher:
-    """64-bit SimHash, vectorized across the batch: all docs' tokens are
-    hashed in one ``hash_array`` call and the per-doc ±1 bit sums come
-    from one ``add.reduceat`` over token segments."""
+    """64-bit SimHash, vectorized across the batch: the batch VOCABULARY
+    (unique tokens) is hashed with the sha256-prefix family (process
+    cache — see :func:`_sha16_hash_tokens`; reproducible in DuckDB so
+    ``simhash_pairs`` is value-hash-checked), the token stream stays a
+    numpy gather, and the per-doc ±1 bit sums come from one
+    ``add.reduceat`` over token segments."""
 
     def __init__(self, seed: int = 11):
         self.seed = seed
@@ -509,7 +545,8 @@ class SimHasher:
         if nz.size:
             all_toks = np.asarray(
                 [tok for i in nz for tok in tok_lists[i]], dtype=object)
-            h = pd.util.hash_array(all_toks)
+            uniq, inv = np.unique(all_toks, return_inverse=True)
+            h = _sha16_hash_tokens(uniq)[inv]
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int8)
             seg = np.zeros(nz.size, dtype=np.int64)
@@ -662,7 +699,7 @@ def _near_dup_lsh(emb_ds, threshold: float, id_col: str, vec_col: str,
                                                    hash_partition_apply)
 
     def explode(batch: pa.Table) -> pa.Table:
-        M = _normalize(_matrix_from_arrow(batch.column(vec_col)))
+        M = _matrix_from_arrow(batch.column(vec_col))  # raw — sign-LSH
         h = _HyperplaneHasher(M.shape[1], tables, bits)
         b = h.bucket(M)
         n = M.shape[0]

@@ -56,6 +56,95 @@ def synth_media_table(num_rows: int = 64, seed: int = 5) -> pa.Table:
 
 
 
+def media_from_documents(docs_ds, batch_size: int = 1024):
+    """Pack a deterministic FAKE media payload per document row:
+    header fields are closed-form functions of ``doc_id`` (modality =
+    doc_id % 3, width = 16 + doc_id % 48, height = 16 + (doc_id//7) %
+    48, frames = 1 + doc_id % 15 for video else 1) and the body is the
+    document's UTF-8 text bytes. Because every field is derivable from
+    (doc_id, text), the decode→feature chain over the packed BINARY
+    column is value-checkable against a pure-SQL oracle — the binary
+    plumbing (pack → Arrow binary column → header parse in the decode
+    stage) is genuinely exercised and hash-checked end to end.
+    Packing is vectorized over the batch (one flat uint8 buffer, fancy
+    index scatter — same construction as ``ResizeImages``)."""
+    _MODS = np.asarray(["image", "audio", "video"])
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = ids.size
+        texts = batch.column("text").to_pandas().fillna("")
+        enc = [t.encode("utf-8") for t in texts]
+        blens = np.asarray([len(e) for e in enc], dtype=np.int64)
+        modal = (ids % 3).astype(np.uint8)
+        hdr = np.zeros((n, 17), dtype=np.uint8)
+        hdr[:, :4] = np.frombuffer(_MAGIC, dtype=np.uint8)
+        hdr[:, 4] = modal
+        hdr[:, 5:9] = (16 + ids % 48).astype("<u4")[:, None].view(np.uint8)
+        hdr[:, 9:13] = (16 + (ids // 7) % 48).astype("<u4")[:, None] \
+            .view(np.uint8)
+        frames = np.where(modal == 2, 1 + ids % 15, 1).astype("<u4")
+        hdr[:, 13:17] = frames[:, None].view(np.uint8)
+        out_lens = 17 + blens
+        out_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_lens, out=out_offs[1:])
+        flat = np.empty(int(out_lens.sum()), dtype=np.uint8)
+        hdr_idx = (np.repeat(out_offs[:-1], 17)
+                   + np.tile(np.arange(17), n))
+        flat[hdr_idx] = hdr.ravel()
+        body_idx = np.repeat(out_offs[:-1] + 17, blens) \
+            + _ragged_arange(blens)
+        if body_idx.size:
+            flat[body_idx] = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        payload = pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+             pa.py_buffer(flat.tobytes())])
+        return pa.table({
+            "media_id": pa.array(ids, type=pa.int64()),
+            "modality": pa.array(_MODS[ids % 3], type=pa.string()),
+            "payload": payload,
+        })
+
+    pack.__name__ = "pack_media_payloads"
+    return docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        pack, batch_format="pyarrow", batch_size=batch_size)
+
+
+class HeaderFeatures:
+    """Decode-derived, SQL-checkable feature row per media payload:
+    the parsed header dims plus body length and body sha256 — the
+    checksum proves the binary body round-tripped bit-exactly through
+    the pack → Arrow binary → decode chain (sha256 per row is the same
+    per-row crypto kernel as the ingest stage's content hash)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        offs, data = _binary_buffers(batch.column("payload"))
+        n = offs.size - 1
+        starts = np.minimum(offs[:-1] + 17, offs[1:])
+        mv = memoryview(data)
+        digs = [hashlib.sha256(mv[starts[i]:offs[i + 1]]).hexdigest()
+                for i in range(n)]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "dec_width": batch.column("dec_width"),
+            "dec_height": batch.column("dec_height"),
+            "dec_frames": batch.column("dec_frames"),
+            "n_body_bytes": pa.array(
+                (offs[1:] - starts).astype(np.int64)),
+            "body_sha256": pa.array(digs, type=pa.string()),
+        })
+
+
+def header_features(ds, concurrency: int = 2, batch_size: int = 256):
+    return ds.map_batches(HeaderFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=0.5)
+
+
 def _binary_buffers(col) -> tuple[np.ndarray, np.ndarray]:
     """Arrow binary column → (byte offsets int64, flat data uint8),
     zero-copy views of the Arrow buffers — the whole batch's payload

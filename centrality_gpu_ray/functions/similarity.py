@@ -139,21 +139,56 @@ def ann_brute_force(emb_ds, queries: np.ndarray, k: int = 10,
     }))
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _rademacher_planes(dim: int, tables: int, bits: int,
+                       seed: int) -> np.ndarray:
+    """Integer hyperplanes derived from sha256: the weight for
+    (table t, bit j, dim d) is the first 8 hex chars of
+    sha256(f"lsh:{seed}:{t}:{j}:{d}") minus 2³¹ — symmetric uniform
+    32-bit integers (a valid sign-LSH family; measured recall matches
+    Gaussian planes on the test corpora, while pure ±1 Rademacher
+    signs lost ~0.2 recall at these weak-neighbor cosines). Integer
+    weights keep every dot product exact, so the bucketing is
+    reproducible bit-for-bit in DuckDB SQL and the ``ann_lsh_topk``
+    driver row is value-hash-checked. Built once per process (cache)
+    — ~5 ms for 12×6×64."""
+    import hashlib
+
+    key = (dim, tables, bits, seed)
+    if key not in _PLANES_CACHE:
+        w = np.fromiter(
+            (int(hashlib.sha256(
+                f"lsh:{seed}:{t}:{j}:{d}".encode()).hexdigest()[:8], 16)
+             - (1 << 31)
+             for t in range(tables) for j in range(bits)
+             for d in range(dim)),
+            dtype=np.int64, count=tables * bits * dim)
+        _PLANES_CACHE[key] = w.reshape(tables, bits, dim)
+    return _PLANES_CACHE[key]
+
+
 class _HyperplaneHasher:
-    """Deterministic random-hyperplane signatures, generated per actor."""
+    """Deterministic sign-LSH signatures (Rademacher hyperplanes, see
+    :func:`_rademacher_planes`). ``bucket`` takes the RAW (unnormalized)
+    matrix: signs are invariant under the positive per-row scaling of
+    normalization, and hashing the raw values through a fixed 1e-6
+    integer grid makes every dot product exact integer arithmetic — no
+    float-summation-order edge cases between engine and SQL oracle."""
 
     def __init__(self, dim: int, tables: int, bits: int, seed: int = 13):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((tables, bits, dim))
+        self.planes = _rademacher_planes(dim, tables, bits, seed)
         self.tables = tables
         self.bits = bits
 
     def bucket(self, M: np.ndarray) -> np.ndarray:
-        """(n, tables) int64 bucket ids."""
+        """(n, tables) int64 bucket ids from the raw embedding matrix."""
+        E = np.floor(M * 1e6 + 0.5).astype(np.int64)  # exact grid
         out = np.zeros((M.shape[0], self.tables), dtype=np.int64)
         pows = (1 << np.arange(self.bits)).astype(np.int64)
         for t in range(self.tables):
-            signs = (M @ self.planes[t].T) > 0  # (n, bits)
+            signs = (E @ self.planes[t].T) > 0  # (n, bits), integer dots
             out[:, t] = signs @ pows
         return out
 
@@ -167,10 +202,11 @@ def ann_lsh(emb_ds, queries: np.ndarray, k: int = 10, tables: int = 8,
     that hash there → per-query merge."""
     import ray
 
-    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    Qraw = np.asarray(queries, dtype=np.float64)
+    Q = _normalize(Qraw)
     dim = Q.shape[1]
     hasher = _HyperplaneHasher(dim, tables, bits, seed)
-    qb = hasher.bucket(Q)  # (nq, tables)
+    qb = hasher.bucket(Qraw)  # (nq, tables) — raw: sign-LSH contract
     # bucket -> query ids mapping per table, broadcast once
     qmap: dict[tuple[int, int], list[int]] = {}
     for qi in range(Q.shape[0]):
@@ -179,7 +215,7 @@ def ann_lsh(emb_ds, queries: np.ndarray, k: int = 10, tables: int = 8,
     q_ref = ray.put((Q, qmap))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        M = _normalize(_as_matrix(batch[vec_col].to_numpy()))
+        M = _as_matrix(batch[vec_col].to_numpy())  # raw — see bucket()
         h = _HyperplaneHasher(dim, tables, bits, seed)
         b = h.bucket(M)
         n = M.shape[0]
