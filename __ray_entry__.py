@@ -985,6 +985,160 @@ def _minhash_dedup_oracle_sql(threshold: float = 0.5, num_perm: int = 64,
     return "".join(parts)
 
 
+def _bcc_labels_oracle_sql(cc_rounds: int = 20, bfs_rounds: int = 24,
+                           walk_rounds: int = 30,
+                           aux_rounds: int = 20) -> str:
+    """graph_bcc_labels oracle: an INDEPENDENT biconnected-components
+    derivation in SQL. The engine runs Tarjan–Vishkin rule-A/rule-B
+    gluing with preorder-interval tests over ITS BFS forest
+    (``pipelines/bicc.py``); this oracle instead glues tree edges along
+    each non-tree edge's FUNDAMENTAL CYCLE over the ORACLE'S OWN BFS
+    forest — a different algorithm on a (generally) different spanning
+    tree. Both produce the same edge partition (fundamental cycles
+    generate the biconnectivity relation), and the canonical label
+    (min member-edge key = min(src,dst)·2³²+max) makes the outputs
+    bit-comparable.
+
+    Stages, all chained materialized CTEs: (1) min-label CC with
+    pointer jumping → one root per component; (2) multi-source BFS
+    distances + min-parent tree; (3) per non-tree edge, a synchronized
+    two-pointer walk to the LCA emitting (child, parent) glue edges,
+    edges touching the LCA dropped, plus the bottom (x, y) glue;
+    (4) min-label CC over the glue graph on tree-edge children;
+    (5) per-edge label (tree edge → its child's label; non-tree edge →
+    the deeper endpoint's), canonicalized by group-min edge key.
+    Self-verifying: unconverged CC/BFS/walk/aux stages each emit the
+    -424242 sentinel row."""
+    parts = [_GRAPH_EDGES_CTE, """
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        l0 AS MATERIALIZED (SELECT node, node AS lab FROM deg)"""]
+    for i in range(cc_rounds):
+        parts.append(f""",
+        n{i} AS MATERIALIZED (SELECT se.a AS node, MIN(l.lab) AS nblab
+                 FROM se JOIN l{i} l ON l.node = se.b GROUP BY se.a),
+        j{i} AS MATERIALIZED (SELECT l.node, j.lab AS jlab
+                 FROM l{i} l JOIN l{i} j ON j.node = l.lab),
+        l{i + 1} AS MATERIALIZED (SELECT l.node,
+                            LEAST(l.lab, COALESCE(n.nblab, l.lab),
+                                  COALESCE(j.jlab, l.lab)) AS lab
+                     FROM l{i} l
+                     LEFT JOIN n{i} n USING (node)
+                     LEFT JOIN j{i} j USING (node))""")
+    # multi-source BFS from each component's min node (= its CC label)
+    parts.append(f""",
+        d0 AS MATERIALIZED (
+            SELECT node, CASE WHEN node = lab THEN CAST(0 AS BIGINT) END
+                   AS dist
+            FROM l{cc_rounds})""")
+    for i in range(bfs_rounds):
+        parts.append(f""",
+        m{i} AS MATERIALIZED (
+            SELECT se.b AS node, MIN(l.dist + 1) AS nd
+            FROM se JOIN d{i} l ON l.node = se.a
+            WHERE l.dist IS NOT NULL GROUP BY se.b),
+        d{i + 1} AS MATERIALIZED (
+            SELECT d.node, LEAST(d.dist, m.nd) AS dist
+            FROM d{i} d LEFT JOIN m{i} m USING (node))""")
+    D = f"d{bfs_rounds}"
+    parts.append(f""",
+        par AS MATERIALIZED (
+            SELECT se.b AS v, MIN(se.a) AS p
+            FROM se JOIN {D} da ON da.node = se.a
+                    JOIN {D} db ON db.node = se.b
+            WHERE da.dist = db.dist - 1 GROUP BY se.b),
+        nte AS MATERIALIZED (
+            SELECT e.src * 4294967296 + e.dst AS wid, e.src AS x,
+                   e.dst AS y
+            FROM edges e
+            LEFT JOIN par px ON px.v = e.src
+            LEFT JOIN par py ON py.v = e.dst
+            WHERE COALESCE(py.p, -1) <> e.src
+              AND COALESCE(px.p, -1) <> e.dst),
+        w0 AS MATERIALIZED (SELECT wid, x AS a, y AS b FROM nte)""")
+    for i in range(walk_rounds):
+        parts.append(f""",
+        e{i} AS MATERIALIZED (
+            SELECT w.wid,
+                   CASE WHEN da.dist >= db.dist THEN w.a ELSE w.b END AS u,
+                   CASE WHEN da.dist >= db.dist THEN pa.p ELSE pb.p END AS v
+            FROM w{i} w
+            JOIN {D} da ON da.node = w.a
+            JOIN {D} db ON db.node = w.b
+            LEFT JOIN par pa ON pa.v = w.a
+            LEFT JOIN par pb ON pb.v = w.b
+            WHERE w.a <> w.b),
+        w{i + 1} AS MATERIALIZED (
+            SELECT w.wid,
+                   CASE WHEN w.a <> w.b AND da.dist >= db.dist
+                        THEN pa.p ELSE w.a END AS a,
+                   CASE WHEN w.a <> w.b AND da.dist < db.dist
+                        THEN pb.p ELSE w.b END AS b
+            FROM w{i} w
+            JOIN {D} da ON da.node = w.a
+            JOIN {D} db ON db.node = w.b
+            LEFT JOIN par pa ON pa.v = w.a
+            LEFT JOIN par pb ON pb.v = w.b)""")
+    lifts_union = "\n            UNION ALL ".join(
+        f"SELECT wid, u, v FROM e{i}" for i in range(walk_rounds))
+    parts.append(f""",
+        lca AS MATERIALIZED (SELECT wid, a AS l FROM w{walk_rounds}),
+        lifts AS ({lifts_union}),
+        aux AS MATERIALIZED (
+            SELECT f.u AS ea, f.v AS eb
+            FROM lifts f JOIN lca lc USING (wid) WHERE f.v <> lc.l
+            UNION ALL
+            SELECT n.x, n.y
+            FROM nte n JOIN lca lc USING (wid)
+            WHERE n.x <> lc.l AND n.y <> lc.l),
+        auxse AS MATERIALIZED (SELECT ea AS a, eb AS b FROM aux
+                 UNION ALL SELECT eb, ea FROM aux),
+        a0 AS MATERIALIZED (SELECT v AS node, v AS lab FROM par)""")
+    for i in range(aux_rounds):
+        parts.append(f""",
+        an{i} AS MATERIALIZED (SELECT auxse.a AS node, MIN(l.lab) AS nblab
+                 FROM auxse JOIN a{i} l ON l.node = auxse.b
+                 GROUP BY auxse.a),
+        aj{i} AS MATERIALIZED (SELECT l.node, j.lab AS jlab
+                 FROM a{i} l JOIN a{i} j ON j.node = l.lab),
+        a{i + 1} AS MATERIALIZED (SELECT l.node,
+                            LEAST(l.lab, COALESCE(n.nblab, l.lab),
+                                  COALESCE(j.jlab, l.lab)) AS lab
+                     FROM a{i} l
+                     LEFT JOIN an{i} n USING (node)
+                     LEFT JOIN aj{i} j USING (node))""")
+    A = f"a{aux_rounds}"
+    parts.append(f""",
+        lab_edges AS MATERIALIZED (
+            SELECT e.src, e.dst, e.src * 4294967296 + e.dst AS key,
+                   CASE WHEN COALESCE(py.p, -1) = e.src THEN ld.lab
+                        WHEN COALESCE(px.p, -1) = e.dst THEN ls.lab
+                        WHEN dd.dist >= ds.dist THEN ld.lab
+                        ELSE ls.lab END AS rawlab
+            FROM edges e
+            LEFT JOIN par px ON px.v = e.src
+            LEFT JOIN par py ON py.v = e.dst
+            LEFT JOIN {A} ls ON ls.node = e.src
+            LEFT JOIN {A} ld ON ld.node = e.dst
+            JOIN {D} ds ON ds.node = e.src
+            JOIN {D} dd ON dd.node = e.dst),
+        canon AS MATERIALIZED (
+            SELECT rawlab, MIN(key) AS k FROM lab_edges GROUP BY rawlab)
+        SELECT le.src, le.dst, c.k AS bcc
+        FROM lab_edges le JOIN canon c USING (rawlab)
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), CAST(-424242 AS BIGINT),
+               CAST(-424242 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM l{cc_rounds} a
+                      JOIN l{cc_rounds - 1} b USING (node)
+                      WHERE a.lab <> b.lab)
+           OR EXISTS (SELECT 1 FROM {D} WHERE dist IS NULL)
+           OR EXISTS (SELECT 1 FROM w{walk_rounds} WHERE a <> b)
+           OR EXISTS (SELECT 1 FROM {A} a JOIN a{aux_rounds - 1} b
+                      USING (node) WHERE a.lab <> b.lab)""")
+    return "".join(parts)
+
+
 def _ann_lsh_oracle_sql(k: int = 10, tables: int = 12, bits: int = 6,
                         seed: int = 13) -> str:
     """ann_lsh_topk oracle: the sign-LSH bucketing rebuilt in SQL —
@@ -1415,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
                              ELSE CAST(x AS HUGEINT) END AS BIGINT)
                        AS fingerprint
             FROM fp""",
+        "graph_bcc_labels": _bcc_labels_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
         "minhash_dedup_docs": _minhash_dedup_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),

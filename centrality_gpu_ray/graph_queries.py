@@ -237,10 +237,13 @@ def lineitem_katz_fixed(sf_dir: str, supersteps: int = 8,
 
 
 def lineitem_bcc_labels(sf_dir: str):
-    """Per-edge biconnected-component labels over the lineitem graph."""
-    from centrality_gpu_ray.pipelines.bicc import bcc_labels
+    """Per-edge biconnected-component labels over the (cyclic) lineitem
+    graph, canonicalized to the min member-edge key so the driver row
+    is value-hash-checked against an independent SQL BCC derivation
+    (fundamental-cycle gluing over the oracle's own BFS forest)."""
+    from centrality_gpu_ray.pipelines.bicc import bcc_labels_canonical
 
-    return bcc_labels(lineitem_graph(sf_dir))
+    return bcc_labels_canonical(lineitem_graph(sf_dir))
 
 
 def orders_bcc_labels(sf_dir: str):

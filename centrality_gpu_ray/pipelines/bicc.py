@@ -278,6 +278,57 @@ def articulation_points(graph: Graph, config: EngineConfig | None = None,
     })
 
 
+def bcc_labels_canonical(graph: Graph, config: EngineConfig | None = None,
+                         metrics: dict | None = None):
+    """Per-edge BCC labels with an IMPLEMENTATION-INDEPENDENT label:
+    the minimum canonical edge key ``min(src,dst)·2³² + max(src,dst)``
+    (original ids) over the component's member edges. Any correct BCC
+    partition yields bit-identical output, which lets the cyclic-graph
+    ``graph_bcc_labels`` driver row be value-hash-checked against an
+    independent SQL derivation (fundamental-cycle gluing over the
+    oracle's OWN BFS forest — a different spanning tree than the
+    engine's, so agreement genuinely cross-checks the partition).
+    Works on both the dense-path Table and the distributed Dataset."""
+    t = bcc_labels(graph, config, metrics)
+    if isinstance(t, pa.Table):
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        if src.size and max(int(src.max()), int(dst.max())) >= (1 << 31):
+            raise ValueError("node ids >= 2^31 break the canonical key")
+        key = (np.minimum(src, dst).astype(np.int64) << np.int64(32)) \
+            | np.maximum(src, dst).astype(np.int64)
+        lab = t.column("bcc").to_numpy()
+        uniq, inv = np.unique(lab, return_inverse=True)
+        mins = np.full(uniq.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mins, inv, key)
+        return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                         "bcc": pa.array(mins[inv])})
+    # distributed path: min key per raw label via one hash exchange,
+    # then a lookup join re-attaches the canonical label
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_lookup_join)
+
+    def add_key(tbl: pa.Table) -> pa.Table:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        if s.size and max(int(s.max()), int(d.max())) >= (1 << 31):
+            raise ValueError("node ids >= 2^31 break the canonical key")
+        key = (np.minimum(s, d).astype(np.int64) << np.int64(32)) \
+            | np.maximum(s, d).astype(np.int64)
+        return tbl.append_column("_key", pa.array(key))
+
+    keyed = t.map_batches(add_key, batch_format="pyarrow")
+    mins = hash_aggregate(keyed.select_columns(["bcc", "_key"]), ["bcc"],
+                          [("_key", "min")])
+    joined = hash_lookup_join(keyed, mins, "bcc", "bcc",
+                              {"_key": "_canon"})
+    return joined.map_batches(
+        lambda tb: pa.table({"src": tb.column("src"),
+                             "dst": tb.column("dst"),
+                             "bcc": tb.column("_canon")}),
+        batch_format="pyarrow")
+
+
 def bcc_labels(graph: Graph, config: EngineConfig | None = None,
                metrics: dict | None = None):
     """Per-edge biconnected-component labels ``(src, dst, bcc)`` in
