@@ -1,0 +1,404 @@
+"""Degree-2 chain compression for per-BCC Brandes (reference Path C).
+
+The reference never runs a full Brandes pass from a vertex on a
+degree-2 chain: chain vertices' d/sigma vectors are derived from the
+two chain endpoints' SAVED vectors (elementwise min / sigma-sum
+combine, ``postprocesses.cu:8-203``) after an ear walk orders the
+chain (``bcc_bfs.cpp:928-1311``).  This module is that optimization
+re-derived for the Ray engine's mass-weighted per-BCC kernel
+(``pipelines/bc_decomp.py``), closed-form instead of saved n x k
+matrices:
+
+Let B be one biconnected component, ``int(j)`` the interior (deg-2)
+vertices of a maximal chain j between anchors ``u != v`` (anchors have
+deg >= 3 in B; u == v would make u an articulation point of B, which
+cannot happen inside one BCC), and ``G_j = B minus int(j)``.  Interior
+vertices have no edges outside the chain, so
+
+* any simple path from ``c`` in int(j) to ``t`` outside it leaves via
+  u or v and never re-enters int(j):
+  ``d(c,t) = min(a + d_Gj(u,t), b + d_Gj(v,t))``,
+  ``sigma(c,t) = [left wins] sigma_Gj(u,t) + [right wins]
+  sigma_Gj(v,t)`` (a, b = exact chain offsets of c to u, v); and
+* ``G_j`` stays connected: B has two internally-disjoint u-v paths, any
+  path touching int(j) enters through u or v, so at most one of the
+  two is the chain itself.
+
+Two saved-d/sigma/DAG sweeps per chain (from u and v over G_j) then
+recover ALL contributions of the chain's sources:
+
+* **cross pairs** (c on chain, t in G_j): with ``g_i = a_i - b_i``
+  strictly increasing along the chain and ``q_t = Du[t] - Dv[t]``, the
+  left route wins exactly on the prefix ``g_i < -q_t`` with at most
+  one tie index — so the per-target seed
+  ``h_u[t] = w(t) * sum_c w(c) * shareL(c,t)`` and the per-source
+  target-mass sums ``SL/SR`` are prefix/suffix sums after one
+  searchsorted, O((n + k) log k) per chain, no k x n matrix.  One
+  seeded DAG back-propagation per endpoint credits every G_j
+  intermediate; u itself lies on every via-u path; interior positions
+  between c and its exit anchor are credited by O(k) difference
+  arrays.
+* **same-chain pairs** (c at i < c' at i'): exactly two route classes —
+  the intra segment (length ``D = a_i' - a_i``, one path) and the
+  around route ``c->u ->G_j-> v->c'`` (length ``a_i + Duv + b_i'``,
+  ``sigma_Gj(u,v)`` paths; the mirror exit via v is longer by
+  ``L + Duv`` and never competes).  Intra wins iff
+  ``2*D < L + Duv`` — a single threshold, so winner sets are chain
+  suffixes with monotone boundaries and every credit (positions
+  between, positions outside, u/v scalars, a G_j seed at the far
+  anchor) folds into prefix sums, O(k log k) per chain.
+
+Anchor (and short-chain) sources still sweep the full per-BCC graph
+with the existing kernel, so per-BCC cost drops from ``n_B * m_B`` to
+``(A + 2J) * m_B`` + O((n_B + k) log k) per chain — the win the
+reference's Path C buys on road-network / linked-list shaped blocks.
+Integer edge weights (or unit hops) keep every distance comparison
+exact (``_validate_bc_weights``).
+
+Parity vs the plain all-sources kernel is tested on chain-planted
+random graphs, theta graphs, weighted variants and non-unit mass
+vectors in ``tests/test_bc_chain.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# compress only chains with at least this many interior vertices: a
+# compressed chain costs 2 sweeps + O(n log k); a plain pass costs k
+# sweeps of O(m)
+MIN_CHAIN_LEN = 4
+
+
+# ---------------------------------------------------------------------------
+# saved-vector SSSP/BFS: dist, sigma AND the DAG, with custom-seed
+# dependency accumulation (the "saved d/sigma rows" of
+# kernels_active.cu:544-552, generalized to arbitrary per-target seeds)
+# ---------------------------------------------------------------------------
+
+def _sssp_dag(S: np.ndarray, D: np.ndarray, WE: np.ndarray, n: int,
+              src: int, weighted: bool):
+    """Single-source shortest paths over the (masked) edge list →
+    ``(dist, sigma, eu_s, ev_s, bounds)``; DAG edges bucketed by
+    ascending source-side distance.  Distances are float64 but
+    integer-valued (unit hops / validated integer weights), so DAG
+    membership tests are exact."""
+    dist = np.full(n, np.inf)
+    dist[src] = 0.0
+    if weighted:
+        while True:
+            du, dv = dist[S], dist[D]
+            new = dist.copy()
+            np.minimum.at(new, D, du + WE)
+            np.minimum.at(new, S, dv + WE)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+    else:
+        # CSR frontier BFS (O(m) total, not O(diam * m) edge rescans)
+        from centrality_gpu_ray.nputil import ragged_arange
+        u = np.concatenate([S, D])
+        v = np.concatenate([D, S])
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        R = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(u, minlength=n), out=R[1:])
+        frontier = np.array([src], dtype=np.int64)
+        lvl = 0.0
+        while frontier.size:
+            starts, ends = R[frontier], R[frontier + 1]
+            if int((ends - starts).sum()) == 0:
+                break
+            idx = np.repeat(starts, ends - starts) + ragged_arange(
+                ends - starts)
+            nbrs = v[idx]
+            new = np.unique(nbrs[np.isinf(dist[nbrs])])
+            if new.size == 0:
+                break
+            lvl += 1.0
+            dist[new] = lvl
+            frontier = new
+
+    du, dv = dist[S], dist[D]
+    fwd = np.isfinite(du) & (dv == du + WE)
+    bwd = np.isfinite(dv) & (du == dv + WE)
+    eu = np.concatenate([S[fwd], D[bwd]])
+    ev = np.concatenate([D[fwd], S[bwd]])
+    deu = dist[eu]
+    order = np.argsort(deu, kind="stable")
+    eu_s, ev_s, deu_s = eu[order], ev[order], deu[order]
+    uniq_d, bstart = np.unique(deu_s, return_index=True)
+    bounds = np.append(bstart, eu_s.size)
+
+    sigma = np.zeros(n)
+    sigma[src] = 1.0
+    for b in range(uniq_d.size):
+        lo, hi = bounds[b], bounds[b + 1]
+        np.add.at(sigma, ev_s[lo:hi], sigma[eu_s[lo:hi]])
+    return dist, sigma, eu_s, ev_s, bounds
+
+
+def _accumulate_seeds(n: int, sigma: np.ndarray, eu_s: np.ndarray,
+                      ev_s: np.ndarray, bounds: np.ndarray,
+                      h: np.ndarray) -> np.ndarray:
+    """Generalized Brandes back-propagation:
+    ``delta[x] = sum_t h[t] * (#paths src->t through x) / sigma[t]``
+    for x not in {src, t}.  ``h`` is an arbitrary per-target seed —
+    the chain passes encode pair masses and route shares in it."""
+    delta = np.zeros(n)
+    for b in range(bounds.size - 2, -1, -1):
+        lo, hi = bounds[b], bounds[b + 1]
+        uu, vv = eu_s[lo:hi], ev_s[lo:hi]
+        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (h[vv] + delta[vv]))
+    return delta
+
+
+# ---------------------------------------------------------------------------
+# chain detection: doubling-based list ranking (no per-vertex Python walk)
+# ---------------------------------------------------------------------------
+
+def detect_chains(lu: np.ndarray, lv: np.ndarray, ew: np.ndarray, nv: int):
+    """Maximal degree-2 chains of one localized BCC.
+
+    Returns ``None`` when there is nothing to compress (pure cycle — no
+    anchors — or no interior run of >= MIN_CHAIN_LEN), else a dict with
+
+    * ``interior``: bool[nv] — vertices of COMPRESSED chains only
+    * ``chains``: list of ``(u, v, order, a, b)``: anchors, interior
+      vertex ids ordered u-side -> v-side, and their exact chain
+      distances to u / b to v (integer-valued float64)
+
+    Ordering comes from pointer-doubling list ranking over directed
+    "arrived-at-x-from-p" states — O(E_chain log k) total, never a
+    Python walk (the ear walk of ``bcc_bfs.cpp:928-1311``, without
+    masters)."""
+    deg = np.bincount(np.concatenate([lu, lv]), minlength=nv)
+    is_int = deg == 2
+    n_int = int(is_int.sum())
+    if n_int < MIN_CHAIN_LEN or n_int == nv:  # nothing / pure cycle
+        return None
+
+    # directed states: one per (edge, interior head): s = (prev -> head)
+    head = np.concatenate([lv, lu]).astype(np.int64)
+    prev = np.concatenate([lu, lv]).astype(np.int64)
+    wall = np.concatenate([ew, ew]).astype(np.float64)
+    keep = is_int[head]
+    head, prev, wst = head[keep], prev[keep], wall[keep]
+    S = head.size  # == 2 * n_int
+
+    # the two states of each interior head are each other's partner;
+    # continuing from (p -> x) goes to x's OTHER neighbor
+    o = np.argsort(head, kind="stable")
+    partner = np.empty(S, dtype=np.int64)
+    partner[o[0::2]] = o[1::2]
+    partner[o[1::2]] = o[0::2]
+    nxt_v = prev[partner]   # y: the neighbor of head away from prev
+    nxt_w = wst[partner]    # weight(head, y)
+
+    # successor state (head -> y) = y's state with prev == head
+    key = head * nv + prev
+    kord = np.argsort(key, kind="stable")
+    ks = key[kord]
+    succ_key = nxt_v * nv + head
+    y_int = is_int[nxt_v]
+    succ = np.full(S, -1, dtype=np.int64)
+    pos = np.searchsorted(ks, succ_key[y_int])
+    succ[y_int] = kord[pos]
+
+    # doubling: forward (away from prev) to the terminal anchor:
+    # dterm = dist(head -> anchor), term = that anchor, mn = min
+    # interior id on that side (inclusive of head)
+    term = np.where(y_int, -1, nxt_v)
+    dterm = nxt_w.copy()
+    mn = head.copy()
+    jmp = succ.copy()
+    while (jmp >= 0).any():
+        act = jmp >= 0
+        t = jmp[act]
+        mn[act] = np.minimum(mn[act], mn[t])
+        dterm[act] = dterm[act] + dterm[t]
+        term[act] = term[t]
+        jmp[act] = jmp[t]
+
+    # per interior vertex: its two states give the two ends
+    s1, s2 = o[0::2], o[1::2]
+    vx = head[s1]
+    t1, t2 = term[s1], term[s2]
+    d1, d2 = dterm[s1], dterm[s2]
+    chain_min = np.minimum(mn[s1], mn[s2])  # chain identity (handles
+    # parallel chains between the same anchor pair)
+    swap = np.where(t1 == t2, d1 > d2, t1 > t2)  # u = smaller anchor
+    ua = np.where(swap, t2, t1)
+    va = np.where(swap, t1, t2)
+    da = np.where(swap, d2, d1)
+    db = np.where(swap, d1, d2)
+
+    cs = np.argsort(chain_min, kind="stable")
+    cms = chain_min[cs]
+    starts = np.flatnonzero(np.r_[True, cms[1:] != cms[:-1]])
+    starts = np.append(starts, cms.size)
+    chains = []
+    interior = np.zeros(nv, dtype=bool)
+    for ci in range(starts.size - 1):
+        sl = cs[starts[ci]:starts[ci + 1]]
+        if sl.size < MIN_CHAIN_LEN:
+            continue  # short chain: its vertices stay plain sources
+        sl = sl[np.argsort(da[sl], kind="stable")]
+        chains.append((int(ua[sl[0]]), int(va[sl[0]]),
+                       vx[sl], da[sl], db[sl]))
+        interior[vx[sl]] = True
+    if not chains:
+        return None
+    return {"interior": interior, "chains": chains}
+
+
+# ---------------------------------------------------------------------------
+# per-chain source contributions (closed-form, prefix-sum based)
+# ---------------------------------------------------------------------------
+
+def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
+    """Contributions of ALL sources interior to one compressed chain →
+    dense float64[nv] accumulator — exactly what ``k`` plain
+    mass-weighted sweeps from those sources would add (tested)."""
+    u, v, order, a, b = chain
+    k = order.size
+    acc = np.zeros(nv)
+    wc = mass[order].astype(np.float64)
+    W = np.zeros(k + 1)
+    np.cumsum(wc, out=W[1:])            # W[i] = sum of wc[:i]
+    Wtot = W[k]
+    L = float(a[0] + b[0])
+
+    # G_j: drop every edge touching this chain's interior
+    onchain = np.zeros(nv, dtype=bool)
+    onchain[order] = True
+    em = ~(onchain[lu] | onchain[lv])
+    S, D, WE = lu[em], lv[em], ew[em]
+    Du, sigu, eu_u, ev_u, bnd_u = _sssp_dag(S, D, WE, nv, u, weighted)
+    Dv, sigv, eu_v, ev_v, bnd_v = _sssp_dag(S, D, WE, nv, v, weighted)
+    Duv = float(Du[v])
+    suv = float(sigu[v])
+    if not np.isfinite(Duv) or suv <= 0.0:
+        raise AssertionError(
+            "bc_chain: G_j disconnected between chain anchors — "
+            "violates the biconnectivity invariant")
+
+    h_u = np.zeros(nv)                  # seeded-accumulation targets
+    h_v = np.zeros(nv)
+    seg = np.zeros(k + 1)               # chain-position diff array
+
+    # ---- cross pairs (c on chain, t in G_j) ----
+    tlist = np.flatnonzero(~onchain)
+    wt = mass[tlist].astype(np.float64)
+    DuT, DvT = Du[tlist], Dv[tlist]
+    suT, svT = sigu[tlist], sigv[tlist]
+    g = a - b                           # strictly increasing
+    negq = DvT - DuT                    # left wins iff g_i < -q_t
+    lo_t = np.searchsorted(g, negq, side="left")
+    hi_t = np.searchsorted(g, negq, side="right")  # hi - lo <= 1
+    tie = hi_t > lo_t
+    st = suT + svT
+    tieL = np.where(tie, wc[np.minimum(lo_t, k - 1)] * suT / st, 0.0)
+    tieR = np.where(tie, wc[np.minimum(lo_t, k - 1)] * svT / st, 0.0)
+    h_u[tlist] = wt * (W[lo_t] + tieL)
+    h_v[tlist] = wt * ((Wtot - W[hi_t]) + tieR)
+
+    # per-source target-mass sums SL/SR via boundary histograms
+    BL = np.bincount(lo_t, weights=wt, minlength=k + 1)
+    BH = np.bincount(hi_t, weights=wt, minlength=k + 1)
+    SL = np.cumsum(BL[::-1])[::-1][1:]  # SL[i] = sum_{l > i} BL[l]
+    SR = np.cumsum(BH)[:k]              # SR[i] = sum_{l <= i} BH[l]
+    if tie.any():
+        ti = lo_t[tie]
+        np.add.at(SL, ti, wt[tie] * suT[tie] / st[tie])
+        np.add.at(SR, ti, wt[tie] * svT[tie] / st[tie])
+
+    # u/v exit credits need no explicit term: the seeded accumulation
+    # credits its DAG source with sum_t h[t] (every path passes it),
+    # and h_u[u] == 0 provides the t == u exclusion.
+
+    # chain positions: p gets sum_{i>p} wc_i*SL[i] + sum_{i<p} wc_i*SR[i]
+    wSL, wSR = wc * SL, wc * SR
+    seg[0] += wSL.sum()
+    np.subtract.at(seg, np.arange(k), wSL)
+    np.add.at(seg, np.arange(k) + 1, wSR)
+
+    # ---- same-chain pairs (unordered i < i', credits doubled) ----
+    # routes: intra (length D = a_i' - a_i, 1 path) vs around
+    # (a_i + Duv + b_i', suv paths); intra wins iff 2D < L + Duv.
+    # exact integer comparisons via doubled offsets
+    a2 = 2.0 * a
+    cut = a2 + (L + Duv)
+    lt = np.searchsorted(a2, cut, side="left")    # intra: i < i' < lt_i
+    rs = np.searchsorted(a2, cut, side="right")   # around: i' >= rs_i
+    # intra strict: credit positions p in (i, i'), summed in closed
+    # form using monotone lt (suffix of valid i per position)
+    ltc = np.minimum(lt, k)
+    Z = wc * W[ltc]
+    PZ = np.zeros(k + 1)
+    np.cumsum(Z, out=PZ[1:])
+    p = np.arange(k)
+    i0 = np.searchsorted(ltc, p + 2, side="left")
+    intra_credit = 2.0 * ((PZ[p] - PZ[np.minimum(i0, p)])
+                          - W[np.minimum(p + 1, k)]
+                          * (W[p] - W[np.minimum(i0, p)]))
+    acc_chain = intra_credit
+    # around strict: pairs (i, i' >= rs_i)
+    pair_i = wc * (Wtot - W[np.minimum(rs, k)])   # per-i around mass
+    total_around = float(pair_i.sum())
+    # per-i' around mass: i < ls_i' with 2a_i < 2a_i' - (L + Duv)
+    ls = np.searchsorted(a2, a2 - (L + Duv), side="left")
+    pair_j = wc * W[np.minimum(ls, k)]
+    # G_j interiors of around routes: seed ONCE (at v, in u's DAG —
+    # seeding symmetrically at u in v's DAG would double-credit the
+    # same u->v path interiors).  u's share arrives via the source
+    # credit of u's accumulation; v is the seed TARGET there (the
+    # x == t exclusion skips it), so v's share is the one explicit
+    # scalar of the whole pass.
+    h_u[v] += 2.0 * total_around
+    around_v = 2.0 * total_around
+    # positions p < i (segment c_i -> u) and p > i' (segment v -> c_i')
+    seg2 = np.zeros(k + 1)
+    seg2[0] += 2.0 * pair_i.sum()
+    np.subtract.at(seg2, np.arange(k), 2.0 * pair_i)
+    np.add.at(seg2, np.arange(k) + 1, 2.0 * pair_j)
+    # ties: 2D == L + Duv, at most one i' per i (a strictly increasing)
+    has_tie = lt < rs
+    if has_tie.any():
+        ii = np.flatnonzero(has_tie)
+        jj = lt[ii]
+        ok = jj > ii                      # tie partner must be above i
+        ii, jj = ii[ok], jj[ok]
+        if ii.size:
+            stt = 1.0 + suv
+            w2 = wc[ii] * wc[jj]
+            am_in = 2.0 * w2 / stt        # intra share
+            am_ar = 2.0 * w2 * suv / stt  # around share
+            np.add.at(seg2, ii + 1, am_in)
+            np.subtract.at(seg2, jj, am_in)
+            np.subtract.at(seg2, ii, am_ar)   # [0, i) prefix ...
+            seg2[0] += am_ar.sum()
+            np.add.at(seg2, jj + 1, am_ar)    # (i', k) suffix
+            h_u[v] += float(am_ar.sum())
+            around_v += float(am_ar.sum())
+    acc_chain = acc_chain + np.cumsum(seg2[:k]) + np.cumsum(seg[:k])
+
+    # ---- G_j intermediates: one seeded accumulation per endpoint ----
+    h_u[u] = 0.0
+    h_v[v] = 0.0
+    acc += _accumulate_seeds(nv, sigu, eu_u, ev_u, bnd_u, h_u)
+    acc += _accumulate_seeds(nv, sigv, eu_v, ev_v, bnd_v, h_v)
+    acc[v] += around_v
+    acc[order] = acc_chain   # chain interiors are outside G_j: the
+    # accumulations cannot touch them, their only credits are the
+    # position terms
+    return acc
+
+
+def chain_pass(lu, lv, ew, nv, mass, weighted, chains,
+               lo: int, hi: int) -> np.ndarray:
+    """Contributions of chains[lo:hi] → dense float64[nv]."""
+    acc = np.zeros(nv)
+    for chain in chains[lo:hi]:
+        acc += _chain_contribution(lu, lv, ew, nv, mass, weighted, chain)
+    return acc

@@ -60,6 +60,9 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.bc_chain import (MIN_CHAIN_LEN,
+                                                   chain_pass,
+                                                   detect_chains)
 from centrality_gpu_ray.pipelines.bicc import (_preorder_and_sizes,
                                                _ragged, biconnected)
 from centrality_gpu_ray.pipelines.brandes import (
@@ -166,12 +169,13 @@ def _localize_bcc(eu: np.ndarray, ev: np.ndarray,
 
 def _bcc_sources_pass(lu: np.ndarray, lv: np.ndarray, ew: np.ndarray,
                       nv: int, mass: np.ndarray, weighted: bool,
-                      lo: int, hi: int, R, C) -> np.ndarray:
-    """Reach-weighted dependency accumulation for sources [lo, hi) of
-    one localized BCC (the reference's ``apsp_graph.cpp:229-252``
-    accumulate with reach values)."""
+                      sources, R, C) -> np.ndarray:
+    """Reach-weighted dependency accumulation for the given source
+    list of one localized BCC (the reference's
+    ``apsp_graph.cpp:229-252`` accumulate with reach values)."""
     acc = np.zeros(nv, dtype=np.float64)
-    for srci in range(lo, hi):
+    for srci in sources:
+        srci = int(srci)
         if weighted:
             delta = _single_source_dependencies_weighted(
                 lu, lv, ew, nv, srci, mass=mass)
@@ -203,6 +207,7 @@ class _DecompBrandesActor:
         self.weighted = weighted
         self._cached_k = -1
         self._cached = None
+        self._cached_det = -1
 
     def _bcc_arrays(self, k: int):
         if k == self._cached_k:
@@ -214,18 +219,57 @@ class _DecompBrandesActor:
                               self.weighted)
         self._cached_k = k
         self._cached = local + (self.ew[lo:hi],)
+        self._cached_det = -1  # chain detection is computed lazily
         return self._cached
+
+    def _chain_struct(self, k: int):
+        """detect_chains result + the plain-source list for compressed
+        BCC ``k`` (cached alongside the localization)."""
+        if k == self._cached_k and self._cached_det != -1:
+            return self._cached_det
+        verts, lu, lv, nv, mass, R, C, ew = self._bcc_arrays(k)
+        det = detect_chains(lu, lv, ew, nv)
+        if det is None:
+            plain = np.arange(nv, dtype=np.int64)
+            chains = []
+        else:
+            plain = np.flatnonzero(~det["interior"])
+            chains = det["chains"]
+        self._cached_det = (plain, chains)
+        return self._cached_det
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ks = batch.column("k").to_numpy()
         los = batch.column("lo").to_numpy()
         his = batch.column("hi").to_numpy()
+        kinds = (batch.column("kind").to_numpy()
+                 if "kind" in batch.column_names
+                 else np.zeros(ks.size, dtype=np.int64))
         out_v: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
-        for k, lo, hi in zip(ks, los, his):
+        for k, lo, hi, kind in zip(ks, los, his, kinds):
             verts, lu, lv, nv, mass, R, C, ew = self._bcc_arrays(int(k))
-            acc = _bcc_sources_pass(lu, lv, ew, nv, mass, self.weighted,
-                                    int(lo), int(hi), R, C)
+            if kind == 0:
+                acc = _bcc_sources_pass(
+                    lu, lv, ew, nv, mass, self.weighted,
+                    range(int(lo), int(hi)), R, C)
+            elif kind == 1:
+                # slice lo of hi over the compressed BCC's plain
+                # (anchor + short-chain) source list
+                plain, _ = self._chain_struct(int(k))
+                srcs = np.array_split(plain, int(hi))[int(lo)]
+                acc = _bcc_sources_pass(lu, lv, ew, nv, mass,
+                                        self.weighted, srcs, R, C)
+            else:
+                # slice lo of hi over the chain list
+                _, chains = self._chain_struct(int(k))
+                nit = int(hi)
+                cl = (len(chains) * int(lo)) // nit
+                ch = (len(chains) * (int(lo) + 1)) // nit
+                if ch <= cl:
+                    continue
+                acc = chain_pass(lu, lv, ew, nv, mass, self.weighted,
+                                 chains, cl, ch)
             nz = np.flatnonzero(acc)
             out_v.append(verts[nz])
             out_c.append(acc[nz])
@@ -293,6 +337,23 @@ def betweenness_decomposed(graph: Graph,
     newv = np.r_[True, (bb[1:] != bb[:-1]) | (vv[1:] != vv[:-1])]
     nverts = np.bincount(bb[newv], minlength=nb)
 
+    # per-(BCC, vertex) degrees → deg-2 interior counts and chain
+    # counts per BCC (drives the chain-compression item split; the
+    # interior subgraph of a BCC is a disjoint union of paths, so
+    # #chains = #deg2 − #edges-with-both-endpoints-deg2)
+    ub_v, uv_v = bb[newv], vv[newv]
+    bnds = np.append(np.flatnonzero(newv), bb.size)
+    degcnt = np.diff(bnds)
+    n2 = np.bincount(ub_v[degcnt == 2], minlength=nb)
+    ukey = ub_v * np.int64(n + 1) + uv_v            # sorted
+    ks_ = eb * np.int64(n + 1)
+    d_s = degcnt[np.searchsorted(ukey, ks_ + es)]
+    d_d = degcnt[np.searchsorted(ukey, ks_ + ed)]
+    both2 = (d_s == 2) & (d_d == 2)
+    e_int = np.bincount(eb[both2], minlength=nb)
+    jcnt = n2 - e_int
+    compk = (n2 >= MIN_CHAIN_LEN) & (n2 < nverts)
+
     # work items: only BCCs with an interior (≥3 vertices); giant BCCs
     # split by source range so one block never serializes the pool
     kk = np.flatnonzero(nverts >= 3)
@@ -313,16 +374,45 @@ def betweenness_decomposed(graph: Graph,
         kk = kk[~ic]
     bc = cf  # accumulate into the closed-form vector
     work_dec = 0
+    n_comp = int(compk[kk].sum()) if kk.size else 0
     if kk.size:
-        mm = (boffs[kk + 1] - boffs[kk]).astype(np.int64)
-        work_dec = int((nverts[kk] * mm).sum())
+        plain_k = kk[~compk[kk]]
+        comp_kk = kk[compk[kk]]
+        mm = (boffs[plain_k + 1] - boffs[plain_k]).astype(np.int64)
+        work_dec = int((nverts[plain_k] * mm).sum())
         per = np.maximum(1, _ITEM_EDGE_OPS // np.maximum(mm, 1))
-        nitems = -(-nverts[kk] // per)
-        item_k = np.repeat(kk, nitems)
+        nitems = -(-nverts[plain_k] // per)
+        item_k = np.repeat(plain_k, nitems)
         item_per = np.repeat(per, nitems)
         item_lo = _ragged(nitems) * item_per
         item_hi = np.minimum(item_lo + item_per,
-                             np.repeat(nverts[kk], nitems))
+                             np.repeat(nverts[plain_k], nitems))
+        item_kind = np.zeros(item_k.size, dtype=np.int64)
+        if comp_kk.size:
+            # chain-compressed BCCs (reference Path C): items are
+            # "slice i of nitems" over the actor-derived plain-source
+            # and chain lists — the driver only sizes them from its
+            # estimates (anchors ≈ nv − n2; chain sweeps ≈ 2J·m)
+            cm = (boffs[comp_kk + 1] - boffs[comp_kk]).astype(np.int64)
+            est_src = np.maximum(nverts[comp_kk] - n2[comp_kk], 1)
+            cwork = 2 * jcnt[comp_kk] * cm + n2[comp_kk] + nverts[comp_kk]
+            work_dec += int((est_src * cm + cwork).sum())
+            np_items = -(-(est_src * cm) // _ITEM_EDGE_OPS)
+            np_items = np.maximum(np_items, 1)
+            nc_items = np.minimum(np.maximum(-(-cwork)
+                                             // _ITEM_EDGE_OPS, 1),
+                                  np.maximum(jcnt[comp_kk], 1))
+            item_k = np.concatenate([
+                item_k, np.repeat(comp_kk, np_items),
+                np.repeat(comp_kk, nc_items)])
+            item_lo = np.concatenate([
+                item_lo, _ragged(np_items), _ragged(nc_items)])
+            item_hi = np.concatenate([
+                item_hi, np.repeat(np_items, np_items),
+                np.repeat(nc_items, nc_items)])
+            item_kind = np.concatenate([
+                item_kind, np.ones(int(np_items.sum()), dtype=np.int64),
+                np.full(int(nc_items.sum()), 2, dtype=np.int64)])
 
         # masses sorted by (bcc, vertex) with per-BCC offsets
         if m_b.size:
@@ -337,7 +427,8 @@ def betweenness_decomposed(graph: Graph,
 
         items = pa.table({"k": pa.array(item_k.astype(np.int64)),
                           "lo": pa.array(item_lo.astype(np.int64)),
-                          "hi": pa.array(item_hi.astype(np.int64))})
+                          "hi": pa.array(item_hi.astype(np.int64)),
+                          "kind": pa.array(item_kind)})
         # a list of single-row-group tables → one block per slice, so
         # the pool actually fans out (a single from_arrow table is one
         # block = one task)
@@ -362,6 +453,7 @@ def betweenness_decomposed(graph: Graph,
             "sec": elapsed,
             "num_bcc": int(nb),
             "num_bcc_run": int(kk.size),
+            "num_bcc_chain_compressed": n_comp,
             "work_decomposed_edge_ops": work_dec,
             "work_plain_edge_ops": int(n) * int(s.size),
             "num_articulation_points":
@@ -450,20 +542,39 @@ def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
             s[lo:hi], d[lo:hi], ma[mlo:mhi], mw[mlo:mhi], weighted)
         if nv < 3:
             continue
+        # degree-2 chain compression (reference Path C): chains of
+        # deg-2 vertices contribute via two saved-vector sweeps per
+        # chain instead of k full passes (pipelines/bc_chain.py)
+        det = None
+        deg2 = int((np.bincount(np.concatenate([lu, lv]),
+                                minlength=nv) == 2).sum())
+        if MIN_CHAIN_LEN <= deg2 < nv:
+            det = detect_chains(lu, lv, w[lo:hi], nv)
+        if det is None:
+            srcs = range(nv)
+            eff_src = nv
+        else:
+            srcs = np.flatnonzero(~det["interior"])
+            eff_src = srcs.size + 2 * len(det["chains"])
         # the real serial-task bound is WORK (sources × edges), not
         # edge count — a 300k-vertex / 500k-edge block passes any sane
-        # edge cap yet costs 1.5e11 edge-ops in this one reducer
-        if nv * (hi - lo) > work_cap:
+        # edge cap yet costs 1.5e11 edge-ops in this one reducer.
+        # Chain compression counts its 2-sweeps-per-chain cost here.
+        if eff_src * (hi - lo) > work_cap:
             raise ValueError(
                 f"betweenness_decomposed (distributed): biconnected "
-                f"component {int(ub[k])} needs {nv} sources × "
-                f"{int(hi - lo)} edges = {nv * int(hi - lo):.2e} "
-                f"edge-ops > decomp_bcc_work_cap={work_cap:.2e} in one "
+                f"component {int(ub[k])} needs {eff_src} effective "
+                f"sources × {int(hi - lo)} edges = "
+                f"{eff_src * int(hi - lo):.2e} edge-ops > "
+                f"decomp_bcc_work_cap={work_cap:.2e} in one "
                 "reducer task. Use sampled betweenness_centrality("
                 "max_sources=k) for the giant core, or raise "
                 "config.extra['decomp_bcc_work_cap'].")
         acc = _bcc_sources_pass(lu, lv, w[lo:hi], nv, mass, weighted,
-                                0, nv, R, C)
+                                srcs, R, C)
+        if det is not None:
+            acc += chain_pass(lu, lv, w[lo:hi], nv, mass, weighted,
+                              det["chains"], 0, len(det["chains"]))
         nz = np.flatnonzero(acc)
         out_v.append(verts[nz])
         out_c.append(acc[nz])
