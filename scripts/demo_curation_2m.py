@@ -46,8 +46,10 @@ def main() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
+    import pyarrow.compute as pc
+
     from centrality_gpu_ray.functions.contamination import contamination_check
-    from centrality_gpu_ray.functions.dedup import exact_dedup
+    from centrality_gpu_ray.functions.dedup import exact_dedup, minhash_dedup
     from centrality_gpu_ray.functions.packing import pack_sequences
     from centrality_gpu_ray.functions.sampling import mixture_sample
     from centrality_gpu_ray.functions.sketch import hll_distinct_tokens
@@ -83,6 +85,69 @@ def main() -> dict:
     assert 0 < n_unique <= n_rows
     out["counts"]["unique_docs"] = n_unique
     _mark("exact_dedup")
+
+    # MinHash→LSH→Jaccard-verify→CC near-dup funnel at full corpus
+    # size with PLANTED near-duplicates and EXACT survivor arithmetic.
+    # The snippet-template corpus above is pathologically
+    # self-similar (its LSH buckets hit BUCKET_CAP by design — that
+    # cap behavior is tested elsewhere); a realistic post-exact-dedup
+    # web corpus is diverse, so the funnel runs over a second 2M-doc
+    # synthesis: 25 random tokens each from a 50k vocab (two distinct
+    # docs share essentially no 3-grams, so natural J≥0.7 pairs do
+    # not exist and the arithmetic is exact). 2,000 docs get a
+    # companion at doc_id + 2^40 whose text appends one token
+    # (3-gram Jaccard (T-2)/(T-1) ≈ 0.96): every companion must land
+    # in its source's cluster and die (the source id is the smaller),
+    # and keepers must count to exactly n_rows.
+    n_plant = 2_000
+
+    @ray.remote
+    def gen_diverse(c: int) -> pa.Table:
+        rng = np.random.default_rng(7700 + c)
+        toks = rng.integers(0, 50_000, size=(chunk, 25))
+        texts = [" ".join(map(str, row)) for row in toks]
+        return pa.table({
+            "doc_id": pa.array(np.arange(c * chunk, (c + 1) * chunk,
+                                         dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    nd_docs = ray.data.from_arrow_refs(
+        [gen_diverse.remote(c) for c in range(CHUNKS)]).materialize()
+    seed_pd = nd_docs.limit(n_plant).to_pandas()
+    comp_tbl = pa.table({
+        "doc_id": pa.array(seed_pd["doc_id"].to_numpy() + 2 ** 40),
+        "text": pa.array((seed_pd["text"] + " zqv").tolist(),
+                         type=pa.string()),
+    })
+    near_in = nd_docs.union(ray.data.from_arrow(comp_tbl))
+    _mark("near_dup_synthesize")
+    near = minhash_dedup(near_in, threshold=0.7).materialize()
+    comp_rows = near.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 2 ** 40)),
+        batch_format="pyarrow").to_pandas()
+    assert len(comp_rows) == n_plant
+    assert not comp_rows["keep"].any()          # every companion dies
+    src_ids = set(seed_pd["doc_id"].tolist())
+    src_rows = near.map_batches(
+        lambda t, _s=src_ids: t[t["doc_id"].isin(_s)],
+        batch_format="pandas", batch_size=8192).to_pandas()
+    merged = comp_rows.assign(src=comp_rows["doc_id"] - 2 ** 40).merge(
+        src_rows.rename(columns={"doc_id": "src",
+                                 "cluster": "src_cluster"})
+        [["src", "src_cluster"]], on="src")
+    assert len(merged) == n_plant
+    assert (merged["cluster"] == merged["src_cluster"]).all()
+    n_keep = near.map_batches(
+        lambda t: pa.table({"k": pa.array(
+            [t.column("keep").to_numpy(zero_copy_only=False).sum()])}),
+        batch_format="pyarrow").sum("k")
+    assert int(n_keep) == n_rows                # EXACT: only plants die
+    out["counts"].update({"near_dup_planted": n_plant,
+                          "near_dup_keepers": int(n_keep),
+                          "near_dup_removed": n_rows + n_plant
+                          - int(n_keep)})
+    _mark("minhash_near_dup")
 
     tok = hash_aggregate(
         token_stats(survivors).map_batches(
