@@ -1169,7 +1169,26 @@ def _assemble_fn():
     object per superstep. Every shard reads it zero-copy via arg
     auto-deref (shared physical pages — one L3-resident copy per node,
     not P private copies). On a multi-node cluster this is the one
-    object-store broadcast copy per node the design budgets for."""
+    object-store broadcast copy per node the design budgets for.
+
+    **Scale envelope — what breaks first at ~1e9 vertices.** The
+    assembled vector is O(n) bytes per node per superstep (int32
+    labels: 4 GB at 1e9; float64 scores: 8 GB) — it is this broadcast,
+    NOT the shuffles (which stay O(E/K) per shard) or the driver
+    (O(P) scalars per superstep), that hits a wall first: per-node
+    object-store headroom and the cross-node fan-out bandwidth
+    (n bytes × nodes per superstep). Two escape hatches, both local to
+    this function's call sites: (a) chunked broadcast — keep the P
+    owner chunks as separate plasma objects and have each shard deref
+    only the chunks covering ids it actually gathers (shards touch
+    ~E/K edges → at most that many distinct targets; for
+    well-partitioned graphs that is a small fraction of n), trading
+    one object ref for P refs per task; (b) frontier-sparse supersteps
+    (already implemented for single-source BFS: narrow levels ship
+    only the frontier id array, see ``brandes_source_pass``).  Within
+    the stated <2^31-vertex envelope the single assembled object is
+    strictly faster (one deref, sequential pages), which is why the
+    hatches stay unwired."""
     global _ASSEMBLE
     if _ASSEMBLE is None:
         import ray
