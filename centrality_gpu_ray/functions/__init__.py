@@ -11,6 +11,8 @@ from centrality_gpu_ray.functions.sketch import (
     hll_distinct, hll_distinct_tokens, column_histogram, column_quantiles,
     cms_build, cms_query, filter_by_quantile)
 from centrality_gpu_ray.functions.similarity import project_embeddings
+from centrality_gpu_ray.functions.repetition import (repetition_stats,
+    repetition_filter)
 from centrality_gpu_ray.functions.scrub import scrub_pii, normalize_text
 from centrality_gpu_ray.functions.search import bm25_topk, corpus_stats
 from centrality_gpu_ray.functions.clustering import (
@@ -27,5 +29,5 @@ __all__ = [
     "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
     "kmeans", "kmeans_assign", "kmeans_fit",
     "filter_by_quantile", "project_embeddings", "corpus_report",
-    "remove_repeated_paragraphs",
+    "remove_repeated_paragraphs", "repetition_stats", "repetition_filter",
 ]
