@@ -211,6 +211,9 @@ def run_bench() -> dict:
     timed("cms_tokens",
           lambda: cms_build(docs_ds, "text", tokens=True))
 
+    from centrality_gpu_ray.functions.repetition import repetition_stats
+    timed("repetition_stats", lambda: repetition_stats(docs_ds).count())
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),

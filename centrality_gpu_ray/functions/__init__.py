@@ -16,7 +16,7 @@ from centrality_gpu_ray.functions.repetition import (repetition_stats,
 from centrality_gpu_ray.functions.scrub import scrub_pii, normalize_text
 from centrality_gpu_ray.functions.search import bm25_topk, corpus_stats
 from centrality_gpu_ray.functions.clustering import (
-    kmeans, kmeans_assign, kmeans_fit)
+    kmeans, kmeans_assign, kmeans_fit, semantic_dedup)
 
 __all__ = [
     "TextAnalyzer", "token_stats", "quality_scores", "language_id", "fingerprints",
@@ -27,7 +27,7 @@ __all__ = [
     "hll_distinct", "hll_distinct_tokens", "column_histogram",
     "column_quantiles", "cms_build", "cms_query",
     "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
-    "kmeans", "kmeans_assign", "kmeans_fit",
+    "kmeans", "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "filter_by_quantile", "project_embeddings", "corpus_report",
     "remove_repeated_paragraphs", "repetition_stats", "repetition_filter",
 ]

@@ -156,3 +156,119 @@ def kmeans(emb_ds, k: int, iters: int = 10, **kw):
     return kmeans_assign(emb_ds, fit["centroids"],
                          vec_col=kw.get("vec_col", "embedding"),
                          id_col=kw.get("id_col", "vec_id")), fit
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+SEMANTIC_CLUSTER_CAP = 20_000
+
+
+def semantic_dedup(emb_ds, k: int = 64, threshold: float = 0.92,
+                   iters: int = 10, id_col: str = "vec_id",
+                   vec_col: str = "embedding", num_partitions: int = 16,
+                   cluster_cap: int = SEMANTIC_CLUSTER_CAP,
+                   centroids: np.ndarray | None = None):
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023):
+    k-means partitions the embedding space, cosine near-duplicate
+    pairs are found ONLY within each cluster, and connected components
+    over the pair graph pick one keeper per semantic duplicate group.
+    Returns ``(id_col, cluster, keep)`` (``cluster`` here is the CC
+    duplicate-group label, NOT the k-means cell).
+
+    The 100 TB shape: pairwise cosine is quadratic, so the k-means
+    cells bound it — within-cell work is ``Σ n_c²·d`` with
+    ``n_c ≈ n/k``, and each cell is scored in one co-partitioned
+    reducer (``hash_partition_apply`` on the cell id, row-chunked
+    GEMMs).  A cell larger than ``cluster_cap`` is truncated to its
+    ``cluster_cap`` smallest ids with a LOGGED message (the
+    ``BUCKET_CAP`` convention of ``functions/dedup.py``) — at scale
+    you raise ``k`` instead.  Documented approximation (inherent to
+    SemDeDup): near-duplicates that k-means separates into different
+    cells are not compared; the planted-pair pytest uses
+    well-separated blobs where this cannot trigger.
+
+    Assignment is fused into the scoring pass (broadcast centroids,
+    one extra GEMM per batch) — no assignment shuffle precedes the
+    cell exchange."""
+    from centrality_gpu_ray.functions.dedup import pairs_to_clusters
+    from centrality_gpu_ray.functions.similarity import _normalize
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
+    if centroids is None:
+        fit = kmeans_fit(emb_ds, k, iters=iters, vec_col=vec_col,
+                         id_col=id_col)
+        centroids = fit["centroids"]
+    C = np.asarray(centroids, dtype=np.float64)
+    cref = ray.put(C)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(cref)
+        X = _matrix_from_arrow(batch.column(vec_col))
+        a, _ = _nearest(X, Cc)
+        return pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            vec_col: batch.column(vec_col),
+            "cell": pa.array(a.astype(np.int64)),
+        })
+
+    tagged = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        tag, batch_format="pyarrow")
+
+    def cell_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        if tbl.num_rows == 0:
+            return empty
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cells = tbl.column("cell").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        M = _normalize(_matrix_from_arrow(tbl.column(vec_col)))
+        order = np.lexsort((ids, cells))
+        ids, cells, M = ids[order], cells[order], M[order]
+        bounds = np.r_[0, np.flatnonzero(cells[1:] != cells[:-1]) + 1,
+                       cells.size]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        over = 0
+        max_over = 0
+        for gi in range(bounds.size - 1):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            nc = hi - lo
+            if nc < 2:
+                continue
+            if nc > cluster_cap:
+                over += 1
+                max_over = max(max_over, nc)
+                hi = lo + cluster_cap  # ids are sorted within the cell
+                nc = cluster_cap
+            Xc = M[lo:hi]
+            idc = ids[lo:hi]
+            ch = max(1, 4_000_000 // max(nc, 1))
+            for rlo in range(0, nc, ch):
+                rhi = min(rlo + ch, nc)
+                sims = Xc[rlo:rhi] @ Xc.T
+                qi, vj = np.nonzero(sims >= threshold)
+                qi_g = qi + rlo
+                keep = qi_g < vj  # upper triangle: canonical, no self
+                out_a.append(idc[qi_g[keep]])
+                out_b.append(idc[vj[keep]])
+        if over:
+            print(f"semantic_dedup cell cap hit: {over} cell(s) over "
+                  f"{cluster_cap} vectors (max {max_over}); pairs beyond "
+                  "the first cluster_cap sorted ids per cell are dropped "
+                  "— raise k to shrink cells")
+        if not out_a:
+            return empty
+        return pa.table({
+            "src": pa.array(np.concatenate(out_a)),
+            "dst": pa.array(np.concatenate(out_b)),
+        })
+
+    dup_pairs = hash_partition_apply(tagged, ["cell"], cell_pairs,
+                                     num_partitions=num_partitions) \
+        .materialize()
+    return pairs_to_clusters(emb_ds, dup_pairs, id_col=id_col,
+                             num_partitions=num_partitions)

@@ -438,14 +438,8 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
     duplicate-pair graph — near-dup clusters are exactly the connected
     components of that graph, and CC's min-label semantics give the
     deterministic keeper (min doc_id). All-id rows come from a
-    distributed distinct + left-outer join (no driver id vector)."""
-    import ray.data
-
-    from centrality_gpu_ray.pipelines.components import connected_components
-    from centrality_gpu_ray.pipelines.graph import Graph
-    from centrality_gpu_ray.stages.shuffle import (hash_distinct,
-                                                   hash_lookup_join)
-
+    distributed distinct + left-outer join (no driver id vector) —
+    see :func:`pairs_to_clusters`."""
     rows = num_perm // bands
     sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows,
@@ -462,12 +456,35 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
         .select(["a", "b"]).rename_columns(["src", "dst"]),
         batch_format="pyarrow").materialize()
 
-    all_ids = hash_distinct(ds.select_columns(["doc_id"]), ["doc_id"],
+    return pairs_to_clusters(ds, dup_pairs, id_col="doc_id",
+                             num_partitions=num_partitions)
+
+
+def pairs_to_clusters(ds, dup_pairs, id_col: str = "doc_id",
+                      num_partitions: int = 16):
+    """Verified duplicate-pair Dataset ``(src, dst)`` + the id universe
+    → ``(id_col, cluster, keep)``: clusters are the connected
+    components of the pair graph (CC's min-label semantics give the
+    deterministic keeper = min id), unpaired ids cluster to
+    themselves.  All-id rows come from a distributed distinct +
+    left-outer lookup join — no driver id vector.  Shared tail of
+    :func:`minhash_dedup`, :func:`simhash`-based flows and
+    ``clustering.semantic_dedup``; ``dup_pairs`` should already be
+    materialized (it is consumed twice: an emptiness check and the
+    CC graph build)."""
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.components import connected_components
+    from centrality_gpu_ray.pipelines.graph import Graph
+    from centrality_gpu_ray.stages.shuffle import (hash_distinct,
+                                                   hash_lookup_join)
+
+    all_ids = hash_distinct(ds.select_columns([id_col]), [id_col],
                             num_partitions=num_partitions)
 
     def _trivial(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"doc_id": pa.array(ids), "cluster": pa.array(ids),
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: pa.array(ids), "cluster": pa.array(ids),
                          "keep": pa.array(np.ones(ids.size, dtype=bool))})
 
     if dup_pairs.count() == 0:
@@ -477,18 +494,18 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
     cc = connected_components(g)
     cc_ds = (cc if not isinstance(cc, pa.Table)
              else ray.data.from_arrow(cc))
-    cc_ds = cc_ds.rename_columns({"node": "doc_id", "component": "cluster"})
-    # left-outer-with-default: docs not in any dup pair cluster to
+    cc_ds = cc_ds.rename_columns({"node": id_col, "component": "cluster"})
+    # left-outer-with-default: ids not in any dup pair cluster to
     # themselves — all co-partitioned, no driver id vector
-    joined = hash_lookup_join(all_ids, cc_ds, "doc_id", "doc_id",
+    joined = hash_lookup_join(all_ids, cc_ds, id_col, id_col,
                               {"cluster": "cluster"},
                               num_partitions=num_partitions,
                               outer_default_row_key=True)
 
     def finish(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         cl = t.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"doc_id": pa.array(ids),
+        return pa.table({id_col: pa.array(ids),
                          "cluster": pa.array(cl),
                          "keep": pa.array(ids == cl)})
 
