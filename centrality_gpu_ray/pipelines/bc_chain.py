@@ -212,16 +212,31 @@ def detect_chains(lu: np.ndarray, lv: np.ndarray, ew: np.ndarray, nv: int):
     dterm = nxt_w.copy()
     mn = head.copy()
     jmp = succ.copy()
-    while (jmp >= 0).any():
+    # bounded doubling: ceil(log2 S) + 2 rounds resolve every PATH
+    # component; states still unresolved afterwards sit on a CYCLE of
+    # deg-2 vertices. Inside one biconnected component that cannot
+    # happen with an anchor present (a deg-2 cycle would be the whole
+    # BCC — the pure-cycle early return above), but an unbounded loop
+    # on malformed input would hang AND overflow dterm — degrade to
+    # "not compressible" instead (those vertices stay plain sources).
+    max_rounds = int(np.ceil(np.log2(max(S, 2)))) + 2
+    for _ in range(max_rounds):
         act = jmp >= 0
+        if not act.any():
+            break
         t = jmp[act]
         mn[act] = np.minimum(mn[act], mn[t])
         dterm[act] = dterm[act] + dterm[t]
         term[act] = term[t]
         jmp[act] = jmp[t]
 
-    # per interior vertex: its two states give the two ends
+    # per interior vertex: its two states give the two ends; vertices
+    # with an unresolved side (cyclic interior component) are dropped
     s1, s2 = o[0::2], o[1::2]
+    ok = (term[s1] >= 0) & (term[s2] >= 0)
+    s1, s2 = s1[ok], s2[ok]
+    if s1.size == 0:
+        return None
     vx = head[s1]
     t1, t2 = term[s1], term[s2]
     d1, d2 = dterm[s1], dterm[s2]
@@ -291,6 +306,14 @@ def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
     tlist = np.flatnonzero(~onchain)
     wt = mass[tlist].astype(np.float64)
     DuT, DvT = Du[tlist], Dv[tlist]
+    if not np.isfinite(DuT).all():
+        # contract: lu/lv is ONE localized biconnected component, so
+        # G_j is connected; a multi-component input would otherwise
+        # silently misroute seeds (NaN comparisons, searchsorted on
+        # NaN) — fail loudly instead
+        raise AssertionError(
+            "bc_chain: unreachable targets in G_j — input is not a "
+            "single biconnected component")
     suT, svT = sigu[tlist], sigv[tlist]
     g = a - b                           # strictly increasing
     negq = DvT - DuT                    # left wins iff g_i < -q_t
