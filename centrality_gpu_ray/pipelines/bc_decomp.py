@@ -399,8 +399,8 @@ def betweenness_decomposed(graph: Graph,
             work_dec += int((est_src * cm + cwork).sum())
             np_items = -(-(est_src * cm) // _ITEM_EDGE_OPS)
             np_items = np.maximum(np_items, 1)
-            nc_items = np.minimum(np.maximum(-(-cwork)
-                                             // _ITEM_EDGE_OPS, 1),
+            nc_items = np.minimum(np.maximum(-(-cwork
+                                               // _ITEM_EDGE_OPS), 1),
                                   np.maximum(jcnt[comp_kk], 1))
             item_k = np.concatenate([
                 item_k, np.repeat(comp_kk, np_items),
