@@ -240,3 +240,34 @@ def test_chain_work_cap_counts_compressed_sources():
     np.testing.assert_allclose(out["bc"].to_numpy(),
                                ref["bc"].to_numpy(),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_detect_chains_detached_cycle_terminates():
+    """A detached all-deg-2 cycle (contract misuse — not one BCC) must
+    not hang the bounded doubling; its vertices degrade to plain
+    sources while real chains still compress."""
+    edges = [(0, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1), (0, 1),
+             (0, 7), (7, 1),
+             (10, 11), (11, 12), (12, 10)]      # detached triangle
+    lu = np.array([e[0] for e in edges], dtype=np.int64)
+    lv = np.array([e[1] for e in edges], dtype=np.int64)
+    det = detect_chains(lu, lv, np.ones(lu.size), 13)
+    assert det is not None
+    assert not det["interior"][[10, 11, 12]].any()
+    (u, v, order, a, b), = det["chains"]
+    assert order.tolist() == [2, 3, 4, 5, 6]
+
+
+def test_engine_distributed_weighted_chain_parity():
+    edges = _chain_planted_edges(seed=33)
+    rng = np.random.default_rng(4)
+    weights = rng.integers(1, 4, len(edges)).tolist()
+    ref = betweenness_centrality(_graph(edges, weights),
+                                 weighted=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    out = betweenness_decomposed(_graph(edges, weights, sharded=True),
+                                 weighted=True).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(out["bc"].to_numpy(),
+                               ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
