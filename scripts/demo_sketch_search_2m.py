@@ -50,7 +50,10 @@ def main() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    from centrality_gpu_ray.functions.clustering import kmeans_fit
+    import pyarrow.compute as _pc
+
+    from centrality_gpu_ray.functions.clustering import (kmeans_fit,
+                                                         semantic_dedup)
     from centrality_gpu_ray.functions.scrub import normalize_text, scrub_pii
     from centrality_gpu_ray.functions.search import bm25_topk
     from centrality_gpu_ray.functions.sketch import (
@@ -181,6 +184,41 @@ def main() -> dict:
     assert all(h[i + 1] <= h[i] + 1e-6 for i in range(len(h) - 1))
     out["counts"]["kmeans_inertia"] = [round(x) for x in h]
     _mark("kmeans_4_iters")
+
+    # --- SemDeDup-style semantic dedup at 500k vectors ---
+    # Plant 1,000 exact-duplicate companions (identical vector → same
+    # argmin cell ALWAYS, cosine exactly 1); natural within-blob
+    # cosines sit at ~0.96±0.03 (centers ‖c‖≈28, unit noise), so
+    # threshold 0.999 makes the survivor arithmetic EXACT. Perturbed
+    # companions can flip across a k-means cell boundary — the
+    # documented SemDeDup approximation — which is why the pytest
+    # suite (well-separated blobs) owns the perturbed case. Reuses
+    # the centroids just fitted — no second k-means pass.
+    n_plant_v = 1_000
+    seed_vs = emb.limit(n_plant_v).to_pandas()
+    comp_v = pa.table({
+        "vec_id": pa.array(seed_vs["vec_id"].to_numpy() + 2 ** 40),
+        "embedding": pa.array([list(np.asarray(v, dtype=np.float64))
+                               for v in seed_vs["embedding"]],
+                              type=pa.list_(pa.float64()))})
+    n_base_v = emb.count()
+    sem_in = emb.union(ray.data.from_arrow(comp_v))
+    sem = semantic_dedup(sem_in, k=64, threshold=0.999,
+                         centroids=fit["centroids"],
+                         num_partitions=32).materialize()
+    keepers = sem.map_batches(
+        lambda t: pa.table({"k": pa.array(
+            [int(t.column("keep").to_numpy(zero_copy_only=False).sum())])}),
+        batch_format="pyarrow").sum("k")
+    comp_sem = sem.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["vec_id"], 2 ** 40)),
+        batch_format="pyarrow").to_pandas()
+    assert len(comp_sem) == n_plant_v
+    assert not comp_sem["keep"].any()       # every companion dies
+    assert int(keepers) == n_base_v         # EXACT: only plants die
+    out["counts"]["semantic_dedup_planted"] = n_plant_v
+    out["counts"]["semantic_dedup_keepers"] = int(keepers)
+    _mark("semantic_dedup_500k")
 
     out["total_sec"] = round(sum(out["stage_sec"].values()), 3)
     ray.shutdown()
