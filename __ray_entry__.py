@@ -763,6 +763,11 @@ _TWO64 = 18446744073709551616
 
 def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
     """simhash_pairs oracle: 64-bit SimHash rebuilt in SQL — token
+
+    NOTE the regexp_split ``\\s+`` tokenization here is RE2/ASCII while
+    the engine's ``str.split()`` is Unicode-whitespace — identical on
+    the ASCII driver corpora, documented divergence beyond
+    (``dedup.py::SimHasher``; same class as scrub.py's \\b note).
     hash = first 16 hex chars of sha256(token) (the engine's
     ``_sha16_hash_tokens`` family), bit j set iff 2·Σ bit_j(h) >
     n_tokens (strict majority, matching ``SimHasher``), then ALL pairs

@@ -549,10 +549,21 @@ class SimHasher:
     cache — see :func:`_sha16_hash_tokens`; reproducible in DuckDB so
     ``simhash_pairs`` is value-hash-checked), the token stream stays a
     numpy gather, and the per-doc ±1 bit sums come from one
-    ``add.reduceat`` over token segments."""
+    ``add.reduceat`` over token segments.
 
-    def __init__(self, seed: int = 11):
-        self.seed = seed
+    ASCII-whitespace assumption (same class as scrub.py's \b note):
+    Python ``str.split()`` splits on UNICODE whitespace while the
+    DuckDB oracle's RE2 ``\s+`` is ASCII-only, so a document with
+    \xa0 / \u2028 etc. tokenizes differently in the two engines and
+    the value hash diverges. The driver corpora are ASCII; non-ASCII
+    corpora need the oracle swapped for an ASCII-split engine variant."""
+
+    def __init__(self):
+        # no seed parameter: the sha256-prefix token-hash family is
+        # fixed by design (it is what the DuckDB oracle reproduces) —
+        # the old pd.util.hash_array path's seed became dead state and
+        # silently produced identical signatures for every "seed"
+        pass
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         tok_lists = [t.split() for t in batch["text"].fillna("")]

@@ -30,6 +30,23 @@ _MAGIC = b"FAKE"
 # fake header: magic | modality u8 | width u32 | height u32 | frames u32
 
 
+
+def _payload_array(out_offs: "np.ndarray", flat: "np.ndarray"):
+    """Packed payload bytes → Arrow binary column. binary() carries
+    int32 offsets, which would WRAP SILENTLY past 2 GiB of payload in
+    one batch — switch to large_binary (8-byte offsets) there;
+    ``_binary_buffers`` decodes both widths."""
+    n = out_offs.size - 1
+    if int(out_offs[-1]) < 2 ** 31:
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+             pa.py_buffer(flat.tobytes())])
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(out_offs.tobytes()),
+         pa.py_buffer(flat.tobytes())])
+
 def synth_media_table(num_rows: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic fake media table: (media_id, modality, payload, meta)."""
     rng = np.random.default_rng(seed)
@@ -97,10 +114,7 @@ def media_from_documents(docs_ds, batch_size: int = 1024):
             + _ragged_arange(blens)
         if body_idx.size:
             flat[body_idx] = np.frombuffer(b"".join(enc), dtype=np.uint8)
-        payload = pa.BinaryArray.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
-             pa.py_buffer(flat.tobytes())])
+        payload = _payload_array(out_offs, flat)
         return pa.table({
             "media_id": pa.array(ids, type=pa.int64()),
             "modality": pa.array(_MODS[ids % 3], type=pa.string()),
@@ -323,10 +337,7 @@ class ResizeImages:
         flat[hdr_idx] = hdr.ravel()
         body_idx = np.repeat(out_offs[:-1] + self._HDR, want) + pos
         flat[body_idx] = new_bodies
-        payload = pa.BinaryArray.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer(out_offs.astype(np.int32).tobytes()),
-             pa.py_buffer(flat.tobytes())])
+        payload = _payload_array(out_offs, flat)
         return pa.table({
             "media_id": batch.column("media_id"),
             "payload": payload,

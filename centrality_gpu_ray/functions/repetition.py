@@ -88,11 +88,14 @@ def _repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
     flat = np.asarray([ln for ls in lines for ln in ls], dtype=object)
     if flat.size:
         stripped = pd.Series(flat, dtype=object).str.strip(_STRIP)
-        keep = stripped.str.len().to_numpy(np.int64) > 0
+        slen = stripped.str.len().to_numpy(np.int64)
+        keep = slen > 0
         doc_l = doc_l[keep]
         sl = stripped.to_numpy(object)[keep]
-        lens = np.char.str_len(sl.astype(str)).astype(np.int64) \
-            if sl.size else np.zeros(0, np.int64)
+        # reuse the pandas lengths: sl.astype(str) would allocate a
+        # fixed-width U array sized n_strings × 4 × LONGEST string —
+        # one 500 KB line in a batch transiently costs GBs
+        lens = slen[keep]
         if sl.size:
             h = pd.util.hash_array(sl)
             order, rid, cnt, _ = _run_counts(doc_l, h)
@@ -123,7 +126,8 @@ def _repetition_batch(batch: pd.DataFrame) -> pd.DataFrame:
                         for w in ws], dtype=object)
     if wflat.size:
         wh = pd.util.hash_array(wflat)
-        wlen = np.char.str_len(wflat.astype(str)).astype(np.int64)
+        wlen = pd.Series(wflat, dtype=object).str.len() \
+            .to_numpy(np.int64)  # no fixed-width U-dtype conversion
         # adjacent pairs within each doc: positions i, i+1 same doc
         adj = np.flatnonzero((doc_w[1:] == doc_w[:-1]))
         if adj.size:

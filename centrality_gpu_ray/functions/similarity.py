@@ -185,6 +185,18 @@ class _HyperplaneHasher:
     def bucket(self, M: np.ndarray) -> np.ndarray:
         """(n, tables) int64 bucket ids from the raw embedding matrix."""
         E = np.floor(M * 1e6 + 0.5).astype(np.int64)  # exact grid
+        # int64 dot bound: |Σ_d E_d·w_d| ≤ dim · max|E| · 2^31 — past
+        # that numpy wraps SILENTLY while the SQL oracle's HUGEINT does
+        # not, flipping signs/buckets. Fail loudly instead (raw
+        # embedding coordinates must stay below ~4295/dim; normalize
+        # upstream if they don't — signs are scale-invariant).
+        dim = self.planes.shape[2]
+        lim = (1 << 32) // max(dim, 1)
+        if E.size and int(np.abs(E).max()) >= lim:
+            raise ValueError(
+                f"_HyperplaneHasher: |coordinate|*1e6 >= {lim} would "
+                f"overflow the exact int64 dot at dim={dim}; scale the "
+                "embeddings down first (sign-LSH is scale-invariant)")
         out = np.zeros((M.shape[0], self.tables), dtype=np.int64)
         pows = (1 << np.arange(self.bits)).astype(np.int64)
         for t in range(self.tables):

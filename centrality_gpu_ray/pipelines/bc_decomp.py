@@ -544,12 +544,19 @@ def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
             continue
         # degree-2 chain compression (reference Path C): chains of
         # deg-2 vertices contribute via two saved-vector sweeps per
-        # chain instead of k full passes (pipelines/bc_chain.py)
+        # chain instead of k full passes (pipelines/bc_chain.py).
+        # NEUTRALIZE weights for the unweighted kernel: unlike the
+        # plain pass (which ignores ew entirely via the CSR BFS), the
+        # chain code uses ew for chain offsets AND the exact DAG
+        # membership test — real weights under weighted=False would
+        # silently corrupt both (dense path does the same at its ew
+        # build)
+        wloc = w[lo:hi] if weighted else np.ones(hi - lo)
         det = None
         deg2 = int((np.bincount(np.concatenate([lu, lv]),
                                 minlength=nv) == 2).sum())
         if MIN_CHAIN_LEN <= deg2 < nv:
-            det = detect_chains(lu, lv, w[lo:hi], nv)
+            det = detect_chains(lu, lv, wloc, nv)
         if det is None:
             srcs = range(nv)
             eff_src = nv
@@ -570,10 +577,10 @@ def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
                 "reducer task. Use sampled betweenness_centrality("
                 "max_sources=k) for the giant core, or raise "
                 "config.extra['decomp_bcc_work_cap'].")
-        acc = _bcc_sources_pass(lu, lv, w[lo:hi], nv, mass, weighted,
+        acc = _bcc_sources_pass(lu, lv, wloc, nv, mass, weighted,
                                 srcs, R, C)
         if det is not None:
-            acc += chain_pass(lu, lv, w[lo:hi], nv, mass, weighted,
+            acc += chain_pass(lu, lv, wloc, nv, mass, weighted,
                               det["chains"], 0, len(det["chains"]))
         nz = np.flatnonzero(acc)
         out_v.append(verts[nz])

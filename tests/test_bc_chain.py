@@ -271,3 +271,21 @@ def test_engine_distributed_weighted_chain_parity():
     np.testing.assert_allclose(out["bc"].to_numpy(),
                                ref["bc"].to_numpy(),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_engine_distributed_unweighted_ignores_weight_column():
+    """Unweighted BC must ignore a non-unit weight column — the chain
+    path's DAG membership test uses ew, so the distributed reducer
+    must neutralize it (regression: real weights leaked into
+    detect_chains/chain_pass under weighted=False)."""
+    edges = _chain_planted_edges(seed=29)
+    rng = np.random.default_rng(2)
+    weights = rng.integers(2, 7, len(edges)).tolist()   # all non-unit
+    ref = betweenness_centrality(_graph(edges)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    out = betweenness_decomposed(_graph(edges, weights, sharded=True),
+                                 weighted=False).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    np.testing.assert_allclose(out["bc"].to_numpy(),
+                               ref["bc"].to_numpy(),
+                               rtol=1e-9, atol=1e-9)
