@@ -14,6 +14,8 @@ from centrality_gpu_ray.functions.similarity import project_embeddings
 from centrality_gpu_ray.functions.repetition import (repetition_stats,
     repetition_filter)
 from centrality_gpu_ray.functions.scrub import scrub_pii, normalize_text
+from centrality_gpu_ray.functions.selection import (dsir_fit, dsir_select,
+    dsir_weights)
 from centrality_gpu_ray.functions.search import bm25_topk, corpus_stats
 from centrality_gpu_ray.functions.clustering import (
     kmeans, kmeans_assign, kmeans_fit, semantic_dedup)
@@ -29,5 +31,5 @@ __all__ = [
     "scrub_pii", "normalize_text", "bm25_topk", "corpus_stats",
     "kmeans", "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "filter_by_quantile", "project_embeddings", "corpus_report",
-    "remove_repeated_paragraphs", "repetition_stats", "repetition_filter",
+    "remove_repeated_paragraphs", "repetition_stats", "repetition_filter", "dsir_fit", "dsir_weights", "dsir_select",
 ]
