@@ -214,6 +214,10 @@ def run_bench() -> dict:
     from centrality_gpu_ray.functions.repetition import repetition_stats
     timed("repetition_stats", lambda: repetition_stats(docs_ds).count())
 
+    from centrality_gpu_ray.functions.selection import dsir_select
+    timed("dsir_select", lambda: dsir_select(
+        docs_ds, bench_texts[:8], k=100))
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
