@@ -38,42 +38,51 @@ from centrality_gpu_ray.functions.dedup import _sha16_hash_tokens
 _DEF_BUCKETS = 8192
 
 
-def _gram_buckets(texts, buckets: int) -> tuple[np.ndarray, np.ndarray]:
-    """Batch texts → (flat bucket ids, grams-per-doc). One sha256 pass
-    over the batch's unique unigrams and one over unique bigrams (the
-    process-level cache in ``_sha16_hash_tokens`` makes repeated vocab
-    nearly free)."""
+def _gram_parts(texts, buckets: int):
+    """Batch texts → ``(uni_b, big_b, sizes, nbig)`` bucket-id arrays
+    (unigram stream in flat token order; bigram stream in adjacency
+    order). One sha256 pass over the batch's unique unigrams and one
+    over unique bigrams (the process-level cache in
+    ``_sha16_hash_tokens`` makes repeated vocab nearly free)."""
     tok_lists = [t.split() for t in texts]
     sizes = np.array([len(t) for t in tok_lists], dtype=np.int64)
     flat = np.asarray([w for ts in tok_lists for w in ts], dtype=object)
-    n_grams = sizes + np.maximum(sizes - 1, 0)  # unigrams + bigrams
+    nbig = np.maximum(sizes - 1, 0)
     if flat.size == 0:
-        return np.empty(0, np.int64), n_grams
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                sizes, nbig)
     uni_u, uni_inv = np.unique(flat, return_inverse=True)
     uni_b = (_sha16_hash_tokens(uni_u) % np.uint64(buckets)) \
         .astype(np.int64)[uni_inv]
-    # bigrams within each doc: adjacent positions of the flat stream
+    # bigrams within each doc: adjacent positions of the flat stream,
+    # concatenated with the vectorized object-ufunc idiom (a per-pair
+    # list comprehension is an interpreter loop on a benchmarked path)
     doc_of = np.repeat(np.arange(sizes.size), sizes)
     adj = np.flatnonzero(doc_of[1:] == doc_of[:-1])
     if adj.size:
-        big = np.asarray(
-            [flat[i] + " " + flat[i + 1] for i in adj], dtype=object)
+        big = flat[adj] + " " + flat[adj + 1]
         big_u, big_inv = np.unique(big, return_inverse=True)
         big_b = (_sha16_hash_tokens(big_u) % np.uint64(buckets)) \
             .astype(np.int64)[big_inv]
     else:
         big_b = np.empty(0, np.int64)
-    # interleave per doc: all unigram buckets then all bigram buckets
-    # (order is irrelevant to the sum; keep per-doc contiguity)
+    return uni_b, big_b, sizes, nbig
+
+
+def _gram_buckets(texts, buckets: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch texts → (per-doc-contiguous bucket-id stream,
+    grams-per-doc) — unigrams (already in flat token order, no source
+    gather) then bigrams within each doc's segment."""
+    uni_b, big_b, sizes, nbig = _gram_parts(texts, buckets)
+    n_grams = sizes + nbig
     out = np.empty(int(n_grams.sum()), dtype=np.int64)
+    if out.size == 0:
+        return out, n_grams
     pos = np.zeros(sizes.size + 1, dtype=np.int64)
     np.cumsum(n_grams, out=pos[1:])
-    uoff = np.zeros(sizes.size + 1, dtype=np.int64)
-    np.cumsum(sizes, out=uoff[1:])
     from centrality_gpu_ray.nputil import ragged_arange
     idx_u = np.repeat(pos[:-1], sizes) + ragged_arange(sizes)
-    out[idx_u] = uni_b[np.repeat(uoff[:-1], sizes) + ragged_arange(sizes)]
-    nbig = np.maximum(sizes - 1, 0)
+    out[idx_u] = uni_b
     if big_b.size:
         idx_b = np.repeat(pos[:-1] + sizes, nbig) + ragged_arange(nbig)
         out[idx_b] = big_b
@@ -81,8 +90,10 @@ def _gram_buckets(texts, buckets: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _bucket_counts(texts, buckets: int) -> np.ndarray:
-    b, _ = _gram_buckets(texts, buckets)
-    return np.bincount(b, minlength=buckets).astype(np.float64)
+    # counting needs no per-doc ordering — skip the interleave entirely
+    uni_b, big_b, _, _ = _gram_parts(texts, buckets)
+    return np.bincount(np.concatenate([uni_b, big_b]),
+                       minlength=buckets).astype(np.float64)
 
 
 def dsir_fit(ds, target_texts, text_col: str = "text",
@@ -90,6 +101,12 @@ def dsir_fit(ds, target_texts, text_col: str = "text",
     """Fit the two hashed-n-gram multinomials → ``{"log_ratio",
     "buckets", "n_target_grams", "n_raw_grams"}``.  The raw pass is
     one streaming map emitting a B-vector per block."""
+    if not smoothing > 0:
+        # log(0) ratios would propagate -inf/NaN weights silently
+        # (NaN lexsort keys drop docs from the top-k with no error) —
+        # the docstring promises Laplace smoothing, enforce it
+        raise ValueError(f"dsir_fit: smoothing must be > 0, "
+                         f"got {smoothing}")
     tgt = _bucket_counts([t or "" for t in target_texts], buckets)
 
     def partial(t: pa.Table) -> pa.Table:
