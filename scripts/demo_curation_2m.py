@@ -193,6 +193,48 @@ def main() -> dict:
     out["counts"]["contaminated_docs"] = n_dirty
     _mark("contamination_scan")
 
+    # DSIR selection at full corpus size over the DIVERSE synthesis
+    # (the template corpus's self-similar grams would pollute the
+    # target distribution, same lesson as the near-dup stage): plant a
+    # marker PHRASE in every 667th doc, target = the phrase — the
+    # hashed-n-gram importance weights must pull exactly the marker
+    # docs to the top (behavioral bound: >=99% of the top-k).
+    # Sizing the marker: per-gram log-weight noise comes from bucket
+    # collision load (≈6 unigram types × 1000 occurrences per
+    # 8192-bucket → sd(log raw[b]) ≈ 0.2); a 25-token doc sums ~49
+    # gram draws → doc-weight sd ≈ 1.45, and the top-3000-of-2M
+    # cutoff sits ≈ 3.2σ ≈ +4.6.  A 2-token marker (~3 boosted grams
+    # ≈ +4.1) lands AT the cutoff — measured 42% marker frac.  The
+    # 8-token phrase below adds ~16 boosted grams ≈ +22: ~12σ clear.
+    from centrality_gpu_ray.functions.selection import dsir_select
+
+    marker = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"
+
+    def plant_marker(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pd.Series(t.column("text").to_pandas())
+        m = ids % 667 == 0
+        text[m] = text[m] + " " + marker
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(text, type=pa.string())})
+
+    # repartition: dsir streams the corpus twice (fit + score) and the
+    # 16 synthesis blocks would cap task parallelism below the 32 CPUs
+    marked = nd_docs.map_batches(plant_marker, batch_format="pyarrow") \
+        .repartition(64).materialize()
+    n_marked = len(range(0, n_rows, 667))
+    target = [marker] * 4
+    _mark("dsir_plant")
+    sel = dsir_select(marked, target, k=n_marked)
+    sel_ids = sel.column("doc_id").to_numpy()
+    frac = float((sel_ids % 667 == 0).mean())
+    assert frac >= 0.99, frac
+    out["counts"].update({"dsir_marked": n_marked,
+                          "dsir_topk_marker_frac": round(frac, 4)})
+    _mark("dsir_select")
+
     mixed = mixture_sample(survivors, {"und": 0.5}, default_rate=1.0)
     n_mixed = mixed.count()
     assert 0 < n_mixed < n_unique
