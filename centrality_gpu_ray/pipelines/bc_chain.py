@@ -77,12 +77,14 @@ MIN_CHAIN_LEN = 4
 # ---------------------------------------------------------------------------
 
 def _sssp_dag(S: np.ndarray, D: np.ndarray, WE: np.ndarray, n: int,
-              src: int, weighted: bool):
+              src: int, weighted: bool, eids: np.ndarray | None = None):
     """Single-source shortest paths over the (masked) edge list →
-    ``(dist, sigma, eu_s, ev_s, bounds)``; DAG edges bucketed by
+    ``(dist, sigma, eu_s, ev_s, bounds, eid_s)``; DAG edges bucketed by
     ascending source-side distance.  Distances are float64 but
     integer-valued (unit hops / validated integer weights), so DAG
-    membership tests are exact."""
+    membership tests are exact.  ``eid_s`` carries a caller edge id per
+    DAG edge (``eids`` defaults to the input position) so the
+    compressed sweeps can read per-edge flows back out."""
     dist = np.full(n, np.inf)
     dist[src] = 0.0
     if weighted:
@@ -122,11 +124,14 @@ def _sssp_dag(S: np.ndarray, D: np.ndarray, WE: np.ndarray, n: int,
     du, dv = dist[S], dist[D]
     fwd = np.isfinite(du) & (dv == du + WE)
     bwd = np.isfinite(dv) & (du == dv + WE)
+    E = np.arange(S.size, dtype=np.int64) if eids is None else eids
     eu = np.concatenate([S[fwd], D[bwd]])
     ev = np.concatenate([D[fwd], S[bwd]])
+    eid = np.concatenate([E[fwd], E[bwd]])
     deu = dist[eu]
     order = np.argsort(deu, kind="stable")
     eu_s, ev_s, deu_s = eu[order], ev[order], deu[order]
+    eid_s = eid[order]
     uniq_d, bstart = np.unique(deu_s, return_index=True)
     bounds = np.append(bstart, eu_s.size)
 
@@ -135,21 +140,33 @@ def _sssp_dag(S: np.ndarray, D: np.ndarray, WE: np.ndarray, n: int,
     for b in range(uniq_d.size):
         lo, hi = bounds[b], bounds[b + 1]
         np.add.at(sigma, ev_s[lo:hi], sigma[eu_s[lo:hi]])
-    return dist, sigma, eu_s, ev_s, bounds
+    return dist, sigma, eu_s, ev_s, bounds, eid_s
 
 
 def _accumulate_seeds(n: int, sigma: np.ndarray, eu_s: np.ndarray,
                       ev_s: np.ndarray, bounds: np.ndarray,
-                      h: np.ndarray) -> np.ndarray:
+                      h: np.ndarray, eid_s: np.ndarray | None = None,
+                      m_edges: int = 0):
     """Generalized Brandes back-propagation:
     ``delta[x] = sum_t h[t] * (#paths src->t through x) / sigma[t]``
     for x not in {src, t}.  ``h`` is an arbitrary per-target seed —
-    the chain passes encode pair masses and route shares in it."""
+    the chain passes encode pair masses and route shares in it.
+
+    With ``eid_s``/``m_edges`` also returns per-edge flows (seed mass
+    crossing each caller edge id, both DAG directions summed) — the
+    compressed sweeps expand a chain edge's flow to every interior
+    vertex of that chain."""
     delta = np.zeros(n)
+    flows = np.zeros(m_edges) if eid_s is not None else None
     for b in range(bounds.size - 2, -1, -1):
         lo, hi = bounds[b], bounds[b + 1]
         uu, vv = eu_s[lo:hi], ev_s[lo:hi]
-        np.add.at(delta, uu, (sigma[uu] / sigma[vv]) * (h[vv] + delta[vv]))
+        f = (sigma[uu] / sigma[vv]) * (h[vv] + delta[vv])
+        np.add.at(delta, uu, f)
+        if flows is not None:
+            np.add.at(flows, eid_s[lo:hi], f)
+    if eid_s is not None:
+        return delta, flows
     return delta
 
 
@@ -289,8 +306,8 @@ def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
     onchain[order] = True
     em = ~(onchain[lu] | onchain[lv])
     S, D, WE = lu[em], lv[em], ew[em]
-    Du, sigu, eu_u, ev_u, bnd_u = _sssp_dag(S, D, WE, nv, u, weighted)
-    Dv, sigv, eu_v, ev_v, bnd_v = _sssp_dag(S, D, WE, nv, v, weighted)
+    Du, sigu, eu_u, ev_u, bnd_u, _ = _sssp_dag(S, D, WE, nv, u, weighted)
+    Dv, sigv, eu_v, ev_v, bnd_v, _ = _sssp_dag(S, D, WE, nv, v, weighted)
     Duv = float(Du[v])
     suv = float(sigu[v])
     if not np.isfinite(Duv) or suv <= 0.0:
@@ -424,4 +441,336 @@ def chain_pass(lu, lv, ew, nv, mass, weighted, chains,
     acc = np.zeros(nv)
     for chain in chains[lo:hi]:
         acc += _chain_contribution(lu, lv, ew, nv, mass, weighted, chain)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# compressed-sweep v2: EVERY remaining sweep (plain sources and the two
+# per-chain endpoint sweeps) runs on the chain-contracted multigraph —
+# each compressed chain becomes one weighted edge (u, v, L), so the
+# per-sweep level count drops from the ORIGINAL graph's hop diameter
+# (chain-length dominated; the 8-numpy-calls-per-BFS-level overhead
+# made v1 sweeps ~0.1 s at 1450 levels) to the compressed hop
+# diameter.  Chain interiors re-enter exactly:
+#
+# * as TARGETS: d(x, c'_m) = min(d(x,u') + a'_m, d(x,v') + b'_m) with
+#   path counts from the entry anchor's sigma — per-row vectorized over
+#   the flattened interior table (no per-chain Python loop);
+# * as INTERMEDIATES of paths crossing a whole chain: the seeded
+#   accumulation reports per-edge flows, and a chain edge's flow is
+#   exactly the credit owed to EVERY interior vertex of that chain;
+# * as partially-traversed prefixes (entry anchor -> target position):
+#   per-chain difference arrays over a flattened segment space.
+#
+# Parity with v1 (and with the plain all-sources kernel) is tested on
+# chain-planted random graphs, theta graphs, weighted variants and
+# non-unit masses in ``tests/test_bc_chain.py``.
+# ---------------------------------------------------------------------------
+
+
+def build_compressed(lu, lv, ew, nv, det) -> dict:
+    """Chain-contracted multigraph + flattened interior-target arrays
+    for one localized BCC (built once per BCC, reused by every
+    compressed sweep).  Edge ids: ``[0, m_plain)`` are the surviving
+    original edges, ``m_plain + j`` is chain ``j``'s contracted edge —
+    flow extraction depends on this layout."""
+    from centrality_gpu_ray.nputil import ragged_arange
+
+    chains = det["chains"]
+    interior = det["interior"]
+    em = ~(interior[lu] | interior[lv])
+    J = len(chains)
+    ua = np.array([c[0] for c in chains], dtype=np.int64)
+    va = np.array([c[1] for c in chains], dtype=np.int64)
+    L = np.array([float(c[3][0] + c[4][0]) for c in chains])
+    Sc = np.concatenate([lu[em], ua])
+    Dc = np.concatenate([lv[em], va])
+    Wc = np.concatenate([ew[em].astype(np.float64), L])
+    ks = np.array([c[2].size for c in chains], dtype=np.int64)
+    cstart = np.zeros(J + 1, dtype=np.int64)
+    np.cumsum(ks, out=cstart[1:])
+    n_ext = int(cstart[-1])
+    if n_ext:
+        ext_vert = np.concatenate([c[2] for c in chains])
+        ext_a = np.concatenate([c[3] for c in chains])
+        ext_b = np.concatenate([c[4] for c in chains])
+    else:  # det is never chain-free, but keep the function total
+        ext_vert = np.empty(0, np.int64)
+        ext_a = ext_b = np.empty(0)
+    return {
+        "nv": nv, "Sc": Sc, "Dc": Dc, "Wc": Wc,
+        "m_plain": int(em.sum()), "m_edges": Sc.size, "J": J,
+        "ua": ua, "va": va, "L": L, "chains": chains,
+        "interior": interior, "ks": ks, "cstart": cstart,
+        "ext_chain": np.repeat(np.arange(J, dtype=np.int64), ks),
+        "ext_vert": ext_vert, "ext_a": ext_a, "ext_b": ext_b,
+        "ext_pos": ragged_arange(ks),
+        # per-chain (k_j + 1)-slot ranges in the flat diff-array space
+        "flat_start": cstart[:-1] + np.arange(J, dtype=np.int64),
+        "nseg": n_ext + J,
+    }
+
+
+def _entry(comp, Dx, sigx, rows):
+    """Resolve the extended (chain-interior) targets under one sweep's
+    distances → ``(DT, sT, dl, dr, sl, sr)``: via-u'/via-v' route
+    lengths, entry path counts, and the min/σ-combined totals."""
+    c = comp["ext_chain"][rows]
+    dl = Dx[comp["ua"][c]] + comp["ext_a"][rows]
+    dr = Dx[comp["va"][c]] + comp["ext_b"][rows]
+    sl = sigx[comp["ua"][c]]
+    sr = sigx[comp["va"][c]]
+    DT = np.minimum(dl, dr)
+    sT = np.where(dl < dr, sl, np.where(dr < dl, sr, sl + sr))
+    return DT, sT, dl, dr, sl, sr
+
+
+def _redistribute(comp, rows, amounts, dl, dr, sl, sr, h, acc, seg):
+    """Fold per-interior-target seed mass into a compressed sweep:
+    entry-anchor seeds (the accumulation credits the strictly-between
+    C vertices; a seed AT the DAG source is inert), explicit entry
+    anchor credits (the anchor is interior to the full source->target
+    path — the plain pass zeroes acc[src] afterwards, restoring the
+    endpoint convention), and diff-array credits for the target
+    chain's positions strictly between entry anchor and target."""
+    if rows.size == 0:
+        return
+    c = comp["ext_chain"][rows]
+    pos = comp["ext_pos"][rows]
+    fs = comp["flat_start"][c]
+    uu, vv = comp["ua"][c], comp["va"][c]
+    tie = dl == dr
+    wl = np.where(dl < dr, amounts, 0.0)
+    wr = np.where(dr < dl, amounts, 0.0)
+    if tie.any():
+        st = sl + sr
+        wl = np.where(tie, amounts * sl / st, wl)
+        wr = np.where(tie, amounts * sr / st, wr)
+    np.add.at(h, uu, wl)
+    np.add.at(h, vv, wr)
+    np.add.at(acc, uu, wl)
+    np.add.at(acc, vv, wr)
+    np.add.at(seg, fs, wl)             # left entry: positions [0, pos)
+    np.subtract.at(seg, fs + pos, wl)
+    np.add.at(seg, fs + pos + 1, wr)   # right entry: positions (pos, k)
+    # — the run ends in the chain's k_j-th (unread) slot, and the next
+    # chain's base subtraction absorbs it: no cross-chain leak
+
+
+def _seg_to_acc(comp, seg, acc):
+    """Apply the flat per-chain position diff arrays: position p of
+    chain j receives ``sum(seg[flat_start_j .. flat_start_j + p])``."""
+    if comp["ext_vert"].size == 0:
+        return
+    cs = np.cumsum(seg)
+    base = np.where(comp["flat_start"] > 0,
+                    cs[comp["flat_start"] - 1], 0.0)
+    flat_idx = comp["flat_start"][comp["ext_chain"]] + comp["ext_pos"]
+    # interiors belong to exactly one chain: plain fancy-index add
+    acc[comp["ext_vert"]] += cs[flat_idx] - base[comp["ext_chain"]]
+
+
+def compressed_plain_pass(comp, sources, mass: np.ndarray) -> np.ndarray:
+    """Mass-weighted dependency accumulation for the plain (anchor /
+    short-chain / off-chain) sources over the chain-contracted
+    multigraph — exact replacement for the full-graph
+    ``_bcc_sources_pass`` when chains are present.  Matches the plain
+    kernel's conventions: endpoints uncredited (``acc[src]`` zeroed,
+    the x == t exclusion skips targets), caller-side ``mass[src]``
+    scaling applied here per source."""
+    nv = comp["nv"]
+    acc = np.zeros(nv)
+    plain = ~comp["interior"]
+    n_ext = comp["ext_vert"].size
+    rows = np.arange(n_ext, dtype=np.int64)
+    amounts0 = mass[comp["ext_vert"]].astype(np.float64)
+    for src in sources:
+        src = int(src)
+        dist, sigma, eu_s, ev_s, bounds, eid_s = _sssp_dag(
+            comp["Sc"], comp["Dc"], comp["Wc"], nv, src, weighted=True)
+        if not np.isfinite(dist[plain]).all():
+            raise AssertionError(
+                "bc_chain: compressed BCC graph disconnected — input "
+                "is not a single biconnected component")
+        a1 = np.zeros(nv)
+        h = np.zeros(nv)
+        h[plain] = mass[plain]
+        h[src] = 0.0
+        seg = np.zeros(comp["nseg"])
+        if n_ext:
+            _, _, dl, dr, sl, sr = _entry(comp, dist, sigma, rows)
+            _redistribute(comp, rows, amounts0, dl, dr, sl, sr,
+                          h, a1, seg)
+        delta, flows = _accumulate_seeds(nv, sigma, eu_s, ev_s, bounds,
+                                         h, eid_s, comp["m_edges"])
+        a1 += delta
+        if n_ext:
+            a1[comp["ext_vert"]] += flows[comp["m_plain"]
+                                          + comp["ext_chain"]]
+            _seg_to_acc(comp, seg, a1)
+        a1[src] = 0.0
+        acc += mass[src] * a1
+    return acc
+
+
+def _chain_contribution_v2(comp, nv, mass, chain_idx: int) -> np.ndarray:
+    """`_chain_contribution` with both endpoint sweeps over C_j (the
+    compressed graph minus this chain's contracted edge): identical
+    pair accounting — interior sources of chain j against EVERY other
+    vertex, same-chain pairs in closed form — at compressed sweep
+    cost.  Other chains' interiors re-enter as derived targets,
+    redistributed seeds and flow-credited intermediates."""
+    u, v, order, a, b = comp["chains"][chain_idx]
+    k = order.size
+    acc = np.zeros(nv)
+    wc = mass[order].astype(np.float64)
+    W = np.zeros(k + 1)
+    np.cumsum(wc, out=W[1:])
+    Wtot = W[k]
+    L = float(a[0] + b[0])
+
+    # C_j: drop this chain's contracted edge, keep original edge ids
+    eidx = comp["m_plain"] + chain_idx
+    keep = np.ones(comp["m_edges"], dtype=bool)
+    keep[eidx] = False
+    S, D = comp["Sc"][keep], comp["Dc"][keep]
+    WE, eids = comp["Wc"][keep], np.flatnonzero(keep)
+    Du, sigu, eu_u, ev_u, bnd_u, eid_u = _sssp_dag(
+        S, D, WE, nv, u, True, eids)
+    Dv, sigv, eu_v, ev_v, bnd_v, eid_v = _sssp_dag(
+        S, D, WE, nv, v, True, eids)
+    Duv = float(Du[v])
+    suv = float(sigu[v])
+    if not np.isfinite(Duv) or suv <= 0.0:
+        raise AssertionError(
+            "bc_chain: G_j disconnected between chain anchors — "
+            "violates the biconnectivity invariant")
+
+    h_u = np.zeros(nv)
+    h_v = np.zeros(nv)
+    seg = np.zeros(k + 1)               # own-chain position diff array
+    segf = np.zeros(comp["nseg"])       # other chains' position space
+
+    # ---- cross pairs: plain targets + other chains' interiors ----
+    plainv = np.flatnonzero(~comp["interior"])
+    npl = plainv.size
+    DuT, DvT = Du[plainv], Dv[plainv]
+    if not np.isfinite(DuT).all():
+        raise AssertionError(
+            "bc_chain: unreachable targets in G_j — input is not a "
+            "single biconnected component")
+    suT, svT = sigu[plainv], sigv[plainv]
+    wt = mass[plainv].astype(np.float64)
+    rows = np.flatnonzero(comp["ext_chain"] != chain_idx)
+    if rows.size:
+        DuE, suE, dlu, dru, slu, sru = _entry(comp, Du, sigu, rows)
+        DvE, svE, dlv, drv, slv, srv = _entry(comp, Dv, sigv, rows)
+        DuT = np.concatenate([DuT, DuE])
+        DvT = np.concatenate([DvT, DvE])
+        suT = np.concatenate([suT, suE])
+        svT = np.concatenate([svT, svE])
+        wt = np.concatenate(
+            [wt, mass[comp["ext_vert"][rows]].astype(np.float64)])
+    g = a - b
+    negq = DvT - DuT
+    lo_t = np.searchsorted(g, negq, side="left")
+    hi_t = np.searchsorted(g, negq, side="right")
+    tie = hi_t > lo_t
+    st = suT + svT
+    tieL = np.where(tie, wc[np.minimum(lo_t, k - 1)] * suT / st, 0.0)
+    tieR = np.where(tie, wc[np.minimum(lo_t, k - 1)] * svT / st, 0.0)
+    amt_u = wt * (W[lo_t] + tieL)
+    amt_v = wt * ((Wtot - W[hi_t]) + tieR)
+    h_u[plainv] = amt_u[:npl]
+    h_v[plainv] = amt_v[:npl]
+    if rows.size:
+        _redistribute(comp, rows, amt_u[npl:], dlu, dru, slu, sru,
+                      h_u, acc, segf)
+        _redistribute(comp, rows, amt_v[npl:], dlv, drv, slv, srv,
+                      h_v, acc, segf)
+
+    # per-source target-mass sums SL/SR via boundary histograms
+    # (extended rows included — identical semantics to v1's tlist)
+    BL = np.bincount(lo_t, weights=wt, minlength=k + 1)
+    BH = np.bincount(hi_t, weights=wt, minlength=k + 1)
+    SL = np.cumsum(BL[::-1])[::-1][1:]
+    SR = np.cumsum(BH)[:k]
+    if tie.any():
+        ti = lo_t[tie]
+        np.add.at(SL, ti, wt[tie] * suT[tie] / st[tie])
+        np.add.at(SR, ti, wt[tie] * svT[tie] / st[tie])
+    wSL, wSR = wc * SL, wc * SR
+    seg[0] += wSL.sum()
+    np.subtract.at(seg, np.arange(k), wSL)
+    np.add.at(seg, np.arange(k) + 1, wSR)
+
+    # ---- same-chain pairs: verbatim v1 closed forms ----
+    a2 = 2.0 * a
+    cut = a2 + (L + Duv)
+    lt = np.searchsorted(a2, cut, side="left")
+    rs = np.searchsorted(a2, cut, side="right")
+    ltc = np.minimum(lt, k)
+    Z = wc * W[ltc]
+    PZ = np.zeros(k + 1)
+    np.cumsum(Z, out=PZ[1:])
+    p = np.arange(k)
+    i0 = np.searchsorted(ltc, p + 2, side="left")
+    intra_credit = 2.0 * ((PZ[p] - PZ[np.minimum(i0, p)])
+                          - W[np.minimum(p + 1, k)]
+                          * (W[p] - W[np.minimum(i0, p)]))
+    acc_chain = intra_credit
+    pair_i = wc * (Wtot - W[np.minimum(rs, k)])
+    total_around = float(pair_i.sum())
+    ls = np.searchsorted(a2, a2 - (L + Duv), side="left")
+    pair_j = wc * W[np.minimum(ls, k)]
+    h_u[v] += 2.0 * total_around
+    around_v = 2.0 * total_around
+    seg2 = np.zeros(k + 1)
+    seg2[0] += 2.0 * pair_i.sum()
+    np.subtract.at(seg2, np.arange(k), 2.0 * pair_i)
+    np.add.at(seg2, np.arange(k) + 1, 2.0 * pair_j)
+    has_tie = lt < rs
+    if has_tie.any():
+        ii = np.flatnonzero(has_tie)
+        jj = lt[ii]
+        ok = jj > ii
+        ii, jj = ii[ok], jj[ok]
+        if ii.size:
+            stt = 1.0 + suv
+            w2 = wc[ii] * wc[jj]
+            am_in = 2.0 * w2 / stt
+            am_ar = 2.0 * w2 * suv / stt
+            np.add.at(seg2, ii + 1, am_in)
+            np.subtract.at(seg2, jj, am_in)
+            np.subtract.at(seg2, ii, am_ar)
+            seg2[0] += am_ar.sum()
+            np.add.at(seg2, jj + 1, am_ar)
+            h_u[v] += float(am_ar.sum())
+            around_v += float(am_ar.sum())
+    acc_chain = acc_chain + np.cumsum(seg2[:k]) + np.cumsum(seg[:k])
+
+    # ---- accumulations + flow expansion ----
+    h_u[u] = 0.0
+    h_v[v] = 0.0
+    delta_u, flow_u = _accumulate_seeds(nv, sigu, eu_u, ev_u, bnd_u,
+                                        h_u, eid_u, comp["m_edges"])
+    delta_v, flow_v = _accumulate_seeds(nv, sigv, eu_v, ev_v, bnd_v,
+                                        h_v, eid_v, comp["m_edges"])
+    acc += delta_u + delta_v
+    acc[v] += around_v
+    fl = flow_u + flow_v
+    acc[comp["ext_vert"]] += fl[comp["m_plain"] + comp["ext_chain"]]
+    _seg_to_acc(comp, segf, acc)
+    acc[order] = acc_chain   # own interiors: position terms only (this
+    # chain's edge is absent from C_j, so its flow slot is zero and no
+    # accumulation/segf row can touch them)
+    return acc
+
+
+def chain_pass_v2(comp, nv, mass, lo: int, hi: int) -> np.ndarray:
+    """Contributions of chains[lo:hi] via compressed endpoint sweeps →
+    dense float64[nv]."""
+    acc = np.zeros(nv)
+    for j in range(lo, hi):
+        acc += _chain_contribution_v2(comp, nv, mass, j)
     return acc

@@ -61,7 +61,9 @@ import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
 from centrality_gpu_ray.pipelines.bc_chain import (MIN_CHAIN_LEN,
-                                                   chain_pass,
+                                                   build_compressed,
+                                                   chain_pass_v2,
+                                                   compressed_plain_pass,
                                                    detect_chains)
 from centrality_gpu_ray.pipelines.bicc import (_preorder_and_sizes,
                                                _ragged, biconnected)
@@ -223,8 +225,9 @@ class _DecompBrandesActor:
         return self._cached
 
     def _chain_struct(self, k: int):
-        """detect_chains result + the plain-source list for compressed
-        BCC ``k`` (cached alongside the localization)."""
+        """detect_chains result, the plain-source list and the
+        chain-contracted multigraph for compressed BCC ``k`` (cached
+        alongside the localization)."""
         if k == self._cached_k and self._cached_det != -1:
             return self._cached_det
         verts, lu, lv, nv, mass, R, C, ew = self._bcc_arrays(k)
@@ -232,10 +235,12 @@ class _DecompBrandesActor:
         if det is None:
             plain = np.arange(nv, dtype=np.int64)
             chains = []
+            comp = None
         else:
             plain = np.flatnonzero(~det["interior"])
             chains = det["chains"]
-        self._cached_det = (plain, chains)
+            comp = build_compressed(lu, lv, ew, nv, det)
+        self._cached_det = (plain, chains, comp)
         return self._cached_det
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -255,21 +260,27 @@ class _DecompBrandesActor:
                     range(int(lo), int(hi)), R, C)
             elif kind == 1:
                 # slice lo of hi over the compressed BCC's plain
-                # (anchor + short-chain) source list
-                plain, _ = self._chain_struct(int(k))
+                # (anchor + short-chain) source list — sweeps run on
+                # the chain-contracted multigraph (compressed-sweep v2)
+                plain, _, comp = self._chain_struct(int(k))
                 srcs = np.array_split(plain, int(hi))[int(lo)]
-                acc = _bcc_sources_pass(lu, lv, ew, nv, mass,
-                                        self.weighted, srcs, R, C)
+                if comp is None:
+                    # the driver's deg-2 estimate said "compressible"
+                    # but every run is shorter than MIN_CHAIN_LEN —
+                    # plain sources over the full BCC, as before
+                    acc = _bcc_sources_pass(lu, lv, ew, nv, mass,
+                                            self.weighted, srcs, R, C)
+                else:
+                    acc = compressed_plain_pass(comp, srcs, mass)
             else:
                 # slice lo of hi over the chain list
-                _, chains = self._chain_struct(int(k))
+                _, chains, comp = self._chain_struct(int(k))
                 nit = int(hi)
                 cl = (len(chains) * int(lo)) // nit
                 ch = (len(chains) * (int(lo) + 1)) // nit
                 if ch <= cl:
                     continue
-                acc = chain_pass(lu, lv, ew, nv, mass, self.weighted,
-                                 chains, cl, ch)
+                acc = chain_pass_v2(comp, nv, mass, cl, ch)
             nz = np.flatnonzero(acc)
             out_v.append(verts[nz])
             out_c.append(acc[nz])
@@ -577,11 +588,13 @@ def _decomp_partition_brandes(edges: pa.Table, masses: pa.Table,
                 "reducer task. Use sampled betweenness_centrality("
                 "max_sources=k) for the giant core, or raise "
                 "config.extra['decomp_bcc_work_cap'].")
-        acc = _bcc_sources_pass(lu, lv, wloc, nv, mass, weighted,
-                                srcs, R, C)
-        if det is not None:
-            acc += chain_pass(lu, lv, wloc, nv, mass, weighted,
-                              det["chains"], 0, len(det["chains"]))
+        if det is None:
+            acc = _bcc_sources_pass(lu, lv, wloc, nv, mass, weighted,
+                                    srcs, R, C)
+        else:
+            comp = build_compressed(lu, lv, wloc, nv, det)
+            acc = compressed_plain_pass(comp, srcs, mass)
+            acc += chain_pass_v2(comp, nv, mass, 0, comp["J"])
         nz = np.flatnonzero(acc)
         out_v.append(verts[nz])
         out_c.append(acc[nz])
