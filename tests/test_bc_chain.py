@@ -10,7 +10,10 @@ import pyarrow as pa
 import pytest
 
 from centrality_gpu_ray.pipelines.bc_chain import (MIN_CHAIN_LEN,
+                                                   build_compressed,
                                                    chain_pass,
+                                                   chain_pass_v2,
+                                                   compressed_plain_pass,
                                                    detect_chains)
 from centrality_gpu_ray.pipelines.bc_decomp import betweenness_decomposed
 from centrality_gpu_ray.pipelines.brandes import (
@@ -75,6 +78,15 @@ def _kernel_parity(lu, lv, ew, nv, mass, weighted):
     got += chain_pass(lu, lv, ew, nv, mass, weighted, det["chains"],
                       0, len(det["chains"]))
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+    # compressed-sweep v2: same numbers off the contracted multigraph
+    # (unweighted inputs contract to WEIGHTED chain edges, so neutralize
+    # ew exactly as the engine callers do)
+    ew2 = ew if weighted else np.ones_like(ew)
+    comp = build_compressed(lu, lv, ew2, nv, det)
+    got2 = compressed_plain_pass(comp, np.flatnonzero(~det["interior"]),
+                                 mass)
+    got2 += chain_pass_v2(comp, nv, mass, 0, comp["J"])
+    np.testing.assert_allclose(got2, want, rtol=1e-9, atol=1e-9)
     return det
 
 
@@ -123,6 +135,32 @@ def test_detect_chains_structure():
     assert order.tolist() == [2, 3, 4, 5, 6]
     assert a.tolist() == [1, 2, 3, 4, 5]
     assert b.tolist() == [5, 4, 3, 2, 1]
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_chain_kernel_orientation_invariance(weighted):
+    # the reference normalizes ear orientation before its kernels
+    # (read_ear_info readeardata.cpp:154-169); here the compressed
+    # result must be independent of edge direction and input order
+    lu, lv, ew, nv, mass = _subdivided_biconnected(
+        11, weighted=weighted, rand_mass=True)
+    rng = np.random.default_rng(0)
+
+    def run(lu, lv, ew):
+        det = detect_chains(lu, lv, ew, nv)
+        assert det is not None
+        comp = build_compressed(lu, lv, ew, nv, det)
+        acc = compressed_plain_pass(
+            comp, np.flatnonzero(~det["interior"]), mass)
+        return acc + chain_pass_v2(comp, nv, mass, 0, comp["J"])
+
+    base = run(lu, lv, ew)
+    flip = rng.random(lu.size) < 0.5
+    lu2 = np.where(flip, lv, lu)
+    lv2 = np.where(flip, lu, lv)
+    perm = rng.permutation(lu.size)
+    np.testing.assert_allclose(run(lu2[perm], lv2[perm], ew[perm]),
+                               base, rtol=1e-9, atol=1e-9)
 
 
 def test_detect_chains_pure_cycle_and_short():
