@@ -288,50 +288,15 @@ def detect_chains(lu: np.ndarray, lv: np.ndarray, ew: np.ndarray, nv: int):
 # per-chain source contributions (closed-form, prefix-sum based)
 # ---------------------------------------------------------------------------
 
-def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
-    """Contributions of ALL sources interior to one compressed chain →
-    dense float64[nv] accumulator — exactly what ``k`` plain
-    mass-weighted sweeps from those sources would add (tested)."""
-    u, v, order, a, b = chain
-    k = order.size
-    acc = np.zeros(nv)
-    wc = mass[order].astype(np.float64)
-    W = np.zeros(k + 1)
-    np.cumsum(wc, out=W[1:])            # W[i] = sum of wc[:i]
+def _cross_exit_credits(wc, W, a, b, DuT, DvT, suT, svT, wt, k):
+    """Cross pairs (chain source c_i vs external target t): g_i =
+    a_i - b_i is strictly increasing along the chain, so per target the
+    via-u winners are a prefix ``[0, lo_t)`` with at most one σ-split
+    tie index (``hi_t - lo_t <= 1``).  Returns the per-target exit seed
+    masses ``(amt_u, amt_v)`` and the closed-form per-position credits
+    (``pos[p] = sum_{i>p} wc_i*SL_i + sum_{i<p} wc_i*SR_i`` via
+    boundary histograms + one diff-array cumsum)."""
     Wtot = W[k]
-    L = float(a[0] + b[0])
-
-    # G_j: drop every edge touching this chain's interior
-    onchain = np.zeros(nv, dtype=bool)
-    onchain[order] = True
-    em = ~(onchain[lu] | onchain[lv])
-    S, D, WE = lu[em], lv[em], ew[em]
-    Du, sigu, eu_u, ev_u, bnd_u, _ = _sssp_dag(S, D, WE, nv, u, weighted)
-    Dv, sigv, eu_v, ev_v, bnd_v, _ = _sssp_dag(S, D, WE, nv, v, weighted)
-    Duv = float(Du[v])
-    suv = float(sigu[v])
-    if not np.isfinite(Duv) or suv <= 0.0:
-        raise AssertionError(
-            "bc_chain: G_j disconnected between chain anchors — "
-            "violates the biconnectivity invariant")
-
-    h_u = np.zeros(nv)                  # seeded-accumulation targets
-    h_v = np.zeros(nv)
-    seg = np.zeros(k + 1)               # chain-position diff array
-
-    # ---- cross pairs (c on chain, t in G_j) ----
-    tlist = np.flatnonzero(~onchain)
-    wt = mass[tlist].astype(np.float64)
-    DuT, DvT = Du[tlist], Dv[tlist]
-    if not np.isfinite(DuT).all():
-        # contract: lu/lv is ONE localized biconnected component, so
-        # G_j is connected; a multi-component input would otherwise
-        # silently misroute seeds (NaN comparisons, searchsorted on
-        # NaN) — fail loudly instead
-        raise AssertionError(
-            "bc_chain: unreachable targets in G_j — input is not a "
-            "single biconnected component")
-    suT, svT = sigu[tlist], sigv[tlist]
     g = a - b                           # strictly increasing
     negq = DvT - DuT                    # left wins iff g_i < -q_t
     lo_t = np.searchsorted(g, negq, side="left")
@@ -340,8 +305,8 @@ def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
     st = suT + svT
     tieL = np.where(tie, wc[np.minimum(lo_t, k - 1)] * suT / st, 0.0)
     tieR = np.where(tie, wc[np.minimum(lo_t, k - 1)] * svT / st, 0.0)
-    h_u[tlist] = wt * (W[lo_t] + tieL)
-    h_v[tlist] = wt * ((Wtot - W[hi_t]) + tieR)
+    amt_u = wt * (W[lo_t] + tieL)
+    amt_v = wt * ((Wtot - W[hi_t]) + tieR)
 
     # per-source target-mass sums SL/SR via boundary histograms
     BL = np.bincount(lo_t, weights=wt, minlength=k + 1)
@@ -352,21 +317,22 @@ def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
         ti = lo_t[tie]
         np.add.at(SL, ti, wt[tie] * suT[tie] / st[tie])
         np.add.at(SR, ti, wt[tie] * svT[tie] / st[tie])
-
-    # u/v exit credits need no explicit term: the seeded accumulation
-    # credits its DAG source with sum_t h[t] (every path passes it),
-    # and h_u[u] == 0 provides the t == u exclusion.
-
-    # chain positions: p gets sum_{i>p} wc_i*SL[i] + sum_{i<p} wc_i*SR[i]
     wSL, wSR = wc * SL, wc * SR
+    seg = np.zeros(k + 1)
     seg[0] += wSL.sum()
     np.subtract.at(seg, np.arange(k), wSL)
     np.add.at(seg, np.arange(k) + 1, wSR)
+    return amt_u, amt_v, np.cumsum(seg[:k])
 
-    # ---- same-chain pairs (unordered i < i', credits doubled) ----
-    # routes: intra (length D = a_i' - a_i, 1 path) vs around
-    # (a_i + Duv + b_i', suv paths); intra wins iff 2D < L + Duv.
-    # exact integer comparisons via doubled offsets
+
+def _same_chain_credits(wc, W, a, L, Duv, suv, k):
+    """Same-chain pairs (unordered i < i', credits doubled) in closed
+    form.  Routes: intra (length D = a_i' - a_i, 1 path) vs around
+    (a_i + Duv + b_i', suv paths); intra wins iff 2D < L + Duv — exact
+    integer comparisons via doubled offsets.  Returns the per-position
+    credits and the total around-route seed mass (the caller seeds it
+    at v in u's DAG and adds the same scalar to acc[v])."""
+    Wtot = W[k]
     a2 = 2.0 * a
     cut = a2 + (L + Duv)
     lt = np.searchsorted(a2, cut, side="left")    # intra: i < i' < lt_i
@@ -382,21 +348,12 @@ def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
     intra_credit = 2.0 * ((PZ[p] - PZ[np.minimum(i0, p)])
                           - W[np.minimum(p + 1, k)]
                           * (W[p] - W[np.minimum(i0, p)]))
-    acc_chain = intra_credit
     # around strict: pairs (i, i' >= rs_i)
     pair_i = wc * (Wtot - W[np.minimum(rs, k)])   # per-i around mass
-    total_around = float(pair_i.sum())
+    around = 2.0 * float(pair_i.sum())
     # per-i' around mass: i < ls_i' with 2a_i < 2a_i' - (L + Duv)
     ls = np.searchsorted(a2, a2 - (L + Duv), side="left")
     pair_j = wc * W[np.minimum(ls, k)]
-    # G_j interiors of around routes: seed ONCE (at v, in u's DAG —
-    # seeding symmetrically at u in v's DAG would double-credit the
-    # same u->v path interiors).  u's share arrives via the source
-    # credit of u's accumulation; v is the seed TARGET there (the
-    # x == t exclusion skips it), so v's share is the one explicit
-    # scalar of the whole pass.
-    h_u[v] += 2.0 * total_around
-    around_v = 2.0 * total_around
     # positions p < i (segment c_i -> u) and p > i' (segment v -> c_i')
     seg2 = np.zeros(k + 1)
     seg2[0] += 2.0 * pair_i.sum()
@@ -419,9 +376,70 @@ def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
             np.subtract.at(seg2, ii, am_ar)   # [0, i) prefix ...
             seg2[0] += am_ar.sum()
             np.add.at(seg2, jj + 1, am_ar)    # (i', k) suffix
-            h_u[v] += float(am_ar.sum())
-            around_v += float(am_ar.sum())
-    acc_chain = acc_chain + np.cumsum(seg2[:k]) + np.cumsum(seg[:k])
+            around += float(am_ar.sum())
+    return intra_credit + np.cumsum(seg2[:k]), around
+
+
+def _chain_contribution(lu, lv, ew, nv, mass, weighted, chain):
+    """Contributions of ALL sources interior to one compressed chain →
+    dense float64[nv] accumulator — exactly what ``k`` plain
+    mass-weighted sweeps from those sources would add (tested)."""
+    u, v, order, a, b = chain
+    k = order.size
+    acc = np.zeros(nv)
+    wc = mass[order].astype(np.float64)
+    W = np.zeros(k + 1)
+    np.cumsum(wc, out=W[1:])            # W[i] = sum of wc[:i]
+    L = float(a[0] + b[0])
+
+    # G_j: drop every edge touching this chain's interior
+    onchain = np.zeros(nv, dtype=bool)
+    onchain[order] = True
+    em = ~(onchain[lu] | onchain[lv])
+    S, D, WE = lu[em], lv[em], ew[em]
+    Du, sigu, eu_u, ev_u, bnd_u, _ = _sssp_dag(S, D, WE, nv, u, weighted)
+    Dv, sigv, eu_v, ev_v, bnd_v, _ = _sssp_dag(S, D, WE, nv, v, weighted)
+    Duv = float(Du[v])
+    suv = float(sigu[v])
+    if not np.isfinite(Duv) or suv <= 0.0:
+        raise AssertionError(
+            "bc_chain: G_j disconnected between chain anchors — "
+            "violates the biconnectivity invariant")
+
+    h_u = np.zeros(nv)                  # seeded-accumulation targets
+    h_v = np.zeros(nv)
+
+    # ---- cross pairs (c on chain, t in G_j) ----
+    tlist = np.flatnonzero(~onchain)
+    wt = mass[tlist].astype(np.float64)
+    DuT, DvT = Du[tlist], Dv[tlist]
+    if not np.isfinite(DuT).all():
+        # contract: lu/lv is ONE localized biconnected component, so
+        # G_j is connected; a multi-component input would otherwise
+        # silently misroute seeds (NaN comparisons, searchsorted on
+        # NaN) — fail loudly instead
+        raise AssertionError(
+            "bc_chain: unreachable targets in G_j — input is not a "
+            "single biconnected component")
+    suT, svT = sigu[tlist], sigv[tlist]
+    amt_u, amt_v, cross_pos = _cross_exit_credits(
+        wc, W, a, b, DuT, DvT, suT, svT, wt, k)
+    h_u[tlist] = amt_u
+    h_v[tlist] = amt_v
+
+    # u/v exit credits need no explicit term: the seeded accumulation
+    # credits its DAG source with sum_t h[t] (every path passes it),
+    # and h_u[u] == 0 provides the t == u exclusion.
+
+    same_pos, around_v = _same_chain_credits(wc, W, a, L, Duv, suv, k)
+    # G_j interiors of around routes: seed ONCE (at v, in u's DAG —
+    # seeding symmetrically at u in v's DAG would double-credit the
+    # same u->v path interiors).  u's share arrives via the source
+    # credit of u's accumulation; v is the seed TARGET there (the
+    # x == t exclusion skips it), so v's share is the one explicit
+    # scalar of the whole pass.
+    h_u[v] += around_v
+    acc_chain = cross_pos + same_pos
 
     # ---- G_j intermediates: one seeded accumulation per endpoint ----
     h_u[u] = 0.0
@@ -626,7 +644,6 @@ def _chain_contribution_v2(comp, nv, mass, chain_idx: int) -> np.ndarray:
     wc = mass[order].astype(np.float64)
     W = np.zeros(k + 1)
     np.cumsum(wc, out=W[1:])
-    Wtot = W[k]
     L = float(a[0] + b[0])
 
     # C_j: drop this chain's contracted edge, keep original edge ids
@@ -648,7 +665,6 @@ def _chain_contribution_v2(comp, nv, mass, chain_idx: int) -> np.ndarray:
 
     h_u = np.zeros(nv)
     h_v = np.zeros(nv)
-    seg = np.zeros(k + 1)               # own-chain position diff array
     segf = np.zeros(comp["nseg"])       # other chains' position space
 
     # ---- cross pairs: plain targets + other chains' interiors ----
@@ -671,16 +687,8 @@ def _chain_contribution_v2(comp, nv, mass, chain_idx: int) -> np.ndarray:
         svT = np.concatenate([svT, svE])
         wt = np.concatenate(
             [wt, mass[comp["ext_vert"][rows]].astype(np.float64)])
-    g = a - b
-    negq = DvT - DuT
-    lo_t = np.searchsorted(g, negq, side="left")
-    hi_t = np.searchsorted(g, negq, side="right")
-    tie = hi_t > lo_t
-    st = suT + svT
-    tieL = np.where(tie, wc[np.minimum(lo_t, k - 1)] * suT / st, 0.0)
-    tieR = np.where(tie, wc[np.minimum(lo_t, k - 1)] * svT / st, 0.0)
-    amt_u = wt * (W[lo_t] + tieL)
-    amt_v = wt * ((Wtot - W[hi_t]) + tieR)
+    amt_u, amt_v, cross_pos = _cross_exit_credits(
+        wc, W, a, b, DuT, DvT, suT, svT, wt, k)
     h_u[plainv] = amt_u[:npl]
     h_v[plainv] = amt_v[:npl]
     if rows.size:
@@ -689,78 +697,31 @@ def _chain_contribution_v2(comp, nv, mass, chain_idx: int) -> np.ndarray:
         _redistribute(comp, rows, amt_v[npl:], dlv, drv, slv, srv,
                       h_v, acc, segf)
 
-    # per-source target-mass sums SL/SR via boundary histograms
-    # (extended rows included — identical semantics to v1's tlist)
-    BL = np.bincount(lo_t, weights=wt, minlength=k + 1)
-    BH = np.bincount(hi_t, weights=wt, minlength=k + 1)
-    SL = np.cumsum(BL[::-1])[::-1][1:]
-    SR = np.cumsum(BH)[:k]
-    if tie.any():
-        ti = lo_t[tie]
-        np.add.at(SL, ti, wt[tie] * suT[tie] / st[tie])
-        np.add.at(SR, ti, wt[tie] * svT[tie] / st[tie])
-    wSL, wSR = wc * SL, wc * SR
-    seg[0] += wSL.sum()
-    np.subtract.at(seg, np.arange(k), wSL)
-    np.add.at(seg, np.arange(k) + 1, wSR)
-
-    # ---- same-chain pairs: verbatim v1 closed forms ----
-    a2 = 2.0 * a
-    cut = a2 + (L + Duv)
-    lt = np.searchsorted(a2, cut, side="left")
-    rs = np.searchsorted(a2, cut, side="right")
-    ltc = np.minimum(lt, k)
-    Z = wc * W[ltc]
-    PZ = np.zeros(k + 1)
-    np.cumsum(Z, out=PZ[1:])
-    p = np.arange(k)
-    i0 = np.searchsorted(ltc, p + 2, side="left")
-    intra_credit = 2.0 * ((PZ[p] - PZ[np.minimum(i0, p)])
-                          - W[np.minimum(p + 1, k)]
-                          * (W[p] - W[np.minimum(i0, p)]))
-    acc_chain = intra_credit
-    pair_i = wc * (Wtot - W[np.minimum(rs, k)])
-    total_around = float(pair_i.sum())
-    ls = np.searchsorted(a2, a2 - (L + Duv), side="left")
-    pair_j = wc * W[np.minimum(ls, k)]
-    h_u[v] += 2.0 * total_around
-    around_v = 2.0 * total_around
-    seg2 = np.zeros(k + 1)
-    seg2[0] += 2.0 * pair_i.sum()
-    np.subtract.at(seg2, np.arange(k), 2.0 * pair_i)
-    np.add.at(seg2, np.arange(k) + 1, 2.0 * pair_j)
-    has_tie = lt < rs
-    if has_tie.any():
-        ii = np.flatnonzero(has_tie)
-        jj = lt[ii]
-        ok = jj > ii
-        ii, jj = ii[ok], jj[ok]
-        if ii.size:
-            stt = 1.0 + suv
-            w2 = wc[ii] * wc[jj]
-            am_in = 2.0 * w2 / stt
-            am_ar = 2.0 * w2 * suv / stt
-            np.add.at(seg2, ii + 1, am_in)
-            np.subtract.at(seg2, jj, am_in)
-            np.subtract.at(seg2, ii, am_ar)
-            seg2[0] += am_ar.sum()
-            np.add.at(seg2, jj + 1, am_ar)
-            h_u[v] += float(am_ar.sum())
-            around_v += float(am_ar.sum())
-    acc_chain = acc_chain + np.cumsum(seg2[:k]) + np.cumsum(seg[:k])
+    same_pos, around_v = _same_chain_credits(wc, W, a, L, Duv, suv, k)
+    h_u[v] += around_v
+    acc_chain = cross_pos + same_pos
 
     # ---- accumulations + flow expansion ----
+    # flows matter only when OTHER chains exist: with J == 1 the lone
+    # chain edge is absent from C_j (its flow slot is provably zero and
+    # acc[order] is overwritten below), so skip the per-edge flow
+    # bookkeeping entirely
     h_u[u] = 0.0
     h_v[v] = 0.0
-    delta_u, flow_u = _accumulate_seeds(nv, sigu, eu_u, ev_u, bnd_u,
-                                        h_u, eid_u, comp["m_edges"])
-    delta_v, flow_v = _accumulate_seeds(nv, sigv, eu_v, ev_v, bnd_v,
-                                        h_v, eid_v, comp["m_edges"])
+    if comp["J"] > 1:
+        delta_u, flow_u = _accumulate_seeds(nv, sigu, eu_u, ev_u, bnd_u,
+                                            h_u, eid_u, comp["m_edges"])
+        delta_v, flow_v = _accumulate_seeds(nv, sigv, eu_v, ev_v, bnd_v,
+                                            h_v, eid_v, comp["m_edges"])
+    else:
+        delta_u = _accumulate_seeds(nv, sigu, eu_u, ev_u, bnd_u, h_u)
+        delta_v = _accumulate_seeds(nv, sigv, eu_v, ev_v, bnd_v, h_v)
     acc += delta_u + delta_v
     acc[v] += around_v
-    fl = flow_u + flow_v
-    acc[comp["ext_vert"]] += fl[comp["m_plain"] + comp["ext_chain"]]
-    _seg_to_acc(comp, segf, acc)
+    if comp["J"] > 1:
+        fl = flow_u + flow_v
+        acc[comp["ext_vert"]] += fl[comp["m_plain"] + comp["ext_chain"]]
+        _seg_to_acc(comp, segf, acc)
     acc[order] = acc_chain   # own interiors: position terms only (this
     # chain's edge is absent from C_j, so its flow slot is zero and no
     # accumulation/segf row can touch them)

@@ -100,6 +100,17 @@ def test_chain_kernel_parity_random(weighted, rand_mass):
 
 
 @pytest.mark.parametrize("weighted", [False, True])
+def test_chain_kernel_parity_single_chain(weighted):
+    # J == 1 exercises the v2 no-flow-bookkeeping branch (the lone
+    # chain's contracted edge is absent from C_j, so flows are skipped)
+    for seed in range(3):
+        lu, lv, ew, nv, mass = _subdivided_biconnected(
+            seed + 20, nsub=1, weighted=weighted, rand_mass=True)
+        det = _kernel_parity(lu, lv, ew, nv, mass, weighted)
+        assert len(det["chains"]) == 1
+
+
+@pytest.mark.parametrize("weighted", [False, True])
 def test_chain_kernel_parity_theta(weighted):
     # u=0, v=1 joined by parallel chains (lengths 4/5/7) + direct edge:
     # same-anchor-pair chains must be told apart and ties abound
