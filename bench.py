@@ -218,6 +218,10 @@ def run_bench() -> dict:
     timed("dsir_select", lambda: dsir_select(
         docs_ds, bench_texts[:8], k=100))
 
+    from centrality_gpu_ray.functions.dedup import remove_repeated_spans
+    timed("repeated_spans",
+          lambda: remove_repeated_spans(docs_ds, n=8).count())
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),

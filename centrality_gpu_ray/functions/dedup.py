@@ -853,3 +853,226 @@ def remove_repeated_paragraphs(ds, text_col: str = "text",
     return hash_partition_apply(
         kept.map_batches(add_doc, batch_format="pyarrow"),
         ["doc"], reassemble, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# Repeated-SPAN removal — ExactSubstr shape over fixed token windows
+# ---------------------------------------------------------------------------
+
+_SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                          ("n_removed", pa.int64())])
+
+
+def _rows_token_windows(texts: list, n: int):
+    """Tokenize + every FULL ``n``-token window WITH multiplicity →
+    ``(flat_tokens, tok_starts, lens, row_of, win_pos, gram_hash)``.
+    Same tokenizer + ``pd.util.hash_array`` family as
+    :func:`_rows_gram_sets`, but positions kept and no per-doc dedup
+    (span coverage needs every occurrence). ONE hash call per batch
+    (the per-row-call cost lesson, CLAUDE.md r3)."""
+    s = pd.Series(texts, dtype=object).fillna("")
+    toks = s.str.split()
+    lens = toks.str.len().fillna(0).to_numpy().astype(np.int64)
+    flat = np.asarray([t for row in toks for t in (row or [])],
+                      dtype=object)
+    tstarts = np.zeros(lens.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=tstarts[1:])
+    counts = np.maximum(lens - n + 1, 0) * (lens >= n)
+    row_of = np.repeat(np.arange(lens.size, dtype=np.int64), counts)
+    first = np.repeat(tstarts[:-1], counts) + _ragged_arange_u(counts)
+    if first.size:
+        gram_strs = flat[first]
+        for j in range(1, n):
+            gram_strs = gram_strs + " " + flat[first + j]
+        h = pd.util.hash_array(gram_strs)
+    else:
+        h = np.empty(0, np.uint64)
+    win_pos = first - np.repeat(tstarts[:-1], counts)
+    return flat, tstarts, lens, row_of, win_pos, h
+
+
+def _strip_covered(ids, texts, flat, tstarts, lens, gstart, n,
+                   id_col: str, text_col: str) -> pa.Table:
+    """Remove the tokens covered by any window starting at the global
+    flat-token indices ``gstart`` (each covering ``[g, g+n)``; windows
+    are full so coverage never crosses a document boundary), re-join
+    survivors with single spaces.  Untouched documents pass through
+    with their ORIGINAL text (whitespace preserved); fully-covered
+    documents are dropped."""
+    total = int(tstarts[-1])
+    diff = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(diff, gstart, 1)
+    np.subtract.at(diff, gstart + n, 1)
+    covered = np.cumsum(diff[:total]) > 0
+    nrows = lens.size
+    rem = np.bincount(
+        np.repeat(np.arange(nrows, dtype=np.int64), lens)[covered],
+        minlength=nrows).astype(np.int64)
+    out_ids, out_texts, out_rem = [], [], []
+    for i in np.flatnonzero(rem > 0):
+        if rem[i] == lens[i]:
+            continue                      # every token covered: drop
+        seg = slice(tstarts[i], tstarts[i + 1])
+        kept_toks = flat[seg][~covered[seg]]
+        out_ids.append(int(ids[i]))
+        out_texts.append(" ".join(kept_toks))
+        out_rem.append(int(rem[i]))
+    untouched = rem == 0
+    return pa.table({
+        id_col: pa.array(np.concatenate([ids[untouched],
+                                         np.array(out_ids, np.int64)]),
+                         type=pa.int64()),
+        text_col: pa.array([texts[i] for i in np.flatnonzero(untouched)]
+                           + out_texts, type=pa.string()),
+        "n_removed": pa.array(np.concatenate(
+            [np.zeros(int(untouched.sum()), np.int64),
+             np.array(out_rem, np.int64)])),
+    })
+
+
+def remove_repeated_spans(ds, n: int = 50, text_col: str = "text",
+                          id_col: str = "doc_id", min_count: int = 2,
+                          max_broadcast: int = 50_000_000,
+                          force_distributed: bool = False,
+                          num_partitions: int = 32):
+    """Corpus-wide repeated-span removal — the ExactSubstr shape of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") approximated with fixed ``n``-token windows: every token
+    covered by an ``n``-gram whose exact text occurs ≥ ``min_count``
+    times in the corpus (ALL occurrences, within- and cross-document)
+    is removed, and the surviving tokens are re-joined with single
+    spaces.  Documents shorter than ``n`` tokens have no window and
+    pass through unchanged (original whitespace preserved, as do all
+    untouched documents); documents whose every token is covered are
+    dropped.  Returns ``(doc_id, text, n_removed)``.
+
+    Scale shape (two passes over the corpus, no driver materialization
+    of corpus-sized state):
+
+    1. per-batch PARTIAL gram counts (unique within batch) →
+       ``hash_aggregate`` sum → duplicated-gram set ``D``
+       (``count ≥ min_count``) — the map-side combine keeps the
+       exchange at distinct-gram, not token, cardinality;
+    2. removal: if ``|D| ≤ max_broadcast``, ``ray.put`` the sorted
+       array once and membership-test each batch with one
+       ``searchsorted`` (no second shuffle); beyond the cap, explode
+       window occurrences to ``(gram, doc·2²⁰+start)`` rows,
+       ``hash_semi_join`` against ``D``, and co-partition the start
+       lists with the documents by doc id for the rebuild
+       (``hash_copartition_apply``).
+
+    Removing ALL occurrences (rather than keeping a first copy) is
+    deterministic and order-free, matching the paper's strict variant;
+    within-doc repeats also count toward ``min_count``."""
+    import ray
+
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_copartition_apply,
+                                                   hash_semi_join)
+
+    CAP = 1 << 20
+    src = ds.select_columns([id_col, text_col])
+
+    def partial_counts(batch: pd.DataFrame) -> pa.Table:
+        *_, h = _rows_token_windows(batch[text_col].tolist(), n)
+        if h.size == 0:
+            return pa.table({"gram": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"gram": pa.array(uniq.view(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    partial_counts.__name__ = "span_gram_partial_counts"
+    totals = hash_aggregate(
+        src.map_batches(partial_counts, batch_format="pandas",
+                        batch_size=2048),
+        ["gram"], [("cnt", "sum")], num_partitions=num_partitions)
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        keep = t.column("cnt").to_numpy() >= min_count
+        return t.filter(pa.array(keep)).select(["gram"])
+
+    only_dups.__name__ = "filter_duplicated_grams"
+    dups = totals.map_batches(
+        only_dups, batch_format="pyarrow").materialize()
+    n_dup = dups.count()
+    if n_dup == 0:
+        def passthrough(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "n_removed", pa.array(np.zeros(t.num_rows, np.int64)))
+        passthrough.__name__ = "span_passthrough"
+        return src.map_batches(passthrough, batch_format="pyarrow")
+
+    if not force_distributed and n_dup <= max_broadcast:
+        parts = [b.column("gram").to_numpy()
+                 for b in dups.iter_batches(batch_format="pyarrow")
+                 if b.num_rows]
+        D = np.sort(np.concatenate(parts).view(np.uint64))
+        dref = ray.put(D)
+
+        def strip(batch: pd.DataFrame, _ref=dref) -> pa.Table:
+            Dv = ray.get(_ref)
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            texts = batch[text_col].tolist()
+            flat, tstarts, lens, row_of, pos, h = _rows_token_windows(
+                texts, n)
+            if h.size:
+                idx = np.minimum(np.searchsorted(Dv, h), Dv.size - 1)
+                hit = Dv[idx] == h
+            else:
+                hit = np.zeros(0, dtype=bool)
+            gstart = tstarts[row_of[hit]] + pos[hit]
+            return _strip_covered(ids, texts, flat, tstarts, lens,
+                                  gstart, n, id_col, text_col)
+
+        strip.__name__ = "strip_repeated_spans"
+        return src.map_batches(strip, batch_format="pandas",
+                               batch_size=2048)
+
+    # distributed removal: occurrence explode → semi-join → co-partition
+    def explode_occ(batch: pd.DataFrame) -> pa.Table:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        if ids.size and ids.max() >= (1 << 43):
+            raise ValueError("doc_id >= 2^43 breaks the pos encoding")
+        _, tstarts, lens, row_of, pos, h = _rows_token_windows(
+            batch[text_col].tolist(), n)
+        if lens.size and lens.max() > CAP:
+            raise ValueError("document exceeds 2^20 tokens")
+        return pa.table({
+            "gram": pa.array(h.view(np.int64)),
+            "pos": pa.array(ids[row_of] * CAP + pos),
+        })
+
+    explode_occ.__name__ = "explode_span_windows"
+    occ = src.map_batches(explode_occ, batch_format="pandas",
+                          batch_size=2048)
+    dup_starts = hash_semi_join(occ, dups, on="gram",
+                                num_partitions=num_partitions)
+
+    def add_doc(t: pa.Table) -> pa.Table:
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        return pa.table({"doc": pa.array(pos // CAP),
+                         "start": pa.array(pos % CAP)})
+
+    add_doc.__name__ = "attach_doc_key"
+    starts = dup_starts.map_batches(add_doc, batch_format="pyarrow")
+
+    def rebuild(docs_tbl: pa.Table, starts_tbl: pa.Table) -> pa.Table:
+        if docs_tbl.num_rows == 0:
+            return _SPAN_SCHEMA.empty_table().rename_columns(
+                [id_col, text_col, "n_removed"])
+        ids = docs_tbl.column(id_col).to_numpy(zero_copy_only=False)
+        texts = docs_tbl.column(text_col).to_pylist()
+        flat, tstarts, lens, _, _, _ = _rows_token_windows(texts, n)
+        sd = starts_tbl.column("doc").to_numpy(zero_copy_only=False) \
+            if starts_tbl.num_rows else np.empty(0, np.int64)
+        st = starts_tbl.column("start").to_numpy(zero_copy_only=False) \
+            if starts_tbl.num_rows else np.empty(0, np.int64)
+        order = np.argsort(ids)
+        ridx = order[np.searchsorted(ids[order], sd)]
+        gstart = tstarts[ridx] + st
+        return _strip_covered(ids, texts, flat, tstarts, lens, gstart,
+                              n, id_col, text_col)
+
+    return hash_copartition_apply(src, starts, [id_col], ["doc"],
+                                  rebuild, num_partitions=num_partitions)

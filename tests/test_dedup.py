@@ -180,3 +180,105 @@ def test_remove_repeated_paragraphs_documents_table():
     want = duckdb.execute(_para_dedup_oracle_sql(
         f"read_parquet('{sf}/documents.parquet')")).fetchdf()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# remove_repeated_spans — ExactSubstr shape (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def _spans_reference(df, n, min_count=2):
+    """Serial oracle: remove every token covered by an n-gram occurring
+    >= min_count times corpus-wide (all occurrences)."""
+    from collections import Counter
+    toks = {i: t.split() for i, t in zip(df["doc_id"], df["text"])}
+    cnt = Counter()
+    for tk in toks.values():
+        for j in range(len(tk) - n + 1):
+            cnt[" ".join(tk[j:j + n])] += 1
+    dup = {g for g, c in cnt.items() if c >= min_count}
+    out = []
+    for i, t in zip(df["doc_id"], df["text"]):
+        tk = toks[i]
+        cov = [False] * len(tk)
+        for j in range(len(tk) - n + 1):
+            if " ".join(tk[j:j + n]) in dup:
+                for p in range(j, j + n):
+                    cov[p] = True
+        if not any(cov):
+            out.append((i, t, 0))          # untouched: original text
+        else:
+            kept = [w for w, c in zip(tk, cov) if not c]
+            if kept:
+                out.append((i, " ".join(kept), sum(cov)))
+    return pd.DataFrame(out, columns=["doc_id", "text", "n_removed"])
+
+
+def _spans_run(df, n, **kw):
+    from centrality_gpu_ray.functions.dedup import remove_repeated_spans
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    return (remove_repeated_spans(ds, n=n, num_partitions=4, **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+def test_remove_repeated_spans_planted():
+    boiler = "click here to subscribe to our free weekly newsletter today"
+    df = pd.DataFrame({
+        "doc_id": np.array([3, 7, 9, 12, 15], dtype=np.int64),
+        "text": [
+            f"alpha one two three {boiler} tail words here",
+            f"{boiler} beta gamma delta epsilon zeta",
+            # within-doc repeat alone crosses min_count
+            "x1 x2 unique run of tokens x1 x2 unique run of tokens done",
+            boiler,                                  # fully covered: drops
+            "totally  distinct   text with    odd whitespace preserved",
+        ],
+    })
+    want = _spans_reference(df, n=5)
+    for kw in ({}, {"force_distributed": True}):
+        got = _spans_run(df, n=5, **kw)
+        pd.testing.assert_frame_equal(
+            got, want.reset_index(drop=True), check_dtype=False)
+    t = dict(zip(got["doc_id"], got["text"]))
+    assert 12 not in t                       # fully-covered doc dropped
+    assert t[15] == df["text"][4]            # untouched: whitespace intact
+    assert boiler.split()[0] not in t[3]     # boilerplate gone
+    assert t[3].startswith("alpha one two three")
+
+
+def test_remove_repeated_spans_random_vs_reference():
+    rng = np.random.default_rng(42)
+    vocab = np.array([f"w{i}" for i in range(30)])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+             for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "text": texts})
+    want = _spans_reference(df, n=3)
+    got_b = _spans_run(df, n=3)
+    got_d = _spans_run(df, n=3, force_distributed=True)
+    pd.testing.assert_frame_equal(got_b, want, check_dtype=False)
+    pd.testing.assert_frame_equal(got_d, want, check_dtype=False)
+
+
+def test_remove_repeated_spans_no_duplicates_passthrough():
+    df = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": ["entirely unique words in this document",
+                 "and a second one sharing no five gram"],
+    })
+    got = _spans_run(df, n=5)
+    assert got["n_removed"].tolist() == [0, 0]
+    assert got["text"].tolist() == df["text"].tolist()
+
+
+def test_remove_repeated_spans_documents_table():
+    from centrality_gpu_ray.functions.dedup import remove_repeated_spans
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    df = docs.to_pandas()
+    want = _spans_reference(df, n=8).sort_values("doc_id") \
+        .reset_index(drop=True)
+    got = remove_repeated_spans(docs, n=8, num_partitions=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["n_removed"] > 0).any()      # synthetic docs share spans
