@@ -222,6 +222,26 @@ def run_bench() -> dict:
     timed("repeated_spans",
           lambda: remove_repeated_spans(docs_ds, n=8).count())
 
+    from centrality_gpu_ray.functions.classifier import (
+        quality_scores, train_quality_classifier)
+
+    def _quality():
+        import pyarrow.compute as _pc
+
+        # weak labels from length: a self-contained train+score cycle
+        def lab(t):
+            import pyarrow as _pa2
+            nt = _pc.list_value_length(
+                _pc.split_pattern_regex(t["text"], r"\s+"))
+            return t.append_column(
+                "label", _pc.cast(_pc.greater(nt, 40), _pa2.int64()))
+
+        labeled = docs_ds.map_batches(lab, batch_format="pyarrow")
+        model = train_quality_classifier(labeled, iters=8)
+        return quality_scores(docs_ds, model).count()
+
+    timed("quality_classifier", _quality)
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),

@@ -235,6 +235,77 @@ def main() -> dict:
                           "dsir_topk_marker_frac": round(frac, 4)})
     _mark("dsir_select")
 
+    # ExactSubstr-style repeated-span removal at full corpus size, over
+    # the DIVERSE synthesis (random 50k-vocab tokens: two docs share
+    # essentially no 10-gram, so the planted span is the ONLY
+    # duplicated gram and the arithmetic is exact). Every 997th doc
+    # gets the same 10-token boilerplate appended: the all-marker
+    # window repeats ~2k times (duplicated), every base/straddle window
+    # contains doc-unique random tokens (count 1) — so exactly the 10
+    # marker tokens must vanish from each planted doc and nothing else.
+    from centrality_gpu_ray.functions.dedup import remove_repeated_spans
+
+    boiler = " ".join(f"by{i}" for i in range(10))
+
+    def plant_span(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pd.Series(t.column("text").to_pandas())
+        m = ids % 997 == 0
+        text[m] = text[m] + " " + boiler
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(text, type=pa.string())})
+
+    spanned = nd_docs.map_batches(plant_span, batch_format="pyarrow") \
+        .repartition(64).materialize()
+    n_span_docs = len(range(0, n_rows, 997))
+    # exact expectation, straddle windows included: if two MARKED docs
+    # share their last j base tokens, the (j base + 10-j marker) window
+    # also repeats and covers j extra tokens for each — per marked doc
+    # the extra is the max such j (birthday at 2M: a few docs share a
+    # 1-token tail). The marked set is tiny (n_rows/997), so the exact
+    # driver-side account costs nothing.
+    from collections import Counter
+    def _marked_only(tb: pa.Table) -> pa.Table:
+        ids = tb.column("doc_id").to_numpy(zero_copy_only=False)
+        return tb.filter(pa.array(ids % 997 == 0))
+
+    mk_tails = [t.split()[-9:] for t in nd_docs.map_batches(
+        _marked_only, batch_format="pyarrow").to_pandas()["text"]]
+    extra = np.zeros(len(mk_tails), np.int64)
+    for j in range(1, 10):
+        cnt = Counter(tuple(t[-j:]) for t in mk_tails)
+        for i, t in enumerate(mk_tails):
+            if cnt[tuple(t[-j:])] >= 2:
+                extra[i] = j
+    expected_removed = 10 * n_span_docs + int(extra.sum())
+    _mark("span_plant")
+    stripped = remove_repeated_spans(spanned, n=10).materialize()
+    assert stripped.count() == n_rows           # no doc fully covered
+    rem = stripped.map_batches(
+        lambda t: pa.table({
+            "all": pa.array(np.zeros(len(t), np.int64)),
+            "n_removed": t.column("n_removed"),
+            "touched": pa.array((t.column("n_removed").to_numpy()
+                                 > 0).astype(np.int64))}),
+        batch_format="pyarrow")
+    ragg = hash_aggregate(rem, ["all"], [("n_removed", "sum"),
+                                         ("touched", "sum")],
+                          num_partitions=2).to_pandas()
+    assert int(ragg["n_removed"].iloc[0]) == expected_removed  # EXACT
+    assert int(ragg["touched"].iloc[0]) == n_span_docs
+    sample = stripped.map_batches(
+        lambda t: t.filter(pc.greater(t["n_removed"], 0)),
+        batch_format="pyarrow").limit(5).to_pandas()
+    assert all("by" not in s and len(s.split()) >= 16
+               for s in sample["text"])         # marker gone, base kept
+    out["counts"].update({"span_planted_docs": n_span_docs,
+                          "span_tokens_removed":
+                          int(ragg["n_removed"].iloc[0]),
+                          "span_straddle_extra": int(extra.sum())})
+    _mark("repeated_span_removal")
+
     mixed = mixture_sample(survivors, {"und": 0.5}, default_rate=1.0)
     n_mixed = mixed.count()
     assert 0 < n_mixed < n_unique
