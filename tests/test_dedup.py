@@ -270,6 +270,72 @@ def test_remove_repeated_spans_no_duplicates_passthrough():
     assert got["text"].tolist() == df["text"].tolist()
 
 
+def _span_dedup_oracle_sql(src: str, n: int) -> str:
+    """Independent ANSI-SQL restatement of remove_repeated_spans:
+    windowed n-gram via LEAD, duplicated set by HAVING count>=2,
+    coverage by a range join on window starts, CASE-preserved original
+    text for untouched docs."""
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"LEAD(tok, {j}) OVER w" for j in range(1, n)])
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(l) AS tok,
+                 GENERATE_SUBSCRIPTS(l, 1) AS ord
+          FROM (SELECT doc_id,
+                       STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS l
+                FROM {src} WHERE LENGTH(TRIM(text)) > 0)),
+        grams AS MATERIALIZED (
+          SELECT doc_id, ord AS start, {leads} AS gram,
+                 LEAD(tok, {n - 1}) OVER w AS last_tok
+          FROM toks
+          WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+        dup AS MATERIALIZED (
+          SELECT gram FROM grams WHERE last_tok IS NOT NULL
+          GROUP BY gram HAVING COUNT(*) >= 2),
+        cov AS (
+          SELECT t.doc_id, t.ord, t.tok,
+                 EXISTS (SELECT 1 FROM grams g
+                         WHERE g.doc_id = t.doc_id
+                           AND g.start BETWEEN t.ord - {n - 1} AND t.ord
+                           AND g.last_tok IS NOT NULL
+                           AND g.gram IN (SELECT gram FROM dup))
+                   AS covered
+          FROM toks t),
+        agg AS (
+          SELECT doc_id,
+                 STRING_AGG(tok, ' ' ORDER BY ord)
+                   FILTER (WHERE NOT covered) AS rebuilt,
+                 COUNT(*) FILTER (WHERE covered) AS n_removed
+          FROM cov GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN a.n_removed = 0 THEN d.text
+                    ELSE a.rebuilt END AS text,
+               a.n_removed
+        FROM {src} d JOIN agg a USING (doc_id)
+        WHERE a.n_removed = 0 OR a.rebuilt IS NOT NULL
+        ORDER BY d.doc_id"""
+
+
+def test_remove_repeated_spans_duckdb_oracle():
+    import duckdb
+
+    boiler = "click here to subscribe to our free weekly newsletter today"
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"w{i}" for i in range(25)])
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+             for _ in range(40)]
+    texts += [f"head {boiler} tail{i}" for i in range(3)]
+    texts += [boiler]                     # fully covered at n<=10: drops
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    con = duckdb.connect()
+    con.register("pd_docs", df)
+    for n in (3, 5):
+        want = con.execute(_span_dedup_oracle_sql("pd_docs", n)).fetchdf()
+        got = _spans_run(df, n=n)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_remove_repeated_spans_documents_table():
     from centrality_gpu_ray.functions.dedup import remove_repeated_spans
     sf = "/root/testdata/sf0.001"
