@@ -306,6 +306,53 @@ def main() -> dict:
                           "span_straddle_extra": int(extra.sum())})
     _mark("repeated_span_removal")
 
+    # quality classifier at full corpus size: label = doc_id parity,
+    # odd docs get 4 junk-vocab tokens appended — a linearly separable
+    # planted signal over the hashed n-gram features. Deterministic
+    # full-batch GD (6 iterations over the materialized bucket-stream
+    # Dataset), then one scoring pass; accuracy aggregated distributed
+    # (labels re-derived from doc_id inside each batch, no join).
+    from centrality_gpu_ray.functions.classifier import (
+        featurize_hashed_ngrams, quality_scores,
+        train_quality_classifier)
+
+    def plant_label(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pd.Series(t.column("text").to_pandas())
+        odd = (ids % 2) == 1
+        rng_l = np.random.default_rng(ids[0] if ids.size else 0)
+        junk = np.array([f"jk{i}" for i in range(20)])
+        tails = [" ".join(rng_l.choice(junk, size=4))
+                 for _ in range(int(odd.sum()))]
+        text[odd] = text[odd] + " " + pd.Series(tails,
+                                                index=text[odd].index)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(text, type=pa.string()),
+                         "label": pa.array((ids % 2).astype(np.int64))})
+
+    labeled = nd_docs.map_batches(plant_label, batch_format="pyarrow") \
+        .repartition(64).materialize()
+    feats = featurize_hashed_ngrams(labeled, label_col="label")
+    _mark("classifier_featurize")
+    model = train_quality_classifier(labeled, iters=6, features=feats)
+    _mark("classifier_train")
+    acc_rows = quality_scores(labeled, model, features=feats) \
+        .map_batches(lambda t: pa.table({
+            "all": pa.array(np.zeros(len(t), np.int64)),
+            "correct": pa.array(
+                ((t.column("quality_prob").to_numpy() >= 0.5)
+                 == ((t.column("doc_id").to_numpy() % 2) == 1))
+                .astype(np.int64))}), batch_format="pyarrow")
+    cagg = hash_aggregate(acc_rows, ["all"], [("correct", "sum")],
+                          num_partitions=2).to_pandas()
+    acc = int(cagg["correct"].iloc[0]) / n_rows
+    assert acc >= 0.99, acc
+    assert model["loss_curve"][-1] < model["loss_curve"][0]
+    out["counts"]["classifier_train_acc"] = round(acc, 5)
+    _mark("classifier_score")
+
     mixed = mixture_sample(survivors, {"und": 0.5}, default_rate=1.0)
     n_mixed = mixed.count()
     assert 0 < n_mixed < n_unique
