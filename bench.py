@@ -233,8 +233,11 @@ def run_bench() -> dict:
             import pyarrow as _pa2
             nt = _pc.list_value_length(
                 _pc.split_pattern_regex(t["text"], r"\s+"))
+            # null text -> null length -> null label would NaN-poison
+            # the model (loud guard in train_quality_classifier)
             return t.append_column(
-                "label", _pc.cast(_pc.greater(nt, 40), _pa2.int64()))
+                "label", _pc.fill_null(
+                    _pc.cast(_pc.greater(nt, 40), _pa2.int64()), 0))
 
         labeled = docs_ds.map_batches(lab, batch_format="pyarrow")
         model = train_quality_classifier(labeled, iters=8)

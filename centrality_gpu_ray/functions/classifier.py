@@ -113,6 +113,13 @@ def train_quality_classifier(ds, text_col: str = "text",
             ww, bb = ray.get(_ref)
             y = t.column(label_col).to_numpy(
                 zero_copy_only=False).astype(np.float64)
+            if not np.isfinite(y).all() or np.any((y != 0.0) & (y != 1.0)):
+                # a single null/NaN label would NaN-poison the whole
+                # model after one gradient fold, and quality_filter
+                # would then silently drop every document — fail loudly
+                raise ValueError(
+                    "train_quality_classifier: labels must be 0/1 and "
+                    "non-null")
             z = _doc_margins(t, ww, bb)
             p = 1.0 / (1.0 + np.exp(-z))
             r = p - y                         # d loss / d z
@@ -184,13 +191,15 @@ def quality_scores(ds, model: dict, text_col: str = "text",
 
 def quality_filter(ds, model: dict, threshold: float = 0.5,
                    text_col: str = "text", id_col: str = "doc_id",
-                   num_partitions: int = 32):
+                   num_partitions: int = 32, features=None):
     """Keep the documents the model scores ≥ ``threshold`` — scores
     joined back to the full rows by a hash semi-join (the document
-    payload never broadcasts)."""
+    payload never broadcasts).  Pass the pre-built ``features``
+    Dataset to skip re-hashing the corpus."""
     from centrality_gpu_ray.stages.shuffle import hash_semi_join
 
-    scores = quality_scores(ds, model, text_col=text_col, id_col=id_col)
+    scores = quality_scores(ds, model, text_col=text_col, id_col=id_col,
+                            features=features)
 
     def keep_ids(t: pa.Table) -> pa.Table:
         q = t.column("quality_prob").to_numpy()

@@ -357,7 +357,7 @@ def _rows_gram_sets(texts: list, ngram: int) -> tuple[np.ndarray, np.ndarray]:
     starts = np.zeros(lens.size + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     # full-length rows: windows of `ngram` consecutive tokens per row
-    counts = np.maximum(lens - ngram + 1, 0) * (lens >= ngram)
+    counts = np.maximum(lens - ngram + 1, 0)
     row_of = np.repeat(np.arange(lens.size, dtype=np.int64), counts)
     first = np.repeat(starts[:-1], counts) + _ragged_arange_u(counts)
     if first.size:
@@ -863,13 +863,10 @@ _SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
                           ("n_removed", pa.int64())])
 
 
-def _rows_token_windows(texts: list, n: int):
-    """Tokenize + every FULL ``n``-token window WITH multiplicity →
-    ``(flat_tokens, tok_starts, lens, row_of, win_pos, gram_hash)``.
-    Same tokenizer + ``pd.util.hash_array`` family as
-    :func:`_rows_gram_sets`, but positions kept and no per-doc dedup
-    (span coverage needs every occurrence). ONE hash call per batch
-    (the per-row-call cost lesson, CLAUDE.md r3)."""
+def _flat_tokens(texts: list):
+    """Tokenize only → ``(flat_tokens, tok_starts, lens)`` — the cheap
+    half of :func:`_rows_token_windows` for callers that need no gram
+    hashes (the distributed rebuild re-splits but must not re-hash)."""
     s = pd.Series(texts, dtype=object).fillna("")
     toks = s.str.split()
     lens = toks.str.len().fillna(0).to_numpy().astype(np.int64)
@@ -877,7 +874,18 @@ def _rows_token_windows(texts: list, n: int):
                       dtype=object)
     tstarts = np.zeros(lens.size + 1, dtype=np.int64)
     np.cumsum(lens, out=tstarts[1:])
-    counts = np.maximum(lens - n + 1, 0) * (lens >= n)
+    return flat, tstarts, lens
+
+
+def _rows_token_windows(texts: list, n: int):
+    """Tokenize + every FULL ``n``-token window WITH multiplicity →
+    ``(flat_tokens, tok_starts, lens, row_of, win_pos, gram_hash)``.
+    Same tokenizer + ``pd.util.hash_array`` family as
+    :func:`_rows_gram_sets`, but positions kept and no per-doc dedup
+    (span coverage needs every occurrence). ONE hash call per batch
+    (the per-row-call cost lesson, CLAUDE.md r3)."""
+    flat, tstarts, lens = _flat_tokens(texts)
+    counts = np.maximum(lens - n + 1, 0)
     row_of = np.repeat(np.arange(lens.size, dtype=np.int64), counts)
     first = np.repeat(tstarts[:-1], counts) + _ragged_arange_u(counts)
     if first.size:
@@ -963,7 +971,13 @@ def remove_repeated_spans(ds, n: int = 50, text_col: str = "text",
 
     Removing ALL occurrences (rather than keeping a first copy) is
     deterministic and order-free, matching the paper's strict variant;
-    within-doc repeats also count toward ``min_count``."""
+    within-doc repeats also count toward ``min_count``.
+
+    Duplicate detection compares 64-bit ``pd.util.hash_array`` values,
+    not gram strings: expected false-removals ≈ windows²/2⁶⁵ — zero in
+    practice below ~10⁹ windows, and ~1 spurious window pair at ~5×10⁹
+    (≈0.25 TB of text). Beyond that, chain a string-equality verify on
+    the duplicated set (the ``minhash_dedup`` Jaccard-verify shape)."""
     import ray
 
     from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
@@ -1063,7 +1077,7 @@ def remove_repeated_spans(ds, n: int = 50, text_col: str = "text",
                 [id_col, text_col, "n_removed"])
         ids = docs_tbl.column(id_col).to_numpy(zero_copy_only=False)
         texts = docs_tbl.column(text_col).to_pylist()
-        flat, tstarts, lens, _, _, _ = _rows_token_windows(texts, n)
+        flat, tstarts, lens = _flat_tokens(texts)
         sd = starts_tbl.column("doc").to_numpy(zero_copy_only=False) \
             if starts_tbl.num_rows else np.empty(0, np.int64)
         st = starts_tbl.column("start").to_numpy(zero_copy_only=False) \

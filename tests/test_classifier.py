@@ -116,6 +116,19 @@ def test_quality_filter_matches_scores():
     assert list(kept.columns) == ["doc_id", "text", "label"]  # schema kept
 
 
+def test_null_label_raises_loudly():
+    # a single null label must NOT silently NaN-poison the model
+    df = _planted(n=20, seed=7)
+    df["label"] = df["label"].astype(object)
+    df.loc[3, "label"] = None
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(df["doc_id"]),
+        "text": pa.array(df["text"]),
+        "label": pa.array(df["label"].tolist(), type=pa.int64())}))
+    with pytest.raises(Exception, match="0/1 and non-null"):
+        train_quality_classifier(ds, buckets=B, iters=1)
+
+
 def test_empty_input_raises():
     df = _planted(n=4)
     ds = ray.data.from_arrow(pa.Table.from_pandas(df)).filter(
