@@ -107,13 +107,22 @@ def test_planted_separation_and_scoring():
 def test_quality_filter_matches_scores():
     df = _planted(n=200, seed=11)
     ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    feats = featurize_hashed_ngrams(ds, label_col="label", buckets=B)
     model = train_quality_classifier(ds, buckets=B, iters=10)
+    # text-path and features-path training are the same computation
+    model_f = train_quality_classifier(ds, buckets=B, iters=10,
+                                       features=feats)
+    np.testing.assert_allclose(model_f["w"], model["w"], rtol=1e-12)
     sc = quality_scores(ds, model).to_pandas()
     want = set(sc.loc[sc["quality_prob"] >= 0.5, "doc_id"])
     kept = quality_filter(ds, model, threshold=0.5,
                           num_partitions=4).to_pandas()
     assert set(kept["doc_id"]) == want
     assert list(kept.columns) == ["doc_id", "text", "label"]  # schema kept
+    # features passthrough must keep the same set without re-hashing
+    kept_f = quality_filter(ds, model, threshold=0.5,
+                            num_partitions=4, features=feats).to_pandas()
+    assert set(kept_f["doc_id"]) == want
 
 
 def test_null_label_raises_loudly():
