@@ -27,6 +27,7 @@ many buckets per reduce task, vectorized — no per-group Python).
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 import pandas as pd
@@ -162,6 +163,63 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                             num_partitions=num_partitions, winners_only=True)
     return hash_semi_join(ds, winners, on=id_col,
                           num_partitions=num_partitions)
+
+
+def exact_dedup_incremental(ds, state_dir: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_partitions: int = 16):
+    """Cross-RUN exact dedup for continuous ingestion: drop every row
+    whose content hash was seen by ANY previous run (persisted state),
+    keep the min-id winner per distinct new text, and append the
+    survivors' hashes to the state as a new immutable run partition.
+    Returns ``(survivors_ds, new_run_dir)``.
+
+    State layout: ``state_dir/run=<k>/`` holding parquet with one
+    int64 ``_h`` column — append-only, one directory per ingestion
+    run, so a crashed run leaves prior state intact and a retry just
+    rewrites its own directory. The seen-hash population is read as a
+    Dataset and met in a hash-partitioned ANTI semi-join — it is never
+    collected to the driver or broadcast (at 10¹⁰ docs the state is
+    ~80 GB of hashes: Dataset-sized, not driver-sized)."""
+    import glob as _glob
+
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import (hash_mark_min,
+                                                   hash_semi_join)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(txt.astype(object)).view(np.int64)
+        return pa.table({id_col: t.column(id_col), "_h": pa.array(h)})
+
+    add_hash.__name__ = "content_hashes"
+    new_hashes = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    run_dirs = sorted(_glob.glob(os.path.join(state_dir, "run=*")))
+    prior = [p for d in run_dirs
+             for p in _glob.glob(os.path.join(d, "*.parquet"))]
+    if prior:
+        seen = ray.data.read_parquet(prior, columns=["_h"])
+        fresh = hash_semi_join(new_hashes, seen, on="_h", anti=True,
+                               num_partitions=num_partitions)
+    else:
+        fresh = new_hashes
+    winners = hash_mark_min(fresh, key="_h", order=id_col,
+                            num_partitions=num_partitions,
+                            winners_only=True)
+    survivors = hash_semi_join(ds, winners, on=id_col,
+                               num_partitions=num_partitions) \
+        .materialize()
+
+    new_dir = os.path.join(state_dir, f"run={len(run_dirs)}")
+    # create the dir even for a zero-survivor run (write_parquet emits
+    # no files for an empty Dataset) so run numbering stays stable
+    os.makedirs(new_dir, exist_ok=True)
+    surv_hashes = survivors.map_batches(add_hash, batch_format="pyarrow") \
+        .map_batches(lambda t: t.select(["_h"]), batch_format="pyarrow")
+    surv_hashes.write_parquet(new_dir)
+    return survivors, new_dir
 
 
 # ---------------------------------------------------------------------------

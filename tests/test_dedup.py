@@ -348,3 +348,43 @@ def test_remove_repeated_spans_documents_table():
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["n_removed"] > 0).any()      # synthetic docs share spans
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup_incremental — cross-run dedup with persisted hash state
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_incremental_runs(tmp_path):
+    from centrality_gpu_ray.functions.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "dedup_state")
+
+    def mk(ids, texts):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.array(ids, np.int64)),
+            "text": pa.array(texts)})).repartition(2)
+
+    # run 0: internal dup (1,2 same text) -> min-id winner kept
+    s0, d0 = exact_dedup_incremental(
+        mk([1, 2, 3], ["aaa", "aaa", "bbb"]), state, num_partitions=4)
+    df0 = s0.to_pandas().sort_values("doc_id")
+    assert df0["doc_id"].tolist() == [1, 3]
+    assert d0.endswith("run=0")
+
+    # run 1: "aaa"/"bbb" already seen -> dropped; "ccc" new (dup within
+    # run -> min id 11); "bbb" reappearing under a new id also drops
+    s1, d1 = exact_dedup_incremental(
+        mk([10, 11, 12, 13], ["bbb", "ccc", "ccc", "aaa"]), state,
+        num_partitions=4)
+    df1 = s1.to_pandas()
+    assert df1["doc_id"].tolist() == [11]
+    assert d1.endswith("run=1")
+
+    # run 2: replaying run 1's input against the grown state -> empty
+    s2, _ = exact_dedup_incremental(
+        mk([20, 21], ["ccc", "bbb"]), state, num_partitions=4)
+    assert s2.count() == 0
+
+    # state grew append-only: run dirs 0..2 all present
+    import glob
+    assert len(glob.glob(f"{state}/run=*")) == 3
