@@ -353,6 +353,44 @@ def main() -> dict:
     out["counts"]["classifier_train_acc"] = round(acc, 5)
     _mark("classifier_score")
 
+    # CCNet-shaped LM perplexity gate at full corpus size: fit a tiny
+    # target LM driver-side (the realistic shape — CCNet's reference
+    # corpus is small next to the crawl), score + filter the 2M corpus
+    # in ONE streaming pass. Every 499th doc becomes a 24-token
+    # low-entropy prototype (log_ppl 6.55 exactly, constant); random
+    # 50k-vocab docs score ≥10.9 (a sub-threshold crossing needs ~11
+    # independent 2/2^16 bucket collisions in one doc — never happens),
+    # so the 9.0 cut keeps EXACTLY the planted set.
+    from centrality_gpu_ray.functions.lm import lm_filter, lm_fit_texts
+
+    proto = " ".join(["lm1", "lm2"] * 12)
+
+    def plant_lm(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        text = pd.Series(t.column("text").to_pandas())
+        text[ids % 499 == 0] = proto
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(text, type=pa.string())})
+
+    lm_in = nd_docs.map_batches(plant_lm, batch_format="pyarrow") \
+        .repartition(64).materialize()
+    n_lm = len(range(0, n_rows, 499))
+    _mark("lm_plant")
+    lm_model = lm_fit_texts([proto] * 4)
+    kept_lm = lm_filter(lm_in, lm_model, max_log_ppl=9.0).materialize()
+    assert kept_lm.count() == n_lm                  # EXACT survivor set
+    n_stray = kept_lm.map_batches(
+        lambda t: pa.table({"b": pa.array([int(
+            (t.column("doc_id").to_numpy(zero_copy_only=False)
+             % 499 != 0).sum())])}),
+        batch_format="pyarrow").sum("b")
+    assert int(n_stray) == 0
+    out["counts"].update({"lm_planted": n_lm,
+                          "lm_kept": kept_lm.count()})
+    _mark("lm_perplexity_filter")
+
     mixed = mixture_sample(survivors, {"und": 0.5}, default_rate=1.0)
     n_mixed = mixed.count()
     assert 0 < n_mixed < n_unique
