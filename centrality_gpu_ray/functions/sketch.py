@@ -414,3 +414,142 @@ def filter_by_quantile(ds, col: str, lo_q: float = 0.0,
     # though the filter itself skips the comparison to stay native-typed
     lo_out = -np.inf if lo_v is None else lo_v
     return ds.map_batches(fn, batch_format="pyarrow"), (lo_out, hi_v)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set membership (no false negatives)
+# ---------------------------------------------------------------------------
+#
+# The no-shuffle membership gate: a denylist / seen-set small enough to
+# broadcast (m/8 bytes) but far too large to ship as row data. Standard
+# construction (Bloom 1970); k index functions via Kirsch–Mitzenmacher
+# double hashing g_i = h1 + i·h2 (mod m) over the SAME canonicalized
+# hash family as the CMS above (`_canon_values` + splitmix64 mixing), so
+# int64 columns queried with Python lists stay consistent. Per-block
+# partials are SPARSE set-bit index arrays (≤ rows·k int64s); the merge
+# is a bitwise OR — union-exact, so the filter is partitioning-invariant
+# and the "definitely unseen" verdict is sound (false positives only,
+# at the configured rate).
+
+def _bloom_shape(capacity: int, fpr: float) -> tuple:
+    """(m bits, k hashes) for an expected ``capacity`` distinct keys at
+    ``fpr`` false-positive rate: m = ceil(−n·ln p / ln²2), k = m/n·ln 2."""
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"bloom: fpr must be in (0, 1), got {fpr}")
+    n = max(1, int(capacity))
+    m = int(np.ceil(-n * np.log(fpr) / (np.log(2.0) ** 2)))
+    m = max(64, (m + 63) // 64 * 64)            # whole uint64 words
+    k = int(np.clip(round(m / n * np.log(2.0)), 1, 16))
+    return m, k
+
+
+def _bloom_indices(values: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Flat array of the k·n bit indices for ``values`` (canonicalized
+    dtype rule shared with CMS — see ``_canon_values``)."""
+    v = _canon_values(values)
+    h1 = _splitmix(pd.util.hash_array(v) ^ _CMS_SEEDS[0])
+    h2 = _splitmix(pd.util.hash_array(v) ^ _CMS_SEEDS[1]) | np.uint64(1)
+    out = np.empty(k * v.size, dtype=np.int64)
+    mm = np.uint64(m)
+    for i in range(k):
+        out[i * v.size:(i + 1) * v.size] = \
+            ((h1 + np.uint64(i) * h2) % mm).astype(np.int64)
+    return out
+
+
+def bloom_build(ds, col: str, capacity: int, fpr: float = 0.01) -> dict:
+    """One streaming pass → ``{"bits": packed np.uint8[m/8], "m", "k",
+    "capacity", "fpr"}``. Each block emits its sorted-unique set-bit
+    indices; the driver ORs them in — O(blocks · block_nnz), duplicate-
+    safe under ``iter_batches`` coalescing (OR is idempotent)."""
+    m, k = _bloom_shape(capacity, fpr)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        idx = np.unique(_bloom_indices(vals, m, k)) if vals.size \
+            else np.empty(0, np.int64)
+        return pa.table({"i": pa.array([idx.tobytes()], type=pa.binary())})
+
+    bits = np.zeros(m, dtype=bool)
+    for b in ds.select_columns([col]).map_batches(
+            fn, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for v in b.column("i"):
+            bits[np.frombuffer(v.as_py(), dtype=np.int64)] = True
+    return {"bits": np.packbits(bits), "m": m, "k": k,
+            "capacity": int(capacity), "fpr": float(fpr)}
+
+
+def bloom_from_values(values, capacity: int, fpr: float = 0.01) -> dict:
+    """Driver-side build from an in-memory array (small denylists)."""
+    m, k = _bloom_shape(capacity, fpr)
+    v = np.asarray(values) if not isinstance(values, np.ndarray) else values
+    bits = np.zeros(m, dtype=bool)
+    if v.size:
+        bits[_bloom_indices(v, m, k)] = True
+    return {"bits": np.packbits(bits), "m": m, "k": k,
+            "capacity": int(capacity), "fpr": float(fpr)}
+
+
+def bloom_merge(a: dict, b: dict) -> dict:
+    """Union of two filters built with identical (m, k)."""
+    if a["m"] != b["m"] or a["k"] != b["k"]:
+        raise ValueError("bloom_merge: shape mismatch "
+                         f"({a['m']},{a['k']}) vs ({b['m']},{b['k']})")
+    out = dict(a)
+    out["bits"] = a["bits"] | b["bits"]
+    return out
+
+
+def bloom_contains(bloom: dict, values) -> np.ndarray:
+    """Membership verdicts (bool per value): True may be a false
+    positive at the configured rate; False is EXACT (never inserted)."""
+    v = values if isinstance(values, np.ndarray) else np.asarray(values)
+    if v.size == 0:
+        return np.zeros(0, dtype=bool)
+    bits = np.unpackbits(bloom["bits"]).view(bool)
+    idx = _bloom_indices(v, bloom["m"], bloom["k"]).reshape(bloom["k"], -1)
+    return bits[idx].all(axis=0)
+
+
+def filter_by_bloom(ds, col: str, bloom: dict, keep_hits: bool = False):
+    """Stateless membership filter: ``keep_hits=False`` (default) drops
+    probable members — the denylist-subtraction / already-processed-skip
+    fast path (every true member IS dropped; ~fpr of fresh rows go with
+    them — pair with `hash_anti_join` when exactness matters);
+    ``keep_hits=True`` keeps probable members (candidate prefilter
+    before an exact join). The packed bit array broadcasts once
+    (`ray.put`) and rebuilds heap-side per worker process."""
+    import ray
+
+    ref = ray.put((bloom["bits"].tobytes(), bloom["m"], bloom["k"]))
+    want = bool(keep_hits)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (ref.hex() if hasattr(ref, "hex") else id(ref))
+        hit = _BLOOM_CACHE.get(key)
+        if hit is None:
+            pb, m, k = ray.get(ref)
+            hit = (np.unpackbits(
+                np.frombuffer(pb, dtype=np.uint8)).view(bool).copy(), m, k)
+            _BLOOM_CACHE.clear()
+            _BLOOM_CACHE[key] = hit
+        bits, m, k = hit
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        if vals.size == 0:
+            return batch
+        idx = _bloom_indices(vals, m, k).reshape(k, -1)
+        member = bits[idx].all(axis=0)
+        return batch.filter(pa.array(member == want))
+
+    fn.__name__ = f"bloom_{'keep' if want else 'drop'}_{col}"
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_BLOOM_CACHE: dict = {}
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
