@@ -553,3 +553,74 @@ def _splitmix(x: np.ndarray) -> np.ndarray:
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     return x ^ (x >> np.uint64(31))
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters — mergeable frequent-items summary
+# ---------------------------------------------------------------------------
+#
+# The bounded-memory answer to "which values dominate this column"
+# when the exact `vocab_topk`-style shuffle is too wide (hot-key /
+# skew diagnostics before choosing a salt, URL/domain dominance).
+# Classic Misra–Gries (1982) with the summary-merge rule of Agarwal
+# et al. 2013 ("Mergeability of Summaries"): per-block exact counts
+# compress to k counters by subtracting the (k+1)-th largest count;
+# merging sums counters and re-compresses. Deterministic guarantees
+# with D = total decremented mass (tracked exactly): every reported
+# count_lo is a LOWER bound, true ≤ count_lo + D (= count_hi), and any
+# value with true frequency > D is guaranteed present (D ≤ N/(k+1)).
+
+def _mg_compress(counts: dict, k: int) -> tuple:
+    """Keep ≤ k counters: subtract the (k+1)-th largest count from all,
+    drop non-positives. Returns (counts, decrement_applied)."""
+    if len(counts) <= k:
+        return counts, 0
+    vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
+    dec = int(vals[-(k + 1)])
+    out = {key: c - dec for key, c in counts.items() if c > dec}
+    return out, dec
+
+
+def heavy_hitters(ds, col: str, k: int = 256) -> pa.Table:
+    """One streaming pass → ``(value, count_lo, count_hi)`` sorted by
+    count_lo desc (value asc tie-break). Values are reported as
+    strings (the summary's keys unify numeric and text columns).
+    Driver state is O(k) counters + O(blocks·k) row traffic; nulls
+    don't count. count_hi − count_lo = D, the summary's uniform error
+    bound; D == 0 means the counts are exact (≤ k distinct values)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch.column(col).to_pandas()
+        vc = s.value_counts(dropna=True)
+        c, dec = _mg_compress(
+            {str(key): int(n) for key, n in zip(vc.index, vc.to_numpy())},
+            k)
+        # one null-valued marker row carries the block's decrement —
+        # length-safe whether or not any counters survived
+        return pa.table({
+            "value": pa.array(list(c.keys()) + [None], type=pa.string()),
+            "c": pa.array(list(c.values()) + [dec], type=pa.int64())})
+
+    total: dict = {}
+    D = 0
+    for b in ds.select_columns([col]).map_batches(
+            fn, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for v, c in zip(b.column("value").to_pylist(),
+                        b.column("c").to_pylist()):
+            if v is None:
+                D += int(c)
+            else:
+                total[v] = total.get(v, 0) + int(c)
+        # each compress subtracts its dec from EVERY surviving counter,
+        # so uniform error bounds add along the merge path
+        total, dec = _mg_compress(total, k)
+        D += dec
+    if not total:
+        return pa.table({"value": pa.array([], pa.string()),
+                         "count_lo": pa.array([], pa.int64()),
+                         "count_hi": pa.array([], pa.int64())})
+    keys = np.array(list(total.keys()), dtype=object)
+    lo = np.array([total[x] for x in keys], dtype=np.int64)
+    o = np.lexsort((keys, -lo))
+    return pa.table({"value": pa.array(keys[o], type=pa.string()),
+                     "count_lo": pa.array(lo[o]),
+                     "count_hi": pa.array(lo[o] + D)})
