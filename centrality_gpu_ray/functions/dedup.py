@@ -140,6 +140,16 @@ def _word_ngrams(text: str, n: int = 3) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def _content_hashes(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """(id, _h) rows — the ONE content-hash definition shared by the
+    one-shot and incremental exact dedups. Cross-run state written by
+    one must match hashes computed by the other, so there is exactly
+    one copy of this function."""
+    txt = t.column(text_col).to_numpy(zero_copy_only=False)
+    h = pd.util.hash_array(txt.astype(object)).view(np.int64)
+    return pa.table({id_col: t.column(id_col), "_h": pa.array(h)})
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 num_partitions: int = 16):
     """Keep the min-id row per distinct text; returns the surviving rows.
@@ -154,9 +164,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     from centrality_gpu_ray.stages.shuffle import hash_mark_min, hash_semi_join
 
     def add_hash(t: pa.Table) -> pa.Table:
-        txt = t.column(text_col).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(txt.astype(object)).view(np.int64)
-        return pa.table({id_col: t.column(id_col), "_h": pa.array(h)})
+        return _content_hashes(t, text_col, id_col)
 
     winners = hash_mark_min(ds.map_batches(add_hash, batch_format="pyarrow"),
                             key="_h", order=id_col,
@@ -176,12 +184,19 @@ def exact_dedup_incremental(ds, state_dir: str, text_col: str = "text",
 
     State layout: ``state_dir/run=<k>/`` holding parquet with one
     int64 ``_h`` column — append-only, one directory per ingestion
-    run, so a crashed run leaves prior state intact and a retry just
-    rewrites its own directory. The seen-hash population is read as a
-    Dataset and met in a hash-partitioned ANTI semi-join — it is never
-    collected to the driver or broadcast (at 10¹⁰ docs the state is
-    ~80 GB of hashes: Dataset-sized, not driver-sized)."""
+    run. Crash safety: a run's hashes are written to a ``_tmp_run_*``
+    staging directory first and renamed into ``run=<k>`` only once the
+    write completed, so a crashed run's PARTIAL files are never read
+    as seen state (they'd silently drop every doc whose hash made the
+    partial write); stale ``_tmp_run_*`` dirs are inert and can be
+    deleted. Run numbering is max(existing)+1 claimed by the atomic
+    rename, so a retry or a concurrent run can't collide. The
+    seen-hash population is read as a Dataset and met in a
+    hash-partitioned ANTI semi-join — it is never collected to the
+    driver or broadcast (at 10¹⁰ docs the state is ~80 GB of hashes:
+    Dataset-sized, not driver-sized)."""
     import glob as _glob
+    import tempfile
 
     import ray.data
 
@@ -189,14 +204,13 @@ def exact_dedup_incremental(ds, state_dir: str, text_col: str = "text",
                                                    hash_semi_join)
 
     def add_hash(t: pa.Table) -> pa.Table:
-        txt = t.column(text_col).to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(txt.astype(object)).view(np.int64)
-        return pa.table({id_col: t.column(id_col), "_h": pa.array(h)})
+        return _content_hashes(t, text_col, id_col)
 
     add_hash.__name__ = "content_hashes"
     new_hashes = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    run_dirs = sorted(_glob.glob(os.path.join(state_dir, "run=*")))
+    os.makedirs(state_dir, exist_ok=True)
+    run_dirs = _glob.glob(os.path.join(state_dir, "run=*"))
     prior = [p for d in run_dirs
              for p in _glob.glob(os.path.join(d, "*.parquet"))]
     if prior:
@@ -205,20 +219,33 @@ def exact_dedup_incremental(ds, state_dir: str, text_col: str = "text",
                                num_partitions=num_partitions)
     else:
         fresh = new_hashes
+    # carry_key=True: the winner rows already hold the survivors'
+    # content hashes, so persisting state costs NO second hash pass
+    # over the survivor text. Winners are (id, keep, _h) rows — small;
+    # materialize them once, they feed both the state write and the
+    # survivor join.
     winners = hash_mark_min(fresh, key="_h", order=id_col,
                             num_partitions=num_partitions,
-                            winners_only=True)
-    survivors = hash_semi_join(ds, winners, on=id_col,
-                               num_partitions=num_partitions) \
+                            winners_only=True, carry_key=True) \
         .materialize()
 
-    new_dir = os.path.join(state_dir, f"run={len(run_dirs)}")
-    # create the dir even for a zero-survivor run (write_parquet emits
-    # no files for an empty Dataset) so run numbering stays stable
-    os.makedirs(new_dir, exist_ok=True)
-    surv_hashes = survivors.map_batches(add_hash, batch_format="pyarrow") \
-        .map_batches(lambda t: t.select(["_h"]), batch_format="pyarrow")
-    surv_hashes.write_parquet(new_dir)
+    tmp_dir = tempfile.mkdtemp(dir=state_dir, prefix="_tmp_run_")
+    winners.map_batches(lambda t: t.select(["_h"]),
+                        batch_format="pyarrow").write_parquet(tmp_dir)
+    k = 1 + max((int(os.path.basename(d).split("=", 1)[1])
+                 for d in run_dirs), default=-1)
+    while True:  # claim the next run index via atomic rename
+        new_dir = os.path.join(state_dir, f"run={k}")
+        try:
+            if not os.path.exists(new_dir):
+                os.rename(tmp_dir, new_dir)
+                break
+        except OSError:
+            pass  # a concurrent run claimed this index
+        k += 1
+
+    survivors = hash_semi_join(ds, winners, on=id_col,
+                               num_partitions=num_partitions)
     return survivors, new_dir
 
 

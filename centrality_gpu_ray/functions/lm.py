@@ -39,7 +39,6 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.functions.dedup import _sha16_hash_tokens
-from centrality_gpu_ray.nputil import ragged_arange
 
 _DEF_BUCKETS_UNI = 1 << 16
 _DEF_BUCKETS_BIG = 1 << 20
@@ -236,6 +235,8 @@ def lm_filter(ds, fit: dict, max_log_ppl: float,
         _, _, log_ppl = _score_batch(txt, U, G, Bu, Bb, s, lam)
         mask = log_ppl <= thr  # NaN compares False
         out = t.filter(pa.array(mask))
+        if "lm_log_ppl" in out.column_names:  # re-filtering scored output
+            out = out.drop_columns(["lm_log_ppl"])
         return out.append_column("lm_log_ppl",
                                  pa.array(log_ppl[mask], pa.float64()))
 

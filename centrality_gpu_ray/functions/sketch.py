@@ -320,11 +320,16 @@ def _canon_values(values) -> np.ndarray:
     return v.astype(object)
 
 
-def _cms_hash(values: np.ndarray, row: int, width: int) -> np.ndarray:
-    x = pd.util.hash_array(values) ^ _CMS_SEEDS[row]
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — the ONE mixing step behind both the CMS
+    rows and the Bloom double-hash family (they must stay identical)."""
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    x = x ^ (x >> np.uint64(31))
+    return x ^ (x >> np.uint64(31))
+
+
+def _cms_hash(values: np.ndarray, row: int, width: int) -> np.ndarray:
+    x = _splitmix(pd.util.hash_array(values) ^ _CMS_SEEDS[row])
     return (x % np.uint64(width)).astype(np.int64)
 
 
@@ -447,8 +452,9 @@ def _bloom_indices(values: np.ndarray, m: int, k: int) -> np.ndarray:
     """Flat array of the k·n bit indices for ``values`` (canonicalized
     dtype rule shared with CMS — see ``_canon_values``)."""
     v = _canon_values(values)
-    h1 = _splitmix(pd.util.hash_array(v) ^ _CMS_SEEDS[0])
-    h2 = _splitmix(pd.util.hash_array(v) ^ _CMS_SEEDS[1]) | np.uint64(1)
+    base = pd.util.hash_array(v)  # ONE call — big per-call fixed cost
+    h1 = _splitmix(base ^ _CMS_SEEDS[0])
+    h2 = _splitmix(base ^ _CMS_SEEDS[1]) | np.uint64(1)
     out = np.empty(k * v.size, dtype=np.int64)
     mm = np.uint64(m)
     for i in range(k):
@@ -461,11 +467,14 @@ def bloom_build(ds, col: str, capacity: int, fpr: float = 0.01) -> dict:
     """One streaming pass → ``{"bits": packed np.uint8[m/8], "m", "k",
     "capacity", "fpr"}``. Each block emits its sorted-unique set-bit
     indices; the driver ORs them in — O(blocks · block_nnz), duplicate-
-    safe under ``iter_batches`` coalescing (OR is idempotent)."""
+    safe under ``iter_batches`` coalescing (OR is idempotent). Null
+    values are never inserted (they'd also coerce int64-with-null
+    blocks to float64 and silently switch the hash family, breaking
+    the no-false-negative guarantee for every key in the block)."""
     m, k = _bloom_shape(capacity, fpr)
 
     def fn(batch: pa.Table) -> pa.Table:
-        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
         idx = np.unique(_bloom_indices(vals, m, k)) if vals.size \
             else np.empty(0, np.int64)
         return pa.table({"i": pa.array([idx.tobytes()], type=pa.binary())})
@@ -535,11 +544,22 @@ def filter_by_bloom(ds, col: str, bloom: dict, keep_hits: bool = False):
             _BLOOM_CACHE.clear()
             _BLOOM_CACHE[key] = hit
         bits, m, k = hit
-        vals = batch.column(col).to_numpy(zero_copy_only=False)
-        if vals.size == 0:
+        arr = batch.column(col)
+        if len(arr) == 0:
             return batch
-        idx = _bloom_indices(vals, m, k).reshape(k, -1)
-        member = bits[idx].all(axis=0)
+        # hash only the non-null values in the column's NATIVE dtype —
+        # to_numpy on int64-with-null coerces to float64, which hashes
+        # on a different _canon_values family than the build side did.
+        # Null keys are never members (kept by the drop path, dropped
+        # by keep_hits=True).
+        import pyarrow.compute as pc
+
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        member = np.zeros(len(arr), dtype=bool)
+        vals = arr.drop_null().to_numpy(zero_copy_only=False)
+        if vals.size:
+            idx = _bloom_indices(vals, m, k).reshape(k, -1)
+            member[~nulls] = bits[idx].all(axis=0)
         return batch.filter(pa.array(member == want))
 
     fn.__name__ = f"bloom_{'keep' if want else 'drop'}_{col}"
@@ -547,12 +567,6 @@ def filter_by_bloom(ds, col: str, bloom: dict, keep_hits: bool = False):
 
 
 _BLOOM_CACHE: dict = {}
-
-
-def _splitmix(x: np.ndarray) -> np.ndarray:
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
 
 # ---------------------------------------------------------------------------
 # Misra–Gries heavy hitters — mergeable frequent-items summary
@@ -588,7 +602,10 @@ def heavy_hitters(ds, col: str, k: int = 256) -> pa.Table:
     don't count. count_hi − count_lo = D, the summary's uniform error
     bound; D == 0 means the counts are exact (≤ k distinct values)."""
     def fn(batch: pa.Table) -> pa.Table:
-        s = batch.column(col).to_pandas()
+        # drop nulls at the ARROW level: to_pandas on int64-with-null
+        # yields float64, so the same value would split into "5" vs
+        # "5.0" string keys across blocks and break the count_hi bound
+        s = batch.column(col).drop_null().to_pandas()
         vc = s.value_counts(dropna=True)
         c, dec = _mg_compress(
             {str(key): int(n) for key, n in zip(vc.index, vc.to_numpy())},

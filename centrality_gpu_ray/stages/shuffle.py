@@ -170,7 +170,7 @@ def hash_partition_apply(ds, keys: list[str], reduce_fn,
 
 
 def hash_mark_min(ds, key: str, order: str, num_partitions: int = 32,
-                  winners_only: bool = False):
+                  winners_only: bool = False, carry_key: bool = False):
     """Per-key winner marking: returns ``(order, keep)`` rows for EVERY
     input row (or just the winners' ``order`` values with
     ``winners_only=True``), keep=True iff the row has the minimum
@@ -179,7 +179,10 @@ def hash_mark_min(ds, key: str, order: str, num_partitions: int = 32,
     ever lands on the driver (the scale-safe replacement for
     collect-unique+broadcast). Winner selection happens INSIDE the
     reduce so every output block has one stable schema (Ray passes
-    empty blocks through map_batches without the UDF)."""
+    empty blocks through map_batches without the UDF).
+    ``carry_key=True`` (winners_only path only) appends the winners'
+    ``key`` values as a third int64 column — lets a caller persist the
+    (key, winner) pairs without recomputing expensive keys."""
 
     def mark(tbl: pa.Table) -> pa.Table:
         # "keep" is also carried on the winners_only path: a join right
@@ -187,8 +190,11 @@ def hash_mark_min(ds, key: str, order: str, num_partitions: int = 32,
         # doing it here keeps empty blocks schema-stable (Ray skips the
         # UDF on empty blocks in map_batches).
         if tbl.num_rows == 0:
-            return pa.table({order: pa.array([], type=pa.int64()),
-                             "keep": pa.array([], type=pa.bool_())})
+            cols = {order: pa.array([], type=pa.int64()),
+                    "keep": pa.array([], type=pa.bool_())}
+            if winners_only and carry_key:
+                cols[key] = pa.array([], type=pa.int64())
+            return pa.table(cols)
         k = tbl.column(key).to_numpy(zero_copy_only=False)
         o = tbl.column(order).to_numpy(zero_copy_only=False)
         perm = np.lexsort((o, k))
@@ -196,8 +202,11 @@ def hash_mark_min(ds, key: str, order: str, num_partitions: int = 32,
         first[1:] = k[perm][1:] != k[perm][:-1]
         if winners_only:
             w = o[perm][first]
-            return pa.table({order: pa.array(w.astype(np.int64)),
-                             "keep": pa.array(np.ones(w.size, dtype=bool))})
+            cols = {order: pa.array(w.astype(np.int64)),
+                    "keep": pa.array(np.ones(w.size, dtype=bool))}
+            if carry_key:
+                cols[key] = pa.array(k[perm][first].astype(np.int64))
+            return pa.table(cols)
         keep = np.empty(perm.size, dtype=bool)
         keep[perm] = first
         return pa.table({order: pa.array(o.astype(np.int64)),

@@ -100,3 +100,29 @@ def test_validation_and_empty():
     be = bloom_build(empty, "key", capacity=10)
     assert not bloom_contains(be, np.array([7], dtype=np.int64))[0]
     assert filter_by_bloom(empty, "key", a).count() == 0
+
+def test_bloom_null_rows_do_not_break_guarantee():
+    """One null in an int64 column must not coerce the block to float64
+    and switch the hash family: every inserted key stays a member, and
+    filter_by_bloom treats null keys as non-members (kept by the drop
+    path, dropped by keep_hits=True)."""
+    import ray.data
+
+    from centrality_gpu_ray.functions.sketch import (bloom_build,
+                                                     bloom_contains,
+                                                     filter_by_bloom)
+
+    ids = np.arange(100, dtype=np.int64)
+    tbl = pa.table({"k": pa.array(list(ids) + [None], type=pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    bl = bloom_build(ds, "k", capacity=200, fpr=0.01)
+    assert bloom_contains(bl, ids).all()   # no false negatives
+
+    probe = pa.table({"k": pa.array([1, None, 2, 999_999], type=pa.int64())})
+    kept = filter_by_bloom(ray.data.from_arrow(probe), "k", bl) \
+        .to_pandas()  # drop members -> null + fresh key survive
+    assert kept["k"].isna().sum() == 1
+    assert set(kept["k"].dropna().astype(np.int64)) <= {999_999}
+    hits = filter_by_bloom(ray.data.from_arrow(probe), "k", bl,
+                           keep_hits=True).to_pandas()
+    assert set(hits["k"].astype(np.int64)) == {1, 2}

@@ -1,5 +1,6 @@
 """Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding."""
 
+import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -388,3 +389,50 @@ def test_exact_dedup_incremental_runs(tmp_path):
     # state grew append-only: run dirs 0..2 all present
     import glob
     assert len(glob.glob(f"{state}/run=*")) == 3
+
+def test_exact_dedup_incremental_crash_safe(tmp_path):
+    """A crashed run's partial staging files must never poison the seen
+    set: hashes land in _tmp_run_* first and only an atomic rename
+    publishes run=<k>. A stale tmp dir from a dead run is ignored and a
+    retry reprocesses those docs instead of silently dropping them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from centrality_gpu_ray.functions.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "dedup_state")
+
+    def mk(ids, texts):
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.array(ids, np.int64)),
+            "text": pa.array(texts)})).repartition(2)
+
+    s0, d0 = exact_dedup_incremental(mk([1], ["aaa"]), state,
+                                     num_partitions=4)
+    assert s0.to_pandas()["doc_id"].tolist() == [1]
+
+    # simulate a crash: a partial staging dir holding "bbb"'s hash
+    # (what a mid-write death leaves behind)
+    stale = os.path.join(state, "_tmp_run_dead")
+    os.makedirs(stale)
+    txt = np.asarray(["bbb"], dtype=object)
+    h = pd.util.hash_array(txt).view(np.int64)
+    pq.write_table(pa.table({"_h": pa.array(h)}),
+                   os.path.join(stale, "part.parquet"))
+
+    # the retry must still return "bbb" as a survivor (the stale tmp
+    # hash is NOT seen state) and claim run=1, skipping the tmp dir
+    s1, d1 = exact_dedup_incremental(mk([2, 3], ["bbb", "aaa"]), state,
+                                     num_partitions=4)
+    assert s1.to_pandas()["doc_id"].tolist() == [2]
+    assert d1.endswith("run=1")
+    assert sorted(os.path.basename(p) for p in
+                  glob.glob(f"{state}/run=*")) == ["run=0", "run=1"]
+
+    # non-contiguous surviving indices: numbering continues past a gap
+    os.rename(os.path.join(state, "run=1"), os.path.join(state, "run=7"))
+    s2, d2 = exact_dedup_incremental(mk([4], ["ddd"]), state,
+                                     num_partitions=4)
+    assert s2.to_pandas()["doc_id"].tolist() == [4]
+    assert d2.endswith("run=8")

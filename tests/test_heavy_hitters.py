@@ -75,3 +75,18 @@ def test_mg_compress_rule():
     assert dec == 3 and c == {"a": 7, "b": 2}
     c2, dec2 = _mg_compress({"a": 2, "b": 1}, 2)
     assert dec2 == 0 and c2 == {"a": 2, "b": 1}
+
+
+def test_numeric_keys_stable_across_nullable_blocks():
+    """A null in one block must not float-coerce that block's int64
+    values ('5' vs '5.0' keys would split one value's count across two
+    rows and break the count_hi upper bound)."""
+    import ray.data
+
+    t_clean = pa.table({"v": pa.array([5] * 50, type=pa.int64())})
+    t_nully = pa.table({"v": pa.array([5] * 50 + [None], type=pa.int64())})
+    ds = ray.data.from_arrow(t_clean).union(ray.data.from_arrow(t_nully))
+    got = heavy_hitters(ds, "v", k=8).to_pandas()
+    assert got["value"].tolist() == ["5"]
+    assert int(got["count_lo"].iloc[0]) == 100
+    assert int(got["count_hi"].iloc[0]) == 100

@@ -162,3 +162,22 @@ def test_lm_empty_dataset_and_validation():
         lm_fit_texts(["x"], smoothing=0.0)
     with pytest.raises(ValueError):
         lm_fit_texts(["x"], lam=1.5)
+
+
+def test_lm_filter_refilter_no_duplicate_column():
+    """Filtering already-scored output must replace lm_log_ppl, not
+    append a second column of the same name."""
+    import pyarrow as pa
+    import ray.data
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(["the cat sat on the mat"] * 3 +
+                         ["zq xv jk wq pl mn"] * 3)})
+    ds = ray.data.from_arrow(docs)
+    fit = lm_fit(ds, text_col="text")
+    twice = lm_filter(lm_filter(ds, fit, max_log_ppl=1e9),
+                      fit, max_log_ppl=1e9)
+    names = twice.schema().names
+    assert names.count("lm_log_ppl") == 1
+    assert twice.count() == 6
