@@ -145,3 +145,62 @@ def chunk_fill_stats(packed, context_len: int = 2048):
     # output columns: chunk, straddlers (sum), count (docs in chunk)
     return hash_aggregate(per_chunk, ["chunk"],
                           [("straddlers", "sum"), ([], "count_all")])
+
+
+def chunk_documents(ds, max_tokens: int, stride: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    min_tokens: int = 1):
+    """Split long documents into fixed-token-window chunks — the
+    embedding-/context-window prep that turns one document row into
+    ``ceil`` many ``(doc, chunk)`` rows. The complement of
+    :func:`pack_sequences` (which lays SHORT docs into windows).
+
+    Windows start at ``0, stride, 2·stride, …`` over the whitespace
+    token sequence (``stride`` defaults to ``max_tokens`` — disjoint
+    chunks; smaller stride = overlapping windows). A window is emitted
+    iff it is the first OR extends coverage past the previous window's
+    end (``start + max_tokens − stride < n``: the standard
+    last-window-flush rule — no window that is a suffix-subset of its
+    predecessor). Chunks shorter than ``min_tokens`` are dropped
+    (tail crumbs). Chunk text is the ``" "``-join of its tokens, so
+    runs of whitespace normalize to single spaces.
+
+    Pure stateless flat-map — one ``map_batches``, no shuffle, no
+    driver rows; output is ``(id_col, chunk_id, text, n_tokens)`` with
+    doc-local ``chunk_id``. The per-doc loop runs once per CHUNK (the
+    join is C-level); token splitting is the vectorized pandas
+    ``str.split``.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 0 < stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in (0, max_tokens], got {stride}")
+
+    def fn(batch) -> pa.Table:
+        toks = batch[text_col].fillna("").str.split()
+        ids_in = batch[id_col].to_numpy()
+        ids, cids, texts, ntok = [], [], [], []
+        for did, lst in zip(ids_in, toks):
+            n = len(lst)
+            ci = 0
+            for b in range(0, max(n, 1), stride):
+                if b > 0 and b + max_tokens - stride >= n:
+                    break  # previous window already covered to the end
+                piece = lst[b:b + max_tokens]
+                if len(piece) < min_tokens:
+                    continue
+                ids.append(did)
+                cids.append(ci)
+                texts.append(" ".join(piece))
+                ntok.append(len(piece))
+                ci += 1
+        return pa.table({
+            id_col: pa.array(np.asarray(ids, dtype=np.int64)),
+            "chunk_id": pa.array(np.asarray(cids, dtype=np.int32)),
+            "text": pa.array(texts, type=pa.string()),
+            "n_tokens": pa.array(np.asarray(ntok, dtype=np.int32))})
+
+    fn.__name__ = f"chunk_{text_col}"
+    return ds.map_batches(fn, batch_format="pandas", batch_size=2048)

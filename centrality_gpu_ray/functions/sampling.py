@@ -101,6 +101,71 @@ def mixture_sample_sql(rates: dict[str, float], default_rate: float,
                    ELSE '{rate_threshold_hex(default_rate)}' END"""
 
 
+def weighted_sample_k(ds, k: int, weight_col: str,
+                      id_col: str = "doc_id", seed: int = 0):
+    """Weighted sampling WITHOUT replacement: k rows, each row's
+    inclusion probability proportional to its weight (quality score,
+    token count, dedup cluster size) — the Efraimidis–Spirakis (2006)
+    exponential-clocks scheme made deterministic.
+
+    Per row: u = uniform(0,1] derived from splitmix64(id ^ seed) —
+    no RNG state, partitioning-invariant — and sort key
+    ln(u)/w (the log of u^(1/w)); the global k LARGEST keys win.
+    Each block emits only its local top-k rows, the driver merges
+    ≤ blocks·k candidates: no shuffle, no driver-sized state. Rows
+    with null or non-positive weight never win. Returns a pa.Table of
+    the winning rows (all input columns + ``sample_key``), sorted by
+    key desc then id asc — driver-sized by construction (k rows).
+    """
+    import pyarrow as pa
+
+    from centrality_gpu_ray.functions.sketch import _splitmix
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    salt = _splitmix(np.array([seed], dtype=np.uint64) ^
+                     np.uint64(0x9E3779B97F4A7C15))[0]
+
+    def keys_for(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        h = _splitmix(ids.astype(np.int64).view(np.uint64) ^ salt)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        key[~(w > 0)] = -np.inf  # null/non-positive weights never win
+        return key
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        w = np.asarray(
+            batch.column(weight_col).to_numpy(zero_copy_only=False),
+            dtype=np.float64)
+        key = keys_for(ids, w)
+        if ids.size > k:
+            top = np.argpartition(key, ids.size - k)[ids.size - k:]
+            batch, key = batch.take(pa.array(top)), key[top]
+        mask = np.isfinite(key)
+        return batch.filter(pa.array(mask)).append_column(
+            "sample_key", pa.array(key[mask], pa.float64()))
+
+    fn.__name__ = f"wsample_{weight_col}"
+    parts = [b for b in ds.map_batches(fn, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:  # no positive-weight rows anywhere -> typed empty
+        from centrality_gpu_ray.nputil import arrow_type
+
+        sch = ds.schema()
+        cols = {n: pa.array([], type=arrow_type(t))
+                for n, t in zip(sch.names, sch.types)}
+        cols["sample_key"] = pa.array([], type=pa.float64())
+        return pa.table(cols)
+    cand = pa.concat_tables(parts)
+    key = cand.column("sample_key").to_numpy()
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -key))[:k]
+    return cand.take(pa.array(order))
+
+
 def _sha_hex(ids: np.ndarray) -> np.ndarray:
     import hashlib
 

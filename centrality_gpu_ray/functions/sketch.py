@@ -568,6 +568,86 @@ def filter_by_bloom(ds, col: str, bloom: dict, keep_hits: bool = False):
 
 _BLOOM_CACHE: dict = {}
 
+def hll_distinct_by_group(ds, group_col: str, value_col: str,
+                          p: int = 10, num_partitions: int = 32):
+    """Per-group approximate COUNT(DISTINCT value) — "distinct domains
+    per language", "distinct users per source" — without shuffling the
+    VALUE population. Each block folds its rows to one 2^p-byte HLL
+    register array per group present in the block; only those
+    (group, registers) rows move (blocks × groups-per-block rows,
+    2^p bytes each), max-merged inside a hash-partitioned reduce
+    keyed on the group. Null group keys form their own group; null
+    values never count. Returns a Dataset of
+    ``(group_col, approx_distinct: float64)``.
+
+    Sizing: traffic is blocks·G·2^p bytes — meant for group counts up
+    to ~1e5 (lang, source, domain buckets). Past that, or for exact
+    counts, use the hash_aggregate two-round exchange instead."""
+    m = 1 << p
+
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
+    from centrality_gpu_ray.nputil import arrow_type
+
+    sch = ds.schema()
+    gt = arrow_type(dict(zip(sch.names, sch.types))[group_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop null VALUES at the Arrow level and pre-hash through the
+        # canonical dtype rule: to_numpy on int64-with-null would
+        # float-coerce just that block and the same value would hash
+        # as two distincts across blocks
+        vcol = batch.column(value_col)
+        valid = ~pc.is_null(vcol).to_numpy(zero_copy_only=False)
+        empty = pa.table({group_col: pa.array([], type=gt),
+                          "regs": pa.array([], type=pa.binary())})
+        if not valid.any():
+            return empty
+        h = pd.util.hash_array(
+            _canon_values(vcol.drop_null().to_numpy(zero_copy_only=False)))
+        g = batch.column(group_col).filter(pa.array(valid)) \
+            .to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(g, use_na_sentinel=False)
+        order = np.argsort(codes, kind="stable")
+        cs, hs = codes[order], h[order]
+        bounds = np.searchsorted(cs, np.arange(len(uniq) + 1))
+        groups = [None if (isinstance(x, float) and np.isnan(x)) else x
+                  for x in uniq]
+        regs = [hll_registers(hs[bounds[i]:bounds[i + 1]], p).tobytes()
+                for i in range(len(uniq))]
+        # emitting under the ORIGINAL group type re-canonicalizes any
+        # block-local float coercion of an int group key
+        return pa.table({group_col: pa.array(groups, type=gt),
+                         "regs": pa.array(regs, type=pa.binary())})
+
+    partial.__name__ = f"hll_group_{value_col}"
+    parts = ds.select_columns([group_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192)
+
+    def reduce_fn(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table({group_col: tbl.column(group_col),
+                             "approx_distinct": pa.array(
+                                 [], type=pa.float64())})
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(g, use_na_sentinel=False)
+        regs = np.stack([np.frombuffer(b, dtype=np.uint8)
+                         for b in tbl.column("regs").to_pylist()])
+        folded = np.zeros((len(uniq), m), dtype=np.uint8)
+        np.maximum.at(folded, codes, regs)
+        est = np.array([hll_estimate(r) for r in folded])
+        gt = tbl.schema.field(group_col).type
+        out_g = pa.array([None if (isinstance(x, float) and np.isnan(x))
+                          else x for x in uniq], type=gt)
+        return pa.table({group_col: out_g,
+                         "approx_distinct": pa.array(est, pa.float64())})
+
+    return hash_partition_apply(parts, [group_col], reduce_fn,
+                                num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # Misra–Gries heavy hitters — mergeable frequent-items summary
 # ---------------------------------------------------------------------------

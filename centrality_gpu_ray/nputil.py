@@ -22,3 +22,21 @@ def ragged_arange(counts: np.ndarray) -> np.ndarray:
     out[0] = 0
     out[ends[:-1]] = 1 - nz[:-1]
     return np.cumsum(out)
+
+
+def arrow_type(t):
+    """Coerce a Ray ``Dataset.schema().types`` entry to an Arrow
+    DataType: Arrow datasets already yield DataTypes, pandas-backed
+    blocks yield numpy dtypes / Python classes (object dtype — pandas'
+    string carrier — maps to ``string``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        if np.dtype(t) == np.dtype(object):
+            return pa.string()
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, pa.ArrowNotImplementedError):
+        return pa.string()

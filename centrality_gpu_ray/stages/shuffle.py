@@ -37,11 +37,28 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 def _key_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
     h = np.zeros(tbl.num_rows, dtype=np.uint64)
     for k in keys:
-        col = tbl.column(k).to_numpy(zero_copy_only=False)
-        if col.dtype.kind not in "iu":
-            import pandas as pd
+        c = tbl.column(k)
+        if pa.types.is_integer(c.type) or pa.types.is_boolean(c.type):
+            # keep the INT hashing path even when this block has nulls:
+            # to_numpy on int64-with-null float-coerces the block, and
+            # the same key value would then route to a different
+            # partition than in null-free blocks (object-hash of 5.0 vs
+            # raw 5), splitting one group across reduces. Nulls get a
+            # fixed sentinel bucket of their own.
+            col = c.fill_null(0).to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            if c.null_count:
+                import pyarrow.compute as pc
 
-            col = pd.util.hash_array(col.astype(object))
+                col = col.copy()
+                nulls = pc.is_null(c).to_numpy(zero_copy_only=False)
+                col[nulls] = np.uint64(0x9E3779B97F4A7C15)
+        else:
+            col = c.to_numpy(zero_copy_only=False)
+            if col.dtype.kind not in "iu":
+                import pandas as pd
+
+                col = pd.util.hash_array(col.astype(object))
         h = (h ^ col.astype(np.uint64)) * _MIX
     return (h >> np.uint64(33)).astype(np.int64)
 

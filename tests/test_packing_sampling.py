@@ -175,3 +175,121 @@ def test_stratified_sample_partitioning_invariant():
     assert sorted(a["doc_id"]) == sorted(b["doc_id"])
     with pytest.raises(ValueError):
         stratified_sample(docs, "lang", k=0)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_k — Efraimidis–Spirakis priority sampling
+# ---------------------------------------------------------------------------
+
+def _es_serial(ids, w, k, seed):
+    """Serial oracle: identical key derivation, global top-k."""
+    from centrality_gpu_ray.functions.sketch import _splitmix
+
+    salt = _splitmix(np.array([seed], dtype=np.uint64) ^
+                     np.uint64(0x9E3779B97F4A7C15))[0]
+    h = _splitmix(ids.astype(np.int64).view(np.uint64) ^ salt)
+    u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
+    with np.errstate(divide="ignore", invalid="ignore"):
+        key = np.log(u) / w
+    key[~(w > 0)] = -np.inf
+    order = np.lexsort((ids, -key))
+    return ids[order[:k]], key[order[:k]]
+
+
+def test_weighted_sample_k_matches_serial_and_partitioning():
+    from centrality_gpu_ray.functions.sampling import weighted_sample_k
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    ids = rng.permutation(np.arange(n, dtype=np.int64) * 7 + 3)
+    w = rng.gamma(2.0, 2.0, size=n)
+    w[::17] = 0.0          # never win
+    w[1::23] = -1.0        # never win
+    df = pd.DataFrame({"doc_id": ids, "weight": w})
+    want_ids, want_keys = _es_serial(ids, w, 100, seed=5)
+    for parts in (1, 6):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = weighted_sample_k(ds, 100, "weight", seed=5).to_pandas()
+        assert got["doc_id"].tolist() == list(want_ids), parts
+        np.testing.assert_allclose(got["sample_key"], want_keys)
+        assert (got["weight"] > 0).all()
+        # sorted: key desc
+        assert (np.diff(got["sample_key"]) <= 0).all()
+
+
+def test_weighted_sample_k_inclusion_bias():
+    """Heavy rows must dominate: weight 100 vs 1 at k = n/10."""
+    from centrality_gpu_ray.functions.sampling import weighted_sample_k
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids < 100, 100.0, 1.0)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "weight": w}))
+    hits = []
+    for seed in range(5):
+        got = weighted_sample_k(ds, 200, "weight", seed=seed).to_pandas()
+        hits.append((got["doc_id"] < 100).sum())
+    # each heavy row is ~100x likelier than a light one; with 100 heavy
+    # rows at weight 100 vs 1900 light at 1, heavies are ~95%+ included
+    assert min(hits) >= 80, hits
+
+
+def test_weighted_sample_k_all_nonpositive_weights_empty():
+    from centrality_gpu_ray.functions.sampling import weighted_sample_k
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64),
+         "weight": np.zeros(5)}))
+    got = weighted_sample_k(ds, 3, "weight")
+    assert got.num_rows == 0
+    assert got.column_names == ["doc_id", "weight", "sample_key"]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents — fixed token windows
+# ---------------------------------------------------------------------------
+
+def _chunks_serial(text, max_tokens, stride, min_tokens=1):
+    toks = text.split()
+    n = len(toks)
+    out = []
+    for b in range(0, max(n, 1), stride):
+        if b > 0 and b + max_tokens - stride >= n:
+            break
+        piece = toks[b:b + max_tokens]
+        if len(piece) >= min_tokens:
+            out.append(" ".join(piece))
+    return out
+
+
+def test_chunk_documents_disjoint_and_overlap():
+    from centrality_gpu_ray.functions.packing import chunk_documents
+
+    texts = ["a b c d e f g h i j",       # 10 tokens
+             "one  two   three",          # whitespace runs normalize
+             "",                          # empty -> no chunks
+             "solo",
+             " ".join(f"t{i}" for i in range(23))]
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "text": texts})
+    for max_t, stride in ((4, 4), (4, 2), (8, 3)):
+        ds = ray.data.from_pandas(df).repartition(2)
+        got = chunk_documents(ds, max_t, stride).to_pandas() \
+            .sort_values(["doc_id", "chunk_id"])
+        for did, sub in got.groupby("doc_id"):
+            want = _chunks_serial(texts[did], max_t, stride)
+            assert sub["text"].tolist() == want, (did, max_t, stride)
+            assert sub["chunk_id"].tolist() == list(range(len(want)))
+            assert (sub["n_tokens"] ==
+                    sub["text"].str.split().str.len()).all()
+        assert set(got["doc_id"]) == {0, 1, 3, 4}  # empty doc dropped
+
+    # coverage invariant (stride<=max): every token of every doc
+    # appears in at least one chunk
+    ds = ray.data.from_pandas(df)
+    got = chunk_documents(ds, 4, 2).to_pandas()
+    for did in (0, 4):
+        toks = set(texts[did].split())
+        seen = set(t for txt in got[got.doc_id == did]["text"]
+                   for t in txt.split())
+        assert seen == toks

@@ -388,3 +388,37 @@ def test_hash_group_quantiles_vs_duckdb_rank_rule():
         FROM s GROUP BY lang ORDER BY lang""").fetch_df()
     pd.testing.assert_frame_equal(got[["lang", "q25", "q50", "q90"]],
                                   want, check_dtype=False)
+
+
+def test_key_hash_nullable_int_blocks_route_together():
+    """An int64 key must route to the SAME partition whether or not
+    its block happens to contain a null elsewhere (to_numpy float-
+    coerces int64-with-null blocks; hashing 5.0 as object vs raw 5
+    would split one group across reduces). Nulls form their own
+    group."""
+    clean = pa.table({"k": pa.array([5] * 30, type=pa.int64()),
+                      "v": pa.array(np.ones(30, dtype=np.int64))})
+    nully = pa.table({
+        "k": pa.array([5] * 30 + [None, None], type=pa.int64()),
+        "v": pa.array(np.ones(32, dtype=np.int64))})
+    ds = ray.data.from_arrow(clean).union(ray.data.from_arrow(nully))
+    got = hash_aggregate(ds, keys=["k"], aggs=[("v", "sum")],
+                         num_partitions=8).to_pandas()
+    vals = {("<null>" if pd.isna(k) else int(k)): int(s)
+            for k, s in zip(got["k"], got["v"])}
+    assert vals[5] == 60          # ONE row for key 5, fully merged
+    assert vals["<null>"] == 2
+    assert len(vals) == 2
+
+
+def test_hash_mark_min_carry_key():
+    from centrality_gpu_ray.stages.shuffle import hash_mark_min
+
+    tbl = pa.table({"h": pa.array([10, 10, 20, 30, 30, 30],
+                                  type=pa.int64()),
+                    "id": pa.array([7, 3, 9, 5, 1, 2], type=pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = hash_mark_min(ds, key="h", order="id", num_partitions=4,
+                        winners_only=True, carry_key=True).to_pandas()
+    assert dict(zip(got["h"], got["id"])) == {10: 3, 20: 9, 30: 1}
+    assert got["keep"].all()

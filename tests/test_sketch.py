@@ -183,3 +183,78 @@ def test_float_column_with_integral_endpoints_stays_binned():
     assert not h.exact
     # median must land on 0.5's bucket, not floor to 0
     assert abs(h.quantile(0.5) - 0.5) < (10.0 / 1000) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_by_group — per-group approximate COUNT(DISTINCT)
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+import pyarrow as pa
+
+def test_hll_by_group_accuracy_and_partitioning_invariance():
+    import ray.data
+
+    from centrality_gpu_ray.functions.sketch import hll_distinct_by_group
+
+    rng = np.random.default_rng(5)
+    n = 30_000
+    langs = np.array(["en", "de", "fr", "ja"])[rng.integers(0, 4, n)]
+    # per-group distinct cardinalities differ by an order of magnitude
+    dom = np.where(langs == "en",
+                   rng.integers(0, 5000, n),
+                   rng.integers(0, 300, n)).astype(np.int64)
+    df = pd.DataFrame({"lang": langs, "domain": dom})
+    exact = df.groupby("lang")["domain"].nunique()
+
+    got_by_parts = []
+    for parts in (2, 9):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        got = hll_distinct_by_group(ds, "lang", "domain", p=12) \
+            .to_pandas().set_index("lang")["approx_distinct"]
+        got_by_parts.append(got.sort_index())
+        for lang, true in exact.items():
+            rel = abs(got[lang] - true) / true
+            assert rel < 5 * 1.04 / np.sqrt(1 << 12), (lang, got[lang], true)
+    # the max-merge is associative/commutative: estimates are EXACTLY
+    # partitioning-invariant
+    pd.testing.assert_series_equal(got_by_parts[0], got_by_parts[1])
+
+
+def test_hll_by_group_null_values_and_null_groups():
+    import ray.data
+
+    from centrality_gpu_ray.functions.sketch import hll_distinct_by_group
+
+    tbl = pa.table({
+        "g": pa.array(["a", "a", None, "b", None, "a"]),
+        "v": pa.array([1, 2, 3, None, 4, None], type=pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = hll_distinct_by_group(ds, "g", "v", p=10).to_pandas()
+    as_dict = {("<null>" if pd.isna(k) else k): v for k, v in
+               zip(got["g"], got["approx_distinct"])}
+    # small counts hit the linear-counting regime -> exact here
+    assert round(as_dict["a"]) == 2          # null value didn't count
+    assert round(as_dict["<null>"]) == 2     # null group is a group
+    assert "b" not in as_dict                # its only value was null
+
+
+def test_hll_by_group_nullable_int_values_do_not_split():
+    """A null VALUE in one block must not float-coerce that block's
+    int64 values onto a different hash family (5 vs 5.0 counting as
+    two distincts), and a null in an int GROUP block must not split
+    the group's partials across partitions."""
+    import ray.data
+
+    from centrality_gpu_ray.functions.sketch import hll_distinct_by_group
+
+    clean = pa.table({"g": pa.array([7] * 40, type=pa.int64()),
+                      "v": pa.array(list(range(40)), type=pa.int64())})
+    nully = pa.table({
+        "g": pa.array([7] * 40 + [None], type=pa.int64()),
+        "v": pa.array(list(range(40)) + [None], type=pa.int64())})
+    ds = ray.data.from_arrow(clean).union(ray.data.from_arrow(nully))
+    got = hll_distinct_by_group(ds, "g", "v", p=12).to_pandas()
+    sub = got[got["g"].notna()]
+    assert len(sub) == 1                      # ONE row for group 7
+    assert round(float(sub["approx_distinct"].iloc[0])) == 40
