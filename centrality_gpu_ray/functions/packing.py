@@ -173,6 +173,10 @@ def chunk_documents(ds, max_tokens: int, stride: int | None = None,
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if min_tokens <= 0:
+        raise ValueError(
+            f"min_tokens must be positive, got {min_tokens} "
+            "(0 would emit empty-text chunks for empty docs)")
     stride = max_tokens if stride is None else stride
     if not 0 < stride <= max_tokens:
         raise ValueError(

@@ -126,29 +126,46 @@ def weighted_sample_k(ds, k: int, weight_col: str,
     salt = _splitmix(np.array([seed], dtype=np.uint64) ^
                      np.uint64(0x9E3779B97F4A7C15))[0]
 
-    def keys_for(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+    def keys_for(ids: np.ndarray, w: np.ndarray):
         h = _splitmix(ids.astype(np.int64).view(np.uint64) ^ salt)
         u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
         with np.errstate(divide="ignore", invalid="ignore"):
             key = np.log(u) / w
-        key[~(w > 0)] = -np.inf  # null/non-positive weights never win
-        return key
+        elig = w > 0  # null (NaN) / non-positive weights never win
+        # ln(u)/w overflows to -inf for subnormal w: clamp so a tiny
+        # POSITIVE weight stays an eligible candidate (it wins when k
+        # exceeds the finite-key population) instead of being dropped
+        # as if its weight were non-positive
+        key = np.where(elig,
+                       np.maximum(key, np.finfo(np.float64).min),
+                       -np.inf)
+        return key, elig
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        idc = batch.column(id_col)
+        if idc.null_count:
+            raise ValueError(
+                f"weighted_sample_k: {id_col!r} contains nulls — the "
+                "priority key is derived from the id; null ids would "
+                "share one platform-dependent key")
+        ids = idc.to_numpy(zero_copy_only=False)
         w = np.asarray(
             batch.column(weight_col).to_numpy(zero_copy_only=False),
             dtype=np.float64)
-        key = keys_for(ids, w)
+        key, elig = keys_for(ids, w)
         if ids.size > k:
             top = np.argpartition(key, ids.size - k)[ids.size - k:]
-            batch, key = batch.take(pa.array(top)), key[top]
-        mask = np.isfinite(key)
-        return batch.filter(pa.array(mask)).append_column(
-            "sample_key", pa.array(key[mask], pa.float64()))
+            batch, key, elig = batch.take(pa.array(top)), key[top], \
+                elig[top]
+        return batch.filter(pa.array(elig)).append_column(
+            "sample_key", pa.array(key[elig], pa.float64()))
 
     fn.__name__ = f"wsample_{weight_col}"
-    parts = [b for b in ds.map_batches(fn, batch_format="pyarrow")
+    # batch_size=None: one batch per BLOCK, so the driver merge is
+    # blocks*k rows as documented (the 1024 default would make it
+    # batches*k)
+    parts = [b for b in ds.map_batches(fn, batch_format="pyarrow",
+                                       batch_size=None)
              .iter_batches(batch_size=None, batch_format="pyarrow")]
     parts = [p for p in parts if p.num_rows]
     if not parts:  # no positive-weight rows anywhere -> typed empty

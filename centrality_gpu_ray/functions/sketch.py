@@ -568,6 +568,26 @@ def filter_by_bloom(ds, col: str, bloom: dict, keep_hits: bool = False):
 
 _BLOOM_CACHE: dict = {}
 
+def _arrow_group_codes(col) -> tuple[np.ndarray, pa.Array]:
+    """Exact per-row group codes for an Arrow column, entirely at the
+    Arrow layer: ``pd.factorize`` over ``to_numpy`` float-coerces an
+    int64 block that contains a null, silently ROUNDING keys above
+    2^53; ``dictionary_encode`` keeps them exact. Nulls (if present)
+    form their own trailing code. Returns ``(codes int64, uniques)``
+    with ``len(uniques) == codes.max()+1``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    nd = len(enc.dictionary)
+    codes = enc.indices.fill_null(nd).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    garr = enc.dictionary
+    if enc.indices.null_count:
+        garr = pa.concat_arrays(
+            [garr, pa.array([None], type=garr.type)])
+    return codes, garr
+
+
 def hll_distinct_by_group(ds, group_col: str, value_col: str,
                           p: int = 10, num_partitions: int = 32):
     """Per-group approximate COUNT(DISTINCT value) — "distinct domains
@@ -607,19 +627,18 @@ def hll_distinct_by_group(ds, group_col: str, value_col: str,
             return empty
         h = pd.util.hash_array(
             _canon_values(vcol.drop_null().to_numpy(zero_copy_only=False)))
-        g = batch.column(group_col).filter(pa.array(valid)) \
-            .to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(g, use_na_sentinel=False)
+        codes, garr = _arrow_group_codes(
+            batch.column(group_col).filter(pa.array(valid)))
         order = np.argsort(codes, kind="stable")
         cs, hs = codes[order], h[order]
-        bounds = np.searchsorted(cs, np.arange(len(uniq) + 1))
-        groups = [None if (isinstance(x, float) and np.isnan(x)) else x
-                  for x in uniq]
+        bounds = np.searchsorted(cs, np.arange(len(garr) + 1))
         regs = [hll_registers(hs[bounds[i]:bounds[i + 1]], p).tobytes()
-                for i in range(len(uniq))]
-        # emitting under the ORIGINAL group type re-canonicalizes any
-        # block-local float coercion of an int group key
-        return pa.table({group_col: pa.array(groups, type=gt),
+                for i in range(len(garr))]
+        # emitting under the DATASET group type re-canonicalizes a
+        # block-LOCAL type difference (pandas-backed int blocks with a
+        # null are float); Arrow-native int blocks stay exact at any
+        # magnitude because grouping never left Arrow
+        return pa.table({group_col: garr.cast(gt),
                          "regs": pa.array(regs, type=pa.binary())})
 
     partial.__name__ = f"hll_group_{value_col}"
@@ -631,17 +650,13 @@ def hll_distinct_by_group(ds, group_col: str, value_col: str,
             return pa.table({group_col: tbl.column(group_col),
                              "approx_distinct": pa.array(
                                  [], type=pa.float64())})
-        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(g, use_na_sentinel=False)
+        codes, garr = _arrow_group_codes(tbl.column(group_col))
         regs = np.stack([np.frombuffer(b, dtype=np.uint8)
                          for b in tbl.column("regs").to_pylist()])
-        folded = np.zeros((len(uniq), m), dtype=np.uint8)
+        folded = np.zeros((len(garr), m), dtype=np.uint8)
         np.maximum.at(folded, codes, regs)
         est = np.array([hll_estimate(r) for r in folded])
-        gt = tbl.schema.field(group_col).type
-        out_g = pa.array([None if (isinstance(x, float) and np.isnan(x))
-                          else x for x in uniq], type=gt)
-        return pa.table({group_col: out_g,
+        return pa.table({group_col: garr,
                          "approx_distinct": pa.array(est, pa.float64())})
 
     return hash_partition_apply(parts, [group_col], reduce_fn,

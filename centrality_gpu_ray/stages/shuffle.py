@@ -44,15 +44,19 @@ def _key_hash(tbl: pa.Table, keys: list[str]) -> np.ndarray:
             # the same key value would then route to a different
             # partition than in null-free blocks (object-hash of 5.0 vs
             # raw 5), splitting one group across reduces. Nulls get a
-            # fixed sentinel bucket of their own.
-            col = c.fill_null(0).to_numpy(zero_copy_only=False) \
-                .astype(np.uint64)
+            # fixed sentinel bucket of their own. fill_null only when
+            # needed (it copies even null-free columns), and with a
+            # type-matched fill (int 0 into a bool column raises).
             if c.null_count:
                 import pyarrow.compute as pc
 
-                col = col.copy()
+                fill = False if pa.types.is_boolean(c.type) else 0
+                col = c.fill_null(fill).to_numpy(zero_copy_only=False) \
+                    .astype(np.uint64)
                 nulls = pc.is_null(c).to_numpy(zero_copy_only=False)
                 col[nulls] = np.uint64(0x9E3779B97F4A7C15)
+            else:
+                col = c.to_numpy(zero_copy_only=False).astype(np.uint64)
         else:
             col = c.to_numpy(zero_copy_only=False)
             if col.dtype.kind not in "iu":

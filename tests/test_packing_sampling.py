@@ -191,9 +191,12 @@ def _es_serial(ids, w, k, seed):
     u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) * 2.0 ** -53
     with np.errstate(divide="ignore", invalid="ignore"):
         key = np.log(u) / w
-    key[~(w > 0)] = -np.inf
+    elig = w > 0
+    key = np.where(elig, np.maximum(key, np.finfo(np.float64).min),
+                   -np.inf)
     order = np.lexsort((ids, -key))
-    return ids[order[:k]], key[order[:k]]
+    keep = order[elig[order]][:k]
+    return ids[keep], key[keep]
 
 
 def test_weighted_sample_k_matches_serial_and_partitioning():
@@ -243,6 +246,33 @@ def test_weighted_sample_k_all_nonpositive_weights_empty():
     got = weighted_sample_k(ds, 3, "weight")
     assert got.num_rows == 0
     assert got.column_names == ["doc_id", "weight", "sample_key"]
+
+
+def test_weighted_sample_k_subnormal_weights_stay_eligible():
+    """ln(u)/w overflows to -inf for subnormal w — a POSITIVE weight
+    must remain a candidate (clamped key), not be dropped like w<=0."""
+    from centrality_gpu_ray.functions.sampling import weighted_sample_k
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64),
+         "weight": np.array([1.0, 5e-324, 5e-324, 0.0, -1.0, 2.0])}))
+    got = weighted_sample_k(ds, 6, "weight").to_pandas()
+    # k exceeds the finite-key population: both subnormal-weight rows
+    # are included; the zero/negative rows never are
+    assert sorted(got["doc_id"]) == [0, 1, 2, 5]
+    assert np.isfinite(got["sample_key"]).all()
+
+
+def test_weighted_sample_k_null_ids_raise():
+    import pyarrow as pa
+
+    from centrality_gpu_ray.functions.sampling import weighted_sample_k
+
+    tbl = pa.table({"doc_id": pa.array([1, None, 3], type=pa.int64()),
+                    "weight": pa.array([1.0, 1.0, 1.0])})
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(Exception, match="contains nulls"):
+        weighted_sample_k(ds, 2, "weight")
 
 
 # ---------------------------------------------------------------------------

@@ -411,6 +411,21 @@ def test_key_hash_nullable_int_blocks_route_together():
     assert len(vals) == 2
 
 
+def test_key_hash_bool_keys_route_and_aggregate():
+    """Boolean key columns must survive _key_hash (fill_null(0) into a
+    bool column raises ArrowInvalid), with and without nulls."""
+    clean = pa.table({"flag": pa.array([True, False] * 10),
+                      "v": pa.array(np.ones(20, dtype=np.int64))})
+    nully = pa.table({"flag": pa.array([True, None] * 5),
+                      "v": pa.array(np.ones(10, dtype=np.int64))})
+    ds = ray.data.from_arrow(clean).union(ray.data.from_arrow(nully))
+    got = hash_aggregate(ds, keys=["flag"], aggs=[("v", "sum")],
+                         num_partitions=4).to_pandas()
+    vals = {("<null>" if pd.isna(k) else bool(k)): int(s)
+            for k, s in zip(got["flag"], got["v"])}
+    assert vals == {True: 15, False: 10, "<null>": 5}
+
+
 def test_hash_mark_min_carry_key():
     from centrality_gpu_ray.stages.shuffle import hash_mark_min
 

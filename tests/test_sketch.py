@@ -239,6 +239,32 @@ def test_hll_by_group_null_values_and_null_groups():
     assert "b" not in as_dict                # its only value was null
 
 
+def test_hll_by_group_int_keys_above_2_53_stay_exact():
+    """factorize over a float-coerced block would ROUND int64 group
+    keys above 2^53 when the block also holds a null group — the
+    Arrow-level dictionary grouping must keep them exact."""
+    import ray.data
+
+    from centrality_gpu_ray.functions.sketch import hll_distinct_by_group
+
+    big = (1 << 53) + 1
+    tbl = pa.table({
+        "g": pa.array([big] * 20 + [big + 2] * 20 + [None] * 3,
+                      type=pa.int64()),
+        "v": pa.array(list(range(20)) + list(range(10)) * 2 + [1, 2, 3],
+                      type=pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    # read back as ARROW: to_pandas would float-coerce the
+    # int64-with-null group column and round the keys in the TEST
+    out = pa.concat_tables(
+        b for b in hll_distinct_by_group(ds, "g", "v", p=12)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    as_dict = {("<null>" if k is None else k): round(v)
+               for k, v in zip(out.column("g").to_pylist(),
+                               out.column("approx_distinct").to_pylist())}
+    assert as_dict == {big: 20, big + 2: 10, "<null>": 3}
+
+
 def test_hll_by_group_nullable_int_values_do_not_split():
     """A null VALUE in one block must not float-coerce that block's
     int64 values onto a different hash family (5 vs 5.0 counting as
