@@ -54,6 +54,8 @@ def main() -> dict:
     from centrality_gpu_ray.functions.sampling import mixture_sample
     from centrality_gpu_ray.functions.sketch import hll_distinct_tokens
     from centrality_gpu_ray.functions.text import token_stats, vocab_topk
+    from centrality_gpu_ray.functions.tokenizer import (
+        bpe_token_count, bpe_train, encode_word)
     from centrality_gpu_ray.sources.corpus import generate_corpus_table
     from centrality_gpu_ray.stages.shuffle import hash_aggregate
 
@@ -396,6 +398,33 @@ def main() -> dict:
     assert 0 < n_mixed < n_unique
     out["counts"]["after_mixture"] = n_mixed
     _mark("mixture_sample")
+
+    # BPE tokenizer at corpus scale: ONE distributed exact word-count
+    # pass trains the merge table driver-side (vocabulary-sized, never
+    # corpus-sized); the broadcast memoized encode then counts
+    # trained-tokenizer tokens over every survivor doc. Words only
+    # ever merge, so the corpus piece total is bounded below by the
+    # whitespace token total (equality iff every word fully merged).
+    tok_model = bpe_train(survivors, num_merges=2000, max_words=20_000)
+    ranks = {tuple(m): r for r, m in enumerate(tok_model["merges"])}
+    top_word = vocab.column("token")[0].as_py()
+    assert "".join(encode_word(top_word, ranks)) == top_word + "</w>"
+    bagg = hash_aggregate(
+        bpe_token_count(survivors, tok_model).map_batches(
+            lambda t: pa.table({
+                "all": pa.array(np.zeros(len(t), np.int64)),
+                "n_bpe_tokens": t.column("n_bpe_tokens")}),
+            batch_format="pyarrow"),
+        ["all"], [("n_bpe_tokens", "sum"), ([], "count_all")],
+        num_partitions=2).to_pandas()
+    bpe_total = int(bagg["n_bpe_tokens"].iloc[0])
+    assert int(bagg["count"].iloc[0]) == n_unique  # every doc counted
+    assert bpe_total >= total_tokens
+    out["counts"].update({
+        "bpe_merges": len(tok_model["merges"]),
+        "bpe_tokens_total": bpe_total,
+        "bpe_pieces_per_word": round(bpe_total / total_tokens, 3)})
+    _mark("bpe_tokenizer")
 
     packed = pack_sequences(survivors, context_len=2048)
     span = packed.map_batches(
