@@ -24,6 +24,8 @@ function of the corpus multiset, invariant to partitioning.
 """
 from __future__ import annotations
 
+import heapq
+
 import numpy as np
 import pyarrow as pa
 
@@ -34,8 +36,10 @@ _EOW = "</w>"
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:
-    """Initial symbol sequence: characters, EOW glued to the last."""
-    if len(word) == 1:
+    """Initial symbol sequence: characters, EOW glued to the last.
+    Total: the empty word maps to the bare EOW marker, preserving
+    ``"".join(syms) == word + "</w>"``."""
+    if len(word) <= 1:
         return (word + _EOW,)
     return tuple(word[:-1]) + (word[-1] + _EOW,)
 
@@ -101,21 +105,40 @@ def bpe_train(ds=None, num_merges: int = 1000,
     toks = word_counts.column("token").to_pylist()
     counts = np.asarray(word_counts.column("count").to_numpy(),
                         dtype=np.int64)
+    # user-supplied tables may carry zero/negative-count rows (e.g. a
+    # filtered join); they contribute nothing and would corrupt the
+    # delete-on-zero pair bookkeeping — drop them up front
+    keep = counts >= 1
+    if not keep.all():
+        toks = [t for t, k in zip(toks, keep) if k]
+        counts = counts[keep]
 
     words = [_word_symbols(w) for w in toks]
     stats, where = _pair_stats(words, counts)
     merges: list[tuple[str, str]] = []
     chars = sorted({s for syms in words for s in syms})
 
+    # lazy max-heap over (-count, pair): entries go stale when a pair's
+    # count changes; pop-time validation against `stats` (the source of
+    # truth) discards them. Heap order (-count, pair lex asc) is exactly
+    # the deterministic tie-break, and argmax becomes O(log |pairs|)
+    # amortized instead of a full O(|pairs|) scan per merge.
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in stats.items()]
+    heapq.heapify(heap)
+
     for _ in range(num_merges):
-        if not stats:
-            break
-        # argmax count, tie-break lexicographic pair asc — deterministic
-        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if stats[best] < 1:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if stats.get(p) == -negc:  # current ⇔ valid, stale ⇔ skip
+                best = p
+                break
+        if best is None or -negc < 1:
             break
         merged = best[0] + best[1]
         merges.append(best)
+        touched: set[tuple[str, str]] = set()
         for i in list(where.get(best, ())):
             old = words[i]
             new = _merge_word(old, best, merged)
@@ -129,11 +152,17 @@ def bpe_train(ds=None, num_merges: int = 1000,
                     del occ[i]
                 if stats[(a, b)] == 0:
                     del stats[(a, b)], where[(a, b)]
+                else:
+                    touched.add((a, b))
             for a, b in zip(new[:-1], new[1:]):
                 stats[(a, b)] = stats.get((a, b), 0) + c
                 occ = where.setdefault((a, b), {})
                 occ[i] = occ.get(i, 0) + 1
+                touched.add((a, b))
             words[i] = new
+        for p in touched:
+            if p in stats:
+                heapq.heappush(heap, (-stats[p], p))
 
     vocab = {p: r for r, p in enumerate(
         chars + [a + b for a, b in merges])}
@@ -161,24 +190,26 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]
     return tuple(syms)
 
 
-_MEMO_CAP = 1 << 17
+_MEMO_CAP = 1 << 17  # total entries across ALL tokenizers in a process
 _MEMO: dict[int, dict] = {}
 
 
 def _proc_memo(ranks_key: int) -> dict:
     # per-process, per-tokenizer memo: Zipf makes the hit rate the
-    # unigram mass of the cached words; capped so a pathological
-    # corpus can't grow worker heaps unboundedly
+    # unigram mass of the cached words. One sub-dict per tokenizer key
+    # under a SHARED total cap — two pipelines with different merge
+    # tables interleaving batches on one worker must not evict each
+    # other's memo (clearing on key change thrashed the cache to ~0%).
     memo = _MEMO.get(ranks_key)
     if memo is None:
-        _MEMO.clear()
-        memo = _MEMO.setdefault(ranks_key, {})
+        memo = _MEMO[ranks_key] = {}
     return memo
 
 
 def _encode_batch(batch, ranks: dict, ranks_key: int,
                   text_col: str, emit_tokens: bool):
     memo = _proc_memo(ranks_key)
+    budget = _MEMO_CAP - sum(map(len, _MEMO.values()))
     texts = batch[text_col].fillna("")
     n_tok, toks_out = [], []
     for t in texts:
@@ -187,8 +218,9 @@ def _encode_batch(batch, ranks: dict, ranks_key: int,
             got = memo.get(w)
             if got is None:
                 got = encode_word(w, ranks)
-                if len(memo) < _MEMO_CAP:
+                if budget > 0:
                     memo[w] = got
+                    budget -= 1
             pieces.extend(got)
         n_tok.append(len(pieces))
         if emit_tokens:

@@ -408,7 +408,13 @@ def main() -> dict:
     tok_model = bpe_train(survivors, num_merges=2000, max_words=20_000)
     ranks = {tuple(m): r for r, m in enumerate(tok_model["merges"])}
     top_word = vocab.column("token")[0].as_py()
-    assert "".join(encode_word(top_word, ranks)) == top_word + "</w>"
+    top_enc = encode_word(top_word, ranks)
+    assert "".join(top_enc) == top_word + "</w>"
+    # discriminating: the corpus' most frequent word must actually have
+    # MERGED (fewer pieces than characters) — concatenation-reversibility
+    # alone holds for any ranks dict, even an empty one
+    assert len(top_word) <= 1 or len(top_enc) < len(top_word), (
+        top_word, top_enc)
     bagg = hash_aggregate(
         bpe_token_count(survivors, tok_model).map_batches(
             lambda t: pa.table({

@@ -139,3 +139,40 @@ def test_memo_does_not_leak_across_tokenizers():
 def test_train_input_validation():
     with pytest.raises(ValueError, match="Dataset or a word_counts"):
         bpe_train(num_merges=5)
+
+
+def test_train_ignores_nonpositive_count_rows():
+    # a zero-count row sharing a pair with a live word used to KeyError
+    # inside the delete-on-zero bookkeeping
+    wc_live = {"ab": 5, "cab": 3}
+    t = pa.table({"token": pa.array(["ab", "zab", "cab", "qq"]),
+                  "count": pa.array([5, 0, 3, -2], type=pa.int64())})
+    got = bpe_train(word_counts=t, num_merges=10)
+    want = bpe_train(word_counts=_counts_table(wc_live), num_merges=10)
+    assert got["merges"] == want["merges"]
+
+
+def test_empty_word_is_total():
+    assert _word_symbols("") == ("</w>",)
+    assert encode_word("", {}) == ("</w>",)
+    t = pa.table({"token": pa.array(["", "ab"]),
+                  "count": pa.array([4, 2], type=pa.int64())})
+    got = bpe_train(word_counts=t, num_merges=5)  # must not crash
+    assert ("a", "b</w>") in [tuple(m) for m in got["merges"]]
+
+
+def test_heap_trainer_matches_naive_randomized():
+    # the lazy-heap argmax must reproduce the full-scan argmax exactly,
+    # including (count desc, pair lex asc) tie-breaks, on random corpora
+    rng = np.random.default_rng(17)
+    alphabet = list("abcd")
+    for trial in range(20):
+        n_words = int(rng.integers(3, 25))
+        wc = {}
+        for _ in range(n_words):
+            w = "".join(rng.choice(alphabet,
+                                   size=int(rng.integers(1, 7))))
+            wc[w] = int(rng.integers(1, 50))
+        want = _naive_train(dict(wc), 30)
+        got = bpe_train(word_counts=_counts_table(wc), num_merges=30)
+        assert got["merges"] == want, (trial, wc)
