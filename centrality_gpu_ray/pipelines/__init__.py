@@ -12,6 +12,7 @@ from centrality_gpu_ray.pipelines.bicc import (articulation_points,
 from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
 from centrality_gpu_ray.pipelines.eigenvector import (eigenvector_centrality,
                                                       katz_centrality)
+from centrality_gpu_ray.pipelines.linkpred import link_prediction
 
 __all__ = [
     "Graph",
@@ -29,4 +30,5 @@ __all__ = [
     "closeness_from_sources",
     "eigenvector_centrality",
     "katz_centrality",
+    "link_prediction",
 ]

@@ -1,0 +1,275 @@
+"""Link-prediction scores over distance-2 candidate pairs.
+
+For every NON-adjacent unordered vertex pair (u, v) with at least one
+common neighbor, emit the classic neighborhood-overlap predictors:
+common-neighbor count, Adamic-Adar, resource allocation, Jaccard.
+
+Shape (one shuffle + one aggregate + one anti-join, no all-pairs):
+symmetrized adjacency → center-hash exchange (a reduce task owns every
+edge of its centers, so deg(center) is a run length and wedge
+generation is the same vectorized shift-expansion kernel as triangle
+counting, ``pipelines/triangles.py::_wedges_from_adj``) →
+per-partition pre-aggregation by packed pair key → pair-key hash
+aggregate → anti-join against the canonical edge set → degree lookup
+joins. Total work is Σ_w deg(w)² — the true candidate count; hub
+centers are optionally capped via ``max_center_degree`` (a capped
+center is dropped WHOLE, never sampled, so surviving scores are exact
+lower bounds) and the number of dropped centers is counted
+distributed and reported in ``metrics``.
+
+Integer-exact outputs so a DuckDB oracle can value-hash them
+(the ``harmonic_micro`` trick from ``pipelines/closeness.py``):
+
+- ``cn``, ``deg_u``, ``deg_v`` — exact int64
+- ``aa_micro``  = Σ_w floor(1e6/ln(deg_w) + 0.5)   (Adamic-Adar)
+- ``ra_micro``  = Σ_w floor(1e6/deg_w + 0.5)       (resource alloc.)
+- ``jaccard_micro`` = floor(1e6·cn/(deg_u+deg_v−cn) + 0.5)
+
+IEEE-double ln / division and half-up floor are bit-identical in
+numpy and DuckDB, and summation order never touches floats (per-wedge
+micro units are floored FIRST, then summed as int64).
+
+The reference has no link-prediction operator — this is §2.9
+beyond-reference surface, reusing the oriented-wedge machinery the
+reference's triangle path motivated (``bcc_bfs.cpp:1001-1003``'s
+packed u64 edge keys).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.pipelines.triangles import _wedges_from_adj
+
+__all__ = ["link_prediction"]
+
+
+def _micro_weights(deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-center (aa_micro, ra_micro) wedge weights; deg ≥ 2 for any
+    wedge center so ln(deg) > 0."""
+    df = deg.astype(np.float64)
+    aa = np.floor(1e6 / np.log(df) + 0.5).astype(np.int64)
+    ra = np.floor(1e6 / df + 0.5).astype(np.int64)
+    return aa, ra
+
+
+def _pair_partials(s: np.ndarray, d: np.ndarray, n: int,
+                   max_center_degree: int | None) -> pa.Table:
+    """Wedge pairs of a co-located adjacency slice, pre-aggregated by
+    packed key. ``s`` must contain EVERY edge of each center it holds
+    (degree = run length). Returns (key, cn, aa_micro, ra_micro)."""
+    empty = pa.table({"key": pa.array([], type=pa.int64()),
+                      "cn": pa.array([], type=pa.int64()),
+                      "aa_micro": pa.array([], type=pa.int64()),
+                      "ra_micro": pa.array([], type=pa.int64())})
+    if s.size == 0:
+        return empty
+    if max_center_degree is not None:
+        uniq_c, cnt_c = np.unique(s, return_counts=True)
+        ok = cnt_c <= max_center_degree
+        if not ok.all():
+            keep = ok[np.searchsorted(uniq_c, s)]
+            s, d = s[keep], d[keep]
+            if s.size == 0:
+                return empty
+    apex, x, y = _wedges_from_adj(s, d)
+    if apex.size == 0:
+        return empty
+    uniq, cnt = np.unique(s, return_counts=True)
+    deg_apex = cnt[np.searchsorted(uniq, apex)]
+    aa_w, ra_w = _micro_weights(deg_apex)
+    key = x * np.int64(n) + y
+    uq, inv = np.unique(key, return_inverse=True)
+    cn = np.bincount(inv, minlength=uq.size).astype(np.int64)
+    aa = np.zeros(uq.size, dtype=np.int64)
+    ra = np.zeros(uq.size, dtype=np.int64)
+    np.add.at(aa, inv, aa_w)
+    np.add.at(ra, inv, ra_w)
+    return pa.table({"key": pa.array(uq), "cn": pa.array(cn),
+                     "aa_micro": pa.array(aa), "ra_micro": pa.array(ra)})
+
+
+def _finalize(tbl: pa.Table, n: int) -> pa.Table:
+    key = tbl.column("key").to_numpy(zero_copy_only=False)
+    cn = tbl.column("cn").to_numpy(zero_copy_only=False)
+    du = tbl.column("deg_u").to_numpy(zero_copy_only=False)
+    dv = tbl.column("deg_v").to_numpy(zero_copy_only=False)
+    union = (du + dv - cn).astype(np.float64)
+    jac = np.floor(1e6 * cn.astype(np.float64) / union + 0.5).astype(np.int64)
+    return pa.table({
+        "u": pa.array(key // np.int64(n)),
+        "v": pa.array(key % np.int64(n)),
+        "cn": tbl.column("cn"),
+        "aa_micro": tbl.column("aa_micro"),
+        "ra_micro": tbl.column("ra_micro"),
+        "jaccard_micro": pa.array(jac),
+        "deg_u": pa.array(du.astype(np.int64)),
+        "deg_v": pa.array(dv.astype(np.int64)),
+    })
+
+
+def link_prediction(graph: Graph, top_k: int | None = None,
+                    max_center_degree: int | None = None,
+                    config: EngineConfig | None = None,
+                    metrics: dict | None = None):
+    """Neighborhood-overlap link-prediction scores for all non-adjacent
+    distance-2 pairs. Local mode returns a ``pa.Table``; distributed /
+    sharded mode a Dataset. Columns (original node ids):
+    ``(u, v, cn, aa_micro, ra_micro, jaccard_micro, deg_u, deg_v)``,
+    u < v. ``top_k`` keeps the k best pairs by (cn desc, u, v) —
+    deterministic under ties."""
+    cfg = config or graph.config
+    t0 = time.perf_counter()
+    if graph.mode == "local" and not getattr(graph, "sharded", False):
+        out = _local(graph, top_k, max_center_degree, metrics)
+    else:
+        out = _distributed(graph, cfg, top_k, max_center_degree, metrics)
+    if metrics is not None:
+        metrics["sec"] = time.perf_counter() - t0
+    return out
+
+
+def _local(graph: Graph, top_k, max_center_degree, metrics) -> pa.Table:
+    n = graph.num_vertices
+    s, d, _ = graph.local_arrays()
+    sym_s = np.concatenate([s, d])
+    sym_d = np.concatenate([d, s])
+    if max_center_degree is not None and metrics is not None:
+        deg_all = np.bincount(sym_s, minlength=n)
+        metrics["truncated_centers"] = int(
+            (deg_all > max_center_degree).sum())
+    part = _pair_partials(sym_s, sym_d, n, max_center_degree)
+    key = part.column("key").to_numpy(zero_copy_only=False)
+    # drop adjacent pairs: canonical edges are (s<d), same packing
+    edge_keys = np.sort(s * np.int64(n) + d)
+    idx = np.minimum(np.searchsorted(edge_keys, key),
+                     max(edge_keys.size - 1, 0))
+    adjacent = (edge_keys[idx] == key) if edge_keys.size else \
+        np.zeros(key.size, dtype=bool)
+    part = part.filter(pa.array(~adjacent))
+    key = part.column("key").to_numpy(zero_copy_only=False)
+    deg = np.bincount(np.concatenate([s, d]), minlength=n).astype(np.int64)
+    with_deg = part.append_column(
+        "deg_u", pa.array(deg[key // np.int64(n)]))
+    with_deg = with_deg.append_column(
+        "deg_v", pa.array(deg[key % np.int64(n)]))
+    out = _finalize(with_deg, n)
+    # original ids
+    ids = graph.node_ids
+    out = out.set_column(0, "u", pa.array(
+        ids[out.column("u").to_numpy()].astype(np.int64)))
+    out = out.set_column(1, "v", pa.array(
+        ids[out.column("v").to_numpy()].astype(np.int64)))
+    order = np.lexsort((out.column("v").to_numpy(),
+                        out.column("u").to_numpy(),
+                        -out.column("cn").to_numpy()))
+    out = out.take(pa.array(order[:top_k] if top_k is not None else order))
+    if metrics is not None:
+        metrics.update({"pairs": out.num_rows, "mode": "local"})
+    return out
+
+
+def _distributed(graph: Graph, cfg: EngineConfig, top_k,
+                 max_center_degree, metrics):
+    import ray
+
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_anti_join,
+                                                   hash_lookup_join,
+                                                   hash_partition_apply)
+
+    n = graph.num_vertices
+    P = cfg.num_partitions
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(np.concatenate([s, d])),
+                         "d": pa.array(np.concatenate([d, s]))})
+
+    sym = graph.edges.map_batches(symmetrize, batch_format="pyarrow",
+                                  batch_size=cfg.batch_size)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(t.column("s").to_numpy(zero_copy_only=False),
+                              return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    deg_ds = hash_aggregate(
+        sym.map_batches(deg_partial, batch_format="pyarrow"),
+        ["v"], [("c", "sum")], num_partitions=P).materialize()
+    if max_center_degree is not None and metrics is not None:
+        metrics["truncated_centers"] = int(deg_ds.map_batches(
+            lambda t: pa.table({"x": pa.array(
+                [int((t.column("c").to_numpy() > max_center_degree).sum())],
+                type=pa.int64())}),
+            batch_format="pyarrow").sum("x") or 0)
+
+    def wedge_part(tbl: pa.Table) -> pa.Table:
+        return _pair_partials(
+            tbl.column("s").to_numpy(zero_copy_only=False),
+            tbl.column("d").to_numpy(zero_copy_only=False),
+            n, max_center_degree)
+
+    partials = hash_partition_apply(sym, ["s"], wedge_part,
+                                    num_partitions=P)
+    agg = hash_aggregate(partials, ["key"],
+                         [("cn", "sum"), ("aa_micro", "sum"),
+                          ("ra_micro", "sum")], num_partitions=P)
+
+    edge_keys = graph.edges.map_batches(
+        lambda t: pa.table({"key": pa.array(
+            t.column("s").to_numpy(zero_copy_only=False) * np.int64(n)
+            + t.column("d").to_numpy(zero_copy_only=False))}),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+    nonadj = hash_anti_join(agg, edge_keys, on="key", num_partitions=P)
+
+    def add_u(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        t = t.append_column("_u", pa.array(k // np.int64(n)))
+        return t.append_column("_v", pa.array(k % np.int64(n)))
+
+    keyed = nonadj.map_batches(add_u, batch_format="pyarrow")
+    keyed = hash_lookup_join(keyed, deg_ds, "_u", "v", {"c": "deg_u"},
+                             num_partitions=P)
+    keyed = hash_lookup_join(keyed, deg_ds, "_v", "v", {"c": "deg_v"},
+                             num_partitions=P)
+
+    if graph.sharded:
+        from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+
+        vd = graph.vdict
+        dict_meta = (vd.mins, vd.offsets, vd.block_refs)
+
+        def to_orig(t: pa.Table) -> pa.Table:
+            out = _finalize(t, n)
+            reader = _DictReader(dict_meta)
+            u = reader.to_original(out.column("u").to_numpy())
+            v = reader.to_original(out.column("v").to_numpy())
+            return (out.set_column(0, "u", pa.array(u.astype(np.int64)))
+                       .set_column(1, "v", pa.array(v.astype(np.int64))))
+    else:
+        ids_ref = ray.put(graph.node_ids)
+
+        def to_orig(t: pa.Table, _ref=ids_ref) -> pa.Table:
+            out = _finalize(t, n)
+            ids = ray.get(_ref)
+            u = ids[out.column("u").to_numpy()]
+            v = ids[out.column("v").to_numpy()]
+            return (out.set_column(0, "u", pa.array(u.astype(np.int64)))
+                       .set_column(1, "v", pa.array(v.astype(np.int64))))
+
+    out = keyed.map_batches(to_orig, batch_format="pyarrow",
+                            batch_size=cfg.batch_size)
+    if top_k is not None:
+        out = out.sort(["cn", "u", "v"],
+                       descending=[True, False, False]).limit(top_k)
+    if metrics is not None:
+        metrics["mode"] = "sharded" if graph.sharded else "distributed"
+    return out
