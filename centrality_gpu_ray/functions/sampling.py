@@ -101,6 +101,77 @@ def mixture_sample_sql(rates: dict[str, float], default_rate: float,
                    ELSE '{rate_threshold_hex(default_rate)}' END"""
 
 
+def hash_split(ds, fractions: dict[str, float], id_col: str = "doc_id",
+               out_col: str = "split"):
+    """Deterministic, disjoint, exhaustive train/val/test assignment.
+
+    Each row lands in exactly one named split by where its
+    ``sha256(str(id))`` 16-hex prefix falls among the CUMULATIVE
+    fraction thresholds (insertion order of ``fractions``); the last
+    split absorbs the float remainder, so the bands partition the hex
+    space exactly. Same guarantees as :func:`mixture_sample`: no RNG
+    state, stable across runs/partitionings/engines, and byte-identical
+    in DuckDB (:func:`hash_split_sql`) for value-exact auditing.
+    A doc NEVER migrates between splits when other docs are added or
+    removed — the leakage-safety property retraining pipelines need.
+
+    Args:
+        ds: Dataset with ``id_col``.
+        fractions: split name → fraction; must sum to 1 (±1e-9),
+            at least one split, every fraction ≥ 0.
+        out_col: name of the appended assignment column.
+
+    Returns:
+        ``ds`` with ``out_col`` (string) appended.
+    """
+    names = list(fractions)
+    fracs = [float(fractions[n]) for n in names]
+    if not names:
+        raise ValueError("need at least one split")
+    if min(fracs) < 0:
+        raise ValueError("fractions must be >= 0")
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fracs)}")
+    cum = np.cumsum(fracs)
+    # thresholds for all but the last band; the last is ELSE
+    bands = [(names[i], rate_threshold_hex(float(cum[i])))
+             for i in range(len(names) - 1)]
+    last = names[-1]
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        prefixes = np.fromiter(
+            (h[:16] for h in _sha_hex(batch[id_col].to_numpy())),
+            dtype=object, count=len(batch))
+        out = np.full(len(batch), last, dtype=object)
+        unassigned = np.ones(len(batch), dtype=bool)
+        for name, th in bands:
+            hit = unassigned & (prefixes < th)
+            out[hit] = name
+            unassigned &= ~hit
+        batch = batch.copy()
+        batch[out_col] = out.astype(str)
+        return batch
+
+    fn.__name__ = "hash_split"
+    return ds.map_batches(fn, batch_format="pandas", batch_size=4096)
+
+
+def hash_split_sql(fractions: dict[str, float], id_col: str = "doc_id",
+                   out_col: str = "split") -> str:
+    """The DuckDB expression (a CASE select-item) computing the exact
+    same assignment as :func:`hash_split` — same cumulative hex
+    thresholds, same band order."""
+    names = list(fractions)
+    cum = np.cumsum([float(fractions[n]) for n in names])
+    whens = " ".join(
+        f"WHEN substr(sha256(CAST({id_col} AS VARCHAR)), 1, 16) < "
+        f"'{rate_threshold_hex(float(cum[i]))}' THEN '{names[i]}'"
+        for i in range(len(names) - 1))
+    if not whens:
+        return f"'{names[-1]}' AS {out_col}"
+    return f"CASE {whens} ELSE '{names[-1]}' END AS {out_col}"
+
+
 def weighted_sample_k(ds, k: int, weight_col: str,
                       id_col: str = "doc_id", seed: int = 0):
     """Weighted sampling WITHOUT replacement: k rows, each row's

@@ -323,3 +323,65 @@ def test_chunk_documents_disjoint_and_overlap():
         seen = set(t for txt in got[got.doc_id == did]["text"]
                    for t in txt.split())
         assert seen == toks
+
+
+# ---------------------------------------------------------------------------
+# hash_split
+# ---------------------------------------------------------------------------
+
+def test_hash_split_matches_duckdb_and_is_exhaustive():
+    import duckdb
+
+    from centrality_gpu_ray.functions.sampling import (hash_split,
+                                                       hash_split_sql)
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = hash_split(_docs(), fr).to_pandas()[
+        ["doc_id", "split"]].sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT doc_id, {hash_split_sql(fr)}
+        FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want)
+    # exhaustive + roughly proportional
+    counts = got["split"].value_counts()
+    assert counts.sum() == len(got)
+    assert set(counts.index) <= {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+
+
+def test_hash_split_stable_under_partitioning_and_corpus_changes():
+    from centrality_gpu_ray.functions.sampling import hash_split
+
+    fr = {"train": 0.5, "test": 0.5}
+    full = hash_split(_docs(), fr).to_pandas()
+    repart = hash_split(_docs().repartition(7), fr).to_pandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values("doc_id").reset_index(drop=True),
+        repart.sort_values("doc_id").reset_index(drop=True))
+    # removing half the corpus never migrates a surviving doc's split
+    sub = hash_split(_docs().filter(lambda r: r["doc_id"] % 2 == 0),
+                     fr).to_pandas()
+    merged = sub.merge(full, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_hash_split_validation():
+    from centrality_gpu_ray.functions.sampling import hash_split
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(_docs(), {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match=">= 0"):
+        hash_split(_docs(), {"a": -0.1, "b": 1.1})
+    with pytest.raises(ValueError, match="at least one"):
+        hash_split(_docs(), {})
+
+
+def test_hash_split_single_split_takes_all():
+    from centrality_gpu_ray.functions.sampling import (hash_split,
+                                                       hash_split_sql)
+
+    got = hash_split(_docs(), {"all": 1.0}).to_pandas()
+    assert (got["split"] == "all").all()
+    assert hash_split_sql({"all": 1.0}) == "'all' AS split"
