@@ -44,9 +44,16 @@ import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
 from centrality_gpu_ray.pipelines.graph import Graph
-from centrality_gpu_ray.pipelines.triangles import _wedges_from_adj
+from centrality_gpu_ray.pipelines.triangles import _pack, _wedges_from_adj
 
 __all__ = ["link_prediction"]
+
+_FINAL_SCHEMA = pa.schema([
+    ("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64()),
+    ("aa_micro", pa.int64()), ("ra_micro", pa.int64()),
+    ("jaccard_micro", pa.int64()),
+    ("deg_u", pa.int64()), ("deg_v", pa.int64()),
+])
 
 
 def _micro_weights(deg: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -83,7 +90,7 @@ def _pair_partials(s: np.ndarray, d: np.ndarray, n: int,
     uniq, cnt = np.unique(s, return_counts=True)
     deg_apex = cnt[np.searchsorted(uniq, apex)]
     aa_w, ra_w = _micro_weights(deg_apex)
-    key = x * np.int64(n) + y
+    key = _pack(x, y, n)
     uq, inv = np.unique(key, return_inverse=True)
     cn = np.bincount(inv, minlength=uq.size).astype(np.int64)
     aa = np.zeros(uq.size, dtype=np.int64)
@@ -146,7 +153,7 @@ def _local(graph: Graph, top_k, max_center_degree, metrics) -> pa.Table:
     part = _pair_partials(sym_s, sym_d, n, max_center_degree)
     key = part.column("key").to_numpy(zero_copy_only=False)
     # drop adjacent pairs: canonical edges are (s<d), same packing
-    edge_keys = np.sort(s * np.int64(n) + d)
+    edge_keys = np.sort(_pack(s, d, n))
     idx = np.minimum(np.searchsorted(edge_keys, key),
                      max(edge_keys.size - 1, 0))
     adjacent = (edge_keys[idx] == key) if edge_keys.size else \
@@ -168,9 +175,12 @@ def _local(graph: Graph, top_k, max_center_degree, metrics) -> pa.Table:
     order = np.lexsort((out.column("v").to_numpy(),
                         out.column("u").to_numpy(),
                         -out.column("cn").to_numpy()))
+    n_candidates = out.num_rows
     out = out.take(pa.array(order[:top_k] if top_k is not None else order))
     if metrics is not None:
-        metrics.update({"pairs": out.num_rows, "mode": "local"})
+        # candidate-pair count BEFORE top_k truncation (matches the
+        # distributed path, which counts the anti-joined pair table)
+        metrics.update({"pairs": n_candidates, "mode": "local"})
     return out
 
 
@@ -192,8 +202,12 @@ def _distributed(graph: Graph, cfg: EngineConfig, top_k,
         return pa.table({"s": pa.array(np.concatenate([s, d])),
                          "d": pa.array(np.concatenate([d, s]))})
 
+    # materialize once: both the degree aggregate and the wedge
+    # partition consume sym, and each shuffle stage re-executes its
+    # input lineage otherwise (the minhash_dedup double-execution
+    # lesson, VERDICT r3 §wrong-1)
     sym = graph.edges.map_batches(symmetrize, batch_format="pyarrow",
-                                  batch_size=cfg.batch_size)
+                                  batch_size=cfg.batch_size).materialize()
 
     def deg_partial(t: pa.Table) -> pa.Table:
         uniq, cnt = np.unique(t.column("s").to_numpy(zero_copy_only=False),
@@ -225,10 +239,20 @@ def _distributed(graph: Graph, cfg: EngineConfig, top_k,
 
     edge_keys = graph.edges.map_batches(
         lambda t: pa.table({"key": pa.array(
-            t.column("s").to_numpy(zero_copy_only=False) * np.int64(n)
-            + t.column("d").to_numpy(zero_copy_only=False))}),
+            _pack(t.column("s").to_numpy(zero_copy_only=False),
+                  t.column("d").to_numpy(zero_copy_only=False), n))}),
         batch_format="pyarrow", batch_size=cfg.batch_size)
-    nonadj = hash_anti_join(agg, edge_keys, on="key", num_partitions=P)
+    nonadj = hash_anti_join(agg, edge_keys, on="key",
+                            num_partitions=P).materialize()
+    n_pairs = nonadj.count()
+    if metrics is not None:
+        metrics["pairs"] = n_pairs
+        metrics["mode"] = "sharded" if graph.sharded else "distributed"
+    if n_pairs == 0:
+        # Ray skips empty blocks in map_batches, so downstream UDFs
+        # would never run and the stale pre-finalize schema would leak
+        # out of to_pandas() — return a typed empty instead.
+        return ray.data.from_arrow(_FINAL_SCHEMA.empty_table())
 
     def add_u(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy(zero_copy_only=False)
@@ -270,6 +294,4 @@ def _distributed(graph: Graph, cfg: EngineConfig, top_k,
     if top_k is not None:
         out = out.sort(["cn", "u", "v"],
                        descending=[True, False, False]).limit(top_k)
-    if metrics is not None:
-        metrics["mode"] = "sharded" if graph.sharded else "distributed"
     return out

@@ -134,3 +134,31 @@ def test_empty_and_no_candidates():
                    "dst": pa.array([2, 3, 3], type=pa.int64())})
     g3 = Graph(ray.data.from_arrow(t3), mode="local")
     assert link_prediction(g3).num_rows == 0
+    # distributed empty result must carry the FINAL typed schema
+    # (Ray skips empty blocks, so the stale pre-finalize schema would
+    # otherwise leak out of to_pandas)
+    g3d = Graph(ray.data.from_arrow(t3), mode="distributed",
+                config=EngineConfig(num_partitions=2))
+    m: dict = {}
+    ds = link_prediction(g3d, metrics=m)
+    assert ds.count() == 0
+    # (to_pandas() on an all-empty Dataset drops columns — the typed
+    # schema lives on the Dataset itself)
+    assert ds.schema().names == COLS
+    assert m["pairs"] == 0
+
+
+def test_pairs_metric_parity():
+    edges = _random_edges(11)
+    cfg = EngineConfig(num_partitions=3)
+    m_loc: dict = {}
+    m_dist: dict = {}
+    loc = link_prediction(Graph(ray.data.from_arrow(edges), mode="local",
+                                config=cfg), top_k=5, metrics=m_loc)
+    dist = link_prediction(
+        Graph(ray.data.from_arrow(edges).repartition(2),
+              mode="distributed", config=cfg), top_k=5, metrics=m_dist)
+    dist.to_pandas()
+    # both report the candidate-pair count BEFORE top_k truncation
+    assert m_loc["pairs"] == m_dist["pairs"] > 5
+    assert loc.num_rows == 5
