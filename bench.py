@@ -245,6 +245,38 @@ def run_bench() -> dict:
 
     timed("quality_classifier", _quality)
 
+    # round-4 additions: tokenizer train+encode, LM perplexity gate,
+    # deterministic split assignment, link prediction (hub-capped —
+    # suppliers in the tripartite lineitem graph have degree ~1200 and
+    # Σ deg² wedges would dominate; the cap drops them whole, exactly
+    # as the operator contract documents)
+    from centrality_gpu_ray.functions.tokenizer import (bpe_token_count,
+                                                        bpe_train)
+
+    def _bpe():
+        tok = bpe_train(docs_ds, num_merges=200, max_words=50_000,
+                        num_partitions=max(2, num_cpus // 2))
+        return bpe_token_count(docs_ds, tok).count()
+
+    timed("bpe_train_count", _bpe)
+
+    from centrality_gpu_ray.functions.lm import lm_fit, lm_perplexity
+
+    def _lm():
+        fit = lm_fit(docs_ds)
+        return lm_perplexity(docs_ds, fit).count()
+
+    timed("lm_perplexity", _lm)
+
+    from centrality_gpu_ray.functions.sampling import hash_split
+    timed("hash_split", lambda: hash_split(
+        docs_ds, {"train": 0.9, "val": 0.05, "test": 0.05}).count())
+
+    from centrality_gpu_ray.pipelines.linkpred import link_prediction
+    timed("link_prediction_top1k",
+          lambda: link_prediction(g, top_k=1000,
+                                  max_center_degree=32).count())
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
