@@ -277,6 +277,12 @@ def run_bench() -> dict:
           lambda: link_prediction(g, top_k=1000,
                                   max_center_degree=32).count())
 
+    from centrality_gpu_ray.pipelines.walks import (random_walks,
+                                                    skipgram_pairs)
+    timed("random_walks_len10",
+          lambda: skipgram_pairs(random_walks(g, walk_length=10),
+                                 window=5).count())
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
