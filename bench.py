@@ -283,6 +283,12 @@ def run_bench() -> dict:
           lambda: skipgram_pairs(random_walks(g, walk_length=10),
                                  window=5).count())
 
+    from centrality_gpu_ray.pipelines.textgraph import cooccurrence_edges
+    timed("cooccurrence_edges",
+          lambda: cooccurrence_edges(docs_ds, window=2,
+                                     num_partitions=max(
+                                         2, num_cpus // 2)).count())
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
