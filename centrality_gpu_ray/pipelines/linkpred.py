@@ -46,7 +46,7 @@ from centrality_gpu_ray.config import EngineConfig
 from centrality_gpu_ray.pipelines.graph import Graph
 from centrality_gpu_ray.pipelines.triangles import _pack, _wedges_from_adj
 
-__all__ = ["link_prediction"]
+__all__ = ["link_prediction", "linkpred_training_set"]
 
 _FINAL_SCHEMA = pa.schema([
     ("u", pa.int64()), ("v", pa.int64()), ("cn", pa.int64()),
@@ -295,3 +295,142 @@ def _distributed(graph: Graph, cfg: EngineConfig, top_k,
         out = out.sort(["cn", "u", "v"],
                        descending=[True, False, False]).limit(top_k)
     return out
+
+
+# ---------------------------------------------------------------------------
+# training-set construction: positives + deterministic negative sampling
+# ---------------------------------------------------------------------------
+
+_TRAIN_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                           ("label", pa.int64())])
+_NEG_SALT = np.uint64(0xD1B54A32D192ED03)
+
+
+def _neg_candidates(s: np.ndarray, d: np.ndarray, n: int,
+                    neg_per_pos: int, seed: int) -> pa.Table:
+    """k corrupted-endpoint candidates per canonical edge: candidate j
+    of edge (s, d) keeps s and replaces d with
+    ``splitmix64(pack(s,d) ^ splitmix64(j·SALT ^ seed)) mod n`` — a
+    pure function of (edge, j, seed): partitioning/mode invariant.
+    Self pairs (s == v') are dropped here; accidental positives are
+    dropped by the caller's anti-join. Emitted canonicalized with the
+    packed key so one exchange serves dedup + anti-join."""
+    from centrality_gpu_ray.functions.sketch import _splitmix
+
+    key = _pack(s, d, n).view(np.uint64)
+    outs = []
+    for j in range(1, neg_per_pos + 1):
+        salt = _splitmix(np.array([j], dtype=np.uint64) * _NEG_SALT
+                         ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))[0]
+        v2 = (_splitmix(key ^ salt) % np.uint64(n)).astype(np.int64)
+        keep = v2 != s
+        outs.append(_pack(s[keep], v2[keep], n))
+    cand = (np.unique(np.concatenate(outs)) if outs
+            else np.empty(0, np.int64))
+    return pa.table({"key": pa.array(cand)})
+
+
+def linkpred_training_set(graph: Graph, neg_per_pos: int = 1,
+                          seed: int = 0,
+                          config: EngineConfig | None = None):
+    """Link-prediction training pairs ``(u, v, label)`` in original
+    ids: every canonical edge as a positive (label 1) plus up to
+    ``neg_per_pos`` deterministic corrupted-endpoint negatives per
+    edge (label 0), verified non-edges by construction (anti-join
+    against the edge set — an accidental true edge or a candidate
+    minted twice is dropped rather than resampled, so negative counts
+    are exact lower bounds; with density ≪ 1 the shortfall is
+    O(density)). Same stateless-hash determinism contract as
+    ``functions/sampling.py`` / ``pipelines/walks.py``.
+
+    Local mode returns ``pa.Table``; distributed/sharded a Dataset.
+    One anti-join exchange total; negatives stream as k× the edge
+    rows, never an all-pairs."""
+    cfg = config or graph.config
+    if neg_per_pos < 1:
+        raise ValueError("neg_per_pos must be >= 1")
+    n = graph.num_vertices
+    if graph.mode == "local" and not graph.sharded:
+        s, d, _ = graph.local_arrays()
+        cand = _neg_candidates(s, d, n, neg_per_pos, seed) \
+            .column("key").to_numpy(zero_copy_only=False)
+        edge_keys = np.sort(_pack(s, d, n))
+        idx = np.minimum(np.searchsorted(edge_keys, cand),
+                         max(edge_keys.size - 1, 0))
+        hit = (edge_keys[idx] == cand) if edge_keys.size else \
+            np.zeros(cand.size, dtype=bool)
+        neg = cand[~hit]
+        ids = graph.node_ids
+        u = np.concatenate([ids[s], ids[neg // np.int64(n)]])
+        v = np.concatenate([ids[d], ids[neg % np.int64(n)]])
+        lab = np.concatenate([np.ones(s.size, np.int64),
+                              np.zeros(neg.size, np.int64)])
+        order = np.lexsort((v, u, -lab))
+        return pa.table({"u": pa.array(u[order]), "v": pa.array(v[order]),
+                         "label": pa.array(lab[order])})
+
+    import ray
+
+    from centrality_gpu_ray.stages.shuffle import hash_anti_join
+
+    def cand_fn(t: pa.Table) -> pa.Table:
+        return _neg_candidates(
+            t.column("s").to_numpy(zero_copy_only=False),
+            t.column("d").to_numpy(zero_copy_only=False),
+            n, neg_per_pos, seed)
+
+    cands = graph.edges.map_batches(cand_fn, batch_format="pyarrow",
+                                    batch_size=cfg.batch_size)
+    edge_keys = graph.edges.map_batches(
+        lambda t: pa.table({"key": pa.array(
+            _pack(t.column("s").to_numpy(zero_copy_only=False),
+                  t.column("d").to_numpy(zero_copy_only=False), n))}),
+        batch_format="pyarrow", batch_size=cfg.batch_size)
+    # one exchange: the non-edge check; then a per-block unique —
+    # anti-join output blocks are one-per-hash-partition, so equal
+    # candidate keys (the same pair minted from two different edges)
+    # are co-located and the block-local unique is a GLOBAL dedup
+    # (keeps exact local/distributed parity). batch_size=None = whole
+    # blocks; coalescing only merges, never splits a partition.
+    neg_keys = hash_anti_join(cands, edge_keys, on="key",
+                              num_partitions=cfg.num_partitions)
+    neg_keys = neg_keys.map_batches(
+        lambda t: pa.table({"key": pa.array(np.unique(
+            t.column("key").to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow", batch_size=None)
+
+    if graph.sharded:
+        from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+
+        vd = graph.vdict
+        dict_meta = (vd.mins, vd.offsets, vd.block_refs)
+
+        def to_pairs(dense_u, dense_v):
+            reader = _DictReader(dict_meta)
+            return reader.to_original(dense_u), reader.to_original(dense_v)
+    else:
+        ids_ref = ray.put(graph.node_ids)
+
+        def to_pairs(dense_u, dense_v, _ref=ids_ref):
+            ids = ray.get(_ref)
+            return ids[dense_u], ids[dense_v]
+
+    def neg_rows(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        u, v = to_pairs(k // np.int64(n), k % np.int64(n))
+        return pa.table({"u": pa.array(u.astype(np.int64)),
+                         "v": pa.array(v.astype(np.int64)),
+                         "label": pa.array(np.zeros(k.size, np.int64))})
+
+    def pos_rows(t: pa.Table) -> pa.Table:
+        u, v = to_pairs(t.column("s").to_numpy(zero_copy_only=False),
+                        t.column("d").to_numpy(zero_copy_only=False))
+        return pa.table({"u": pa.array(u.astype(np.int64)),
+                         "v": pa.array(v.astype(np.int64)),
+                         "label": pa.array(np.ones(t.num_rows, np.int64))})
+
+    pos = graph.edges.map_batches(pos_rows, batch_format="pyarrow",
+                                  batch_size=cfg.batch_size)
+    neg = neg_keys.map_batches(neg_rows, batch_format="pyarrow",
+                               batch_size=cfg.batch_size)
+    return pos.union(neg)

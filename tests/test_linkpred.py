@@ -123,6 +123,73 @@ def test_max_center_degree_drops_hub_whole():
         assert m["truncated_centers"] == 1  # only the hub exceeds 3
 
 
+def _naive_training_set(edges: pa.Table, neg_per_pos: int, seed: int):
+    """Independent per-edge Python reference of the corrupted-endpoint
+    negative sampler (shares only the rng helper)."""
+    from centrality_gpu_ray.functions.sketch import _splitmix
+    from centrality_gpu_ray.pipelines.linkpred import _NEG_SALT
+
+    src = edges.column("src").to_numpy()
+    dst = edges.column("dst").to_numpy()
+    ids = np.unique(np.concatenate([src, dst]))
+    dense = {int(v): i for i, v in enumerate(ids)}
+    n = ids.size
+    es = np.array([dense[int(a)] for a in src])
+    ed = np.array([dense[int(b)] for b in dst])
+    ekeys = {(min(a, b), max(a, b)) for a, b in zip(es, ed)}
+    pos = sorted((int(ids[a]), int(ids[b]), 1)
+                 for a, b in zip(np.minimum(es, ed), np.maximum(es, ed)))
+    negs = set()
+    for a, b in zip(np.minimum(es, ed), np.maximum(es, ed)):
+        key = np.array([a * n + b], dtype=np.int64).view(np.uint64)
+        for j in range(1, neg_per_pos + 1):
+            salt = _splitmix(np.array([j], dtype=np.uint64) * _NEG_SALT
+                             ^ np.uint64(seed))[0]
+            v2 = int((_splitmix(key ^ salt) % np.uint64(n))[0])
+            if v2 == a:
+                continue
+            pair = (min(a, v2), max(a, v2))
+            if pair not in ekeys:
+                negs.add((int(ids[pair[0]]), int(ids[pair[1]]), 0))
+    return pos, sorted(negs)
+
+
+@pytest.mark.parametrize("neg_per_pos", [1, 3])
+def test_training_set_matches_naive(neg_per_pos):
+    from centrality_gpu_ray.pipelines.linkpred import linkpred_training_set
+
+    edges = _random_edges(9)
+    g = Graph(ray.data.from_arrow(edges), mode="local")
+    got = linkpred_training_set(g, neg_per_pos=neg_per_pos, seed=5)
+    rows = sorted(zip(got.column("u").to_pylist(),
+                      got.column("v").to_pylist(),
+                      got.column("label").to_pylist()))
+    pos, neg = _naive_training_set(edges, neg_per_pos, 5)
+    assert rows == sorted(pos + neg)
+    # every negative is a genuine non-edge, every positive an edge
+    ek = set(zip(edges.column("src").to_pylist(),
+                 edges.column("dst").to_pylist()))
+    for u, v, lab in rows:
+        assert ((u, v) in ek) == (lab == 1)
+
+
+def test_training_set_distributed_parity():
+    from centrality_gpu_ray.pipelines.linkpred import linkpred_training_set
+
+    edges = _random_edges(10)
+    cfg = EngineConfig(num_partitions=3)
+    g_loc = Graph(ray.data.from_arrow(edges), mode="local", config=cfg)
+    g_dist = Graph(ray.data.from_arrow(edges).repartition(4),
+                   mode="distributed", config=cfg)
+    want = linkpred_training_set(g_loc, neg_per_pos=2, seed=1)
+    got = linkpred_training_set(g_dist, neg_per_pos=2, seed=1).to_pandas()
+    want_rows = sorted(zip(want.column("u").to_pylist(),
+                           want.column("v").to_pylist(),
+                           want.column("label").to_pylist()))
+    got_rows = sorted(zip(got["u"], got["v"], got["label"]))
+    assert got_rows == want_rows
+
+
 def test_empty_and_no_candidates():
     # a single edge: no wedges at all
     t = pa.table({"src": pa.array([1], type=pa.int64()),
