@@ -1,0 +1,292 @@
+"""Distributed skip-gram-with-negative-sampling (SGNS) node-embedding
+training — the DeepWalk/node2vec trainer (Perozzi et al. 2014
+"DeepWalk", Grover & Leskovec 2016 "node2vec", Mikolov et al. 2013
+word2vec SGNS; public methods, re-derived for the Ray engine).
+
+Closes the engine's representation-learning loop:
+``random_walks`` → ``skipgram_pairs`` → **this module** →
+``(node, embedding)`` table → ANN / k-means / SemDeDup / link
+prediction — every stage in one engine.
+
+Training is DETERMINISTIC synchronous full-batch gradient descent,
+not hogwild SGD: each iteration computes the exact global SGNS
+gradient in one streaming pass over the (materialized) pair Dataset.
+Every block emits SPARSE per-node partial-gradient rows
+``(node:int64, side:int8, g:binary[d·8])`` plus one scalar loss row;
+the driver folds them with ``np.add.at`` into the dense ``(n, d)``
+gradient (duplicate-safe — ``iter_batches`` may coalesce blocks) and
+applies one update. Result is therefore invariant to partitioning and
+engine parallelism up to float association (tested).
+
+Negative samples are STATELESS and partitioning-invariant: negative
+``j`` of pair ``(c, x)`` at iteration ``t`` is drawn from the
+unigram^0.75 noise distribution via a splitmix64 stream keyed on
+``(seed, c, x, t, j)`` — duplicate pairs share negatives, so the
+full-batch gradient is a multiset sum independent of row order.
+
+Scale envelope: the dense ``(n, d)`` model matrices live on the
+driver and broadcast once per iteration (``ray.put``) — the same
+``dense_vertex_limit``-style envelope as PageRank's dense path
+(n=10M, d=64 → 5 GB for both matrices; fine to ~10M nodes). The
+per-block partial gradients are node-keyed, so the >10M-node
+extension is owner-resident matrix chunks on the existing ShardPool
+(one node-range fold per owner instead of the driver fold) — the
+exchange shape is already what the owners consume. Pairs stream and
+spill in the object store; nothing driver-side is pair-count-sized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["sgns_train", "embedding_table", "node2vec_embeddings"]
+
+_U64 = np.uint64
+_PHI = _U64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return x ^ (x >> _U64(31))
+
+
+def _init_matrix(n: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic uniform(-0.5/dim, 0.5/dim) init (the word2vec
+    syn0 convention), derived per (seed, flat index) — identical on
+    any machine, no RandomState stream to keep in sync."""
+    idx = np.arange(n * dim, dtype=np.uint64)
+    h = _splitmix(idx * _PHI + _U64(seed * 2 + 1))
+    u = h.astype(np.float64) / float(2**64)  # [0, 1)
+    return ((u - 0.5) / dim).reshape(n, dim)
+
+
+def _noise_cdf(pairs, n_nodes: int, power: float) -> np.ndarray:
+    """Unigram^power noise CDF over CONTEXT frequencies — one
+    streaming pass, one length-n partial per block, driver max-sized
+    fold (same envelope as the model matrices)."""
+    def part(t: pa.Table) -> pa.Table:
+        c = np.bincount(t.column("context").to_numpy(),
+                        minlength=n_nodes).astype(np.int64)
+        return pa.table({"c": pa.array([c.tobytes()], type=pa.binary())})
+
+    counts = np.zeros(n_nodes, dtype=np.int64)
+    for b in pairs.select_columns(["context"]).map_batches(
+            part, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for v in b.column("c"):
+            counts += np.frombuffer(v.as_py(), dtype=np.int64)
+    w = counts.astype(np.float64) ** power
+    s = w.sum()
+    if s <= 0:
+        w = np.ones(n_nodes, dtype=np.float64)
+        s = float(n_nodes)
+    return np.cumsum(w / s)
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    # numerically-stable two-sided form (|scores| can reach ±30 late
+    # in training; naive exp overflows float64 warnings)
+    out = np.empty_like(x)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    e = np.exp(x[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
+
+
+def _draw_negatives(c: np.ndarray, x: np.ndarray, it: int, neg: int,
+                    seed: int, cdf: np.ndarray) -> np.ndarray:
+    """(m, neg) int64 — stateless splitmix stream keyed on pair
+    CONTENT (not row position), so any partitioning of the same pair
+    multiset yields the same multiset of negatives."""
+    base = _splitmix(c.astype(np.uint64) * _PHI
+                     ^ _splitmix(x.astype(np.uint64) + _U64(seed)))
+    ks = base[:, None] ^ _splitmix(
+        np.arange(neg, dtype=np.uint64)[None, :] * _PHI
+        + _U64(it * 2 + 1))
+    u = _splitmix(ks).astype(np.float64) / float(2**64)
+    return np.searchsorted(cdf, u, side="right").astype(np.int64)
+
+
+def _grad_pass(pairs, w_in_ref, w_out_ref, cdf_ref, it: int, neg: int,
+               seed: int, dim: int, batch_size: int):
+    """One full-batch gradient pass → per-block sparse partial rows."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        w_in, w_out, cdf = (ray.get(w_in_ref), ray.get(w_out_ref),
+                            ray.get(cdf_ref))
+        c = t.column("center").to_numpy()
+        x = t.column("context").to_numpy()
+        m = c.size
+        empty = pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "side": pa.array([], type=pa.int8()),
+            "g": pa.array([], type=pa.binary()),
+            "cnt": pa.array([], type=pa.float64()),
+            "loss": pa.array([], type=pa.float64())})
+        if m == 0:
+            return empty
+        wc = w_in[c]                                   # (m, d)
+        vx = w_out[x]                                  # (m, d)
+        s_pos = _sigmoid(np.einsum("ij,ij->i", wc, vx))
+        g_pos = s_pos - 1.0                            # (m,)
+        gin = g_pos[:, None] * vx                      # grad wrt wc
+        gx = g_pos[:, None] * wc                       # grad wrt vx
+        loss = -np.log(np.maximum(1.0 - s_pos, 1e-300)).sum()
+        nodes = [c, x]
+        sides = [0, 1]
+        grads = [gin, gx]
+        if neg > 0:
+            nn = _draw_negatives(c, x, it, neg, seed, cdf)  # (m, neg)
+            vn = w_out[nn]                             # (m, neg, d)
+            s_neg = _sigmoid(np.einsum("ij,ikj->ik", wc, vn))
+            gin += np.einsum("ik,ikj->ij", s_neg, vn)
+            gn = s_neg[..., None] * wc[:, None, :]     # (m, neg, d)
+            loss += -np.log(np.maximum(1.0 - s_neg, 1e-300)).sum()
+            nodes.append(nn.ravel())
+            sides.append(1)
+            grads.append(gn.reshape(m * neg, dim))
+        out_n, out_s, out_g, out_c = [], [], [], []
+        for nd, sd, gr in zip(nodes, sides, grads):
+            # in-block combine: one row per (node) per side
+            u, inv = np.unique(nd, return_inverse=True)
+            acc = np.zeros((u.size, dim))
+            np.add.at(acc, inv, gr)
+            out_n.append(u)
+            out_s.append(np.full(u.size, sd, dtype=np.int8))
+            out_g.append(acc)
+            out_c.append(np.bincount(inv, minlength=u.size)
+                         .astype(np.float64))
+        n_all = np.concatenate(out_n)
+        g_all = np.concatenate(out_g, axis=0)
+        blob = [g_all[i].tobytes() for i in range(n_all.size)]
+        ls = np.zeros(n_all.size)
+        ls[0] = loss
+        return pa.table({
+            "node": pa.array(n_all, type=pa.int64()),
+            "side": pa.array(np.concatenate(out_s), type=pa.int8()),
+            "g": pa.array(blob, type=pa.binary()),
+            "cnt": pa.array(np.concatenate(out_c), type=pa.float64()),
+            "loss": pa.array(ls, type=pa.float64())})
+
+    fn.__name__ = f"sgns_grad_it{it}"
+    return pairs.map_batches(fn, batch_format="pyarrow",
+                             batch_size=batch_size)
+
+
+def sgns_train(pairs, n_nodes: int, dim: int = 32, neg: int = 5,
+               iters: int = 10, lr: float = 0.5, seed: int = 1,
+               noise_power: float = 0.75,
+               batch_size: int = 16384) -> dict:
+    """Train SGNS embeddings over a ``(center, context)`` pair Dataset
+    (the ``skipgram_pairs`` output) → ``{"w_in", "w_out", "loss",
+    "n_pairs"}``. ``w_in`` is the embedding users consume.
+
+    Full-batch gradient descent with linear lr decay (word2vec's
+    schedule applied per-iteration): ``lr_t = lr · (1 − t/iters)``,
+    floored at ``0.1·lr``. Each node's update is its PER-NODE MEAN
+    gradient (its gradient sum divided by its own contribution count)
+    — block-diagonal preconditioning that makes one full-batch
+    iteration move every node like one averaged SGD epoch, so ``lr``
+    is corpus-size-free and rare nodes are not frozen by a global
+    1/n_pairs scale.
+    """
+    import ray
+
+    if isinstance(pairs, pa.Table):
+        import ray.data as rd
+        pairs = rd.from_arrow(pairs)
+    # consumed once per iteration + once for the noise pass —
+    # materialize or the walk/explode lineage re-executes every time
+    pairs = pairs.select_columns(["center", "context"]).materialize()
+    n_pairs = pairs.count()
+    w_in = _init_matrix(n_nodes, dim, seed)
+    w_out = np.zeros((n_nodes, dim))  # word2vec syn1neg convention
+    losses = []
+    if n_pairs == 0:
+        return {"w_in": w_in, "w_out": w_out, "loss": losses,
+                "n_pairs": 0}
+    cdf_ref = ray.put(_noise_cdf(pairs, n_nodes, noise_power))
+    for it in range(iters):
+        w_in_ref, w_out_ref = ray.put(w_in), ray.put(w_out)
+        g_in = np.zeros((n_nodes, dim))
+        g_out = np.zeros((n_nodes, dim))
+        c_in = np.zeros(n_nodes)
+        c_out = np.zeros(n_nodes)
+        loss = 0.0
+        parts = _grad_pass(pairs, w_in_ref, w_out_ref, cdf_ref, it,
+                           neg, seed, dim, batch_size)
+        for b in parts.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
+            nd = b.column("node").to_numpy()
+            sd = b.column("side").to_numpy()
+            cn = b.column("cnt").to_numpy()
+            loss += float(b.column("loss").to_numpy().sum())
+            gs = b.column("g")
+            blob = b"".join(v.as_py() for v in gs)
+            arr = np.frombuffer(blob, dtype=np.float64).reshape(
+                nd.size, dim)
+            m0 = sd == 0
+            # np.add.at: iter_batches may coalesce blocks → duplicate
+            # node rows within one batch; fancy += would drop them
+            np.add.at(g_in, nd[m0], arr[m0])
+            np.add.at(g_out, nd[~m0], arr[~m0])
+            np.add.at(c_in, nd[m0], cn[m0])
+            np.add.at(c_out, nd[~m0], cn[~m0])
+        lr_t = max(lr * (1.0 - it / max(iters, 1)), 0.1 * lr)
+        w_in = w_in - lr_t * g_in / np.maximum(c_in, 1.0)[:, None]
+        w_out = w_out - lr_t * g_out / np.maximum(c_out, 1.0)[:, None]
+        losses.append(loss / n_pairs)
+    return {"w_in": w_in, "w_out": w_out, "loss": losses,
+            "n_pairs": n_pairs}
+
+
+def embedding_table(w: np.ndarray, node_ids: np.ndarray | None = None,
+                    id_col: str = "node",
+                    emb_col: str = "embedding") -> pa.Table:
+    """Dense ``(n, d)`` matrix → ``(node, embedding:list<float64>)``
+    Arrow table in the layout ``functions/similarity.py`` /
+    ``clustering.py`` / ``dedup.semantic_dedup`` consume. ``node_ids``
+    maps dense row ids back to original vertex ids (``Graph.node_ids``)."""
+    n, d = w.shape
+    ids = (np.arange(n, dtype=np.int64) if node_ids is None
+           else np.asarray(node_ids, dtype=np.int64))
+    flat = pa.array(w.ravel(), type=pa.float64())
+    off = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                   type=pa.int32())
+    return pa.table({id_col: pa.array(ids, type=pa.int64()),
+                     emb_col: pa.ListArray.from_arrays(off, flat)})
+
+
+def node2vec_embeddings(graph, dim: int = 32, walk_length: int = 20,
+                        walks_per_node: int = 2, window: int = 4,
+                        neg: int = 5, iters: int = 30, lr: float = 1.0,
+                        seed: int = 1) -> pa.Table:
+    """The whole loop in one call: walks → skip-gram pairs → SGNS →
+    ``(node, embedding)`` table keyed by ORIGINAL vertex ids.
+    DeepWalk semantics (uniform walks; node2vec's p/q biasing reduces
+    to this at p=q=1)."""
+    from centrality_gpu_ray.pipelines.walks import (random_walks,
+                                                    skipgram_pairs)
+
+    walks = random_walks(graph, walk_length=walk_length,
+                         walks_per_node=walks_per_node, seed=seed)
+    pairs = skipgram_pairs(walks, window=window)
+    fit = sgns_train(pairs, graph.num_vertices, dim=dim, neg=neg,
+                     iters=iters, lr=lr, seed=seed)
+    node_ids = getattr(graph, "node_ids", None)
+    if node_ids is None:
+        # sharded graphs (> dense_vertex_limit) keep ids in the
+        # VertexDict; the dense (n, d) model matrices would not fit
+        # the driver there anyway — the documented extension is
+        # owner-resident matrix chunks (module docstring), not a
+        # silent driver materialization
+        raise ValueError(
+            "node2vec_embeddings: dense path only (graph is sharded); "
+            "see module docstring for the owner-resident extension")
+    return embedding_table(fit["w_in"], np.asarray(node_ids))
