@@ -258,7 +258,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bcc_labels": gq.lineitem_bcc_labels,
         # relational operator surface
         "q1_pricing": rel.q1_pricing_summary,
-        "revenue_by_mktsegment": rel.revenue_by_mktsegment,
+        # swapped in (round 4) for revenue_by_mktsegment: that row's
+        # operator surface (lookup join + groupby-agg) is a strict
+        # subset of three kept green rows (revenue_by_nation,
+        # supplier_nation_join, q1_pricing) and the function keeps a
+        # DuckDB pytest (test_relational_extra.py); HITS is a NEW
+        # operator family — directed link analysis via the bipartite
+        # double cover (pipelines/hits.py)
+        "graph_hits_fixed": gq.customer_supplier_hits_fixed,
         "revenue_by_nation": rel.revenue_by_nation,
         # swapped in (round 3) for top_parts_by_quantity: top-k ordering
         # stays hash-checked via graph_top_degree, and the PII scrub is
@@ -489,6 +496,48 @@ def _eigen_fixed_oracle_sql(supersteps: int = 12,
     parts.append(f"""
         SELECT node, CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT) AS ev_nano
         FROM x{supersteps}""")
+    return "".join(parts)
+
+
+def _hits_fixed_oracle_sql(supersteps: int = 12) -> str:
+    """HITS via the bipartite double cover, mirrored literally: every
+    directed customer→supplier purchase edge becomes the undirected
+    edge (2·cust, 2·supp+1); power iteration (uniform init, joint L1
+    normalization) for exactly ``supersteps`` rounds; final per-side
+    (parity) L1 normalization; nano-unit output.  This is the exact
+    recurrence ``pipelines/hits.py`` runs (see its docstring for the
+    per-side-vs-joint normalization equivalence), so a hash match
+    checks the full lookup-join → double-cover → gather → normalize
+    chain."""
+    parts = ["""
+        WITH de AS MATERIALIZED (
+            SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS a,
+                            CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS b
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        se AS MATERIALIZED (SELECT a, b FROM de
+                 UNION ALL SELECT b, a FROM de),
+        nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM se),
+        nv AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        h0 AS MATERIALIZED (
+            SELECT node, 1.0 / (SELECT n FROM nv) AS x FROM nodes)"""]
+    for i in range(supersteps):
+        parts.append(f""",
+        g{i} AS MATERIALIZED (
+            SELECT se.b AS node, SUM(l.x) AS gx
+            FROM se JOIN h{i} l ON l.node = se.a GROUP BY se.b),
+        t{i} AS MATERIALIZED (SELECT SUM(gx) AS s FROM g{i}),
+        h{i + 1} AS MATERIALIZED (
+            SELECT n.node, COALESCE(g.gx, 0.0) / (SELECT s FROM t{i}) AS x
+            FROM nodes n LEFT JOIN g{i} g USING (node))""")
+    parts.append(f""",
+        sides AS (SELECT node, x, node % 2 AS par FROM h{supersteps}),
+        ssum AS (SELECT par, SUM(x) AS s FROM sides GROUP BY par)
+        SELECT CAST(sides.node // 2 AS BIGINT) AS node,
+               CASE WHEN sides.par = 0 THEN 'hub' ELSE 'auth' END AS side,
+               CAST(FLOOR(sides.x / ssum.s * 1000000000 + 0.5) AS BIGINT)
+                   AS hits_nano
+        FROM sides JOIN ssum USING (par)""")
     return "".join(parts)
 
 
@@ -1434,13 +1483,7 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_pct,
                    CAST(COUNT(*) AS BIGINT) AS count_order
             FROM lineitem GROUP BY 1, 2""",
-        "revenue_by_mktsegment": """
-            SELECT c_mktsegment,
-                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-                       AS total_revenue_c,
-                   CAST(COUNT(*) AS BIGINT) AS num_orders
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY 1""",
+        "graph_hits_fixed": _hits_fixed_oracle_sql(),
         "revenue_by_nation": """
             SELECT n_name,
                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))

@@ -220,6 +220,42 @@ def lineitem_eigenvector_fixed(sf_dir: str, supersteps: int = 12,
     })
 
 
+def customer_supplier_hits_fixed(sf_dir: str, supersteps: int = 12):
+    """HITS hubs/authorities over the DIRECTED customer→supplier
+    purchase graph (orders ⋈ lineitem on the order key — the one
+    genuinely directed relation in the star schema; hub = customer
+    buying from many well-sold suppliers, authority = supplier selling
+    to many broad-basket customers).
+
+    The SF-scaled orders dimension reaches lineitem through the
+    hash-partitioned lookup join (never broadcast/collected); the HITS
+    recurrence itself runs as power iteration on the bipartite double
+    cover (``pipelines/hits.py``), reusing the eigenvector superstep
+    machinery unchanged.  Integer nano-units — SQL-checkable."""
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.hits import hits_fixed
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    joined = hash_lookup_join(li, orders, row_key="l_orderkey",
+                              dict_key="o_orderkey",
+                              attach={"o_custkey": "cust"},
+                              num_partitions=16)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t.column("cust").cast(pa.int64()),
+            "dst": t.column("l_suppkey").cast(pa.int64()),
+        })
+
+    edges = joined.map_batches(to_edges, batch_format="pyarrow")
+    return hits_fixed(edges, supersteps=supersteps)
+
+
 def lineitem_katz_fixed(sf_dir: str, supersteps: int = 8,
                         alpha: float = 1e-4, beta: float = 1.0):
     """Katz centrality for exactly ``supersteps`` rounds, integer
