@@ -124,6 +124,15 @@ class Graph:
             self._pool = ShardPool(self.edges)
         return self._pool
 
+    def canonical_edges(self):
+        """The materialized canonical edge Dataset in ORIGINAL node ids
+        — one (src, dst, weight) row per undirected edge, src < dst, no
+        self-loops/dups.  The original-id complement of ``self.edges``
+        (dense ids); consumed by partition-scoring operators
+        (``pipelines/community.py``) that join against original-id
+        label tables."""
+        return self._canon_ds
+
     # -- local fast path -------------------------------------------------
     def local_arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(s, d, w) canonical dense-id edge arrays on the driver."""
