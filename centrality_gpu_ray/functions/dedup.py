@@ -173,6 +173,51 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                           num_partitions=num_partitions)
 
 
+def exact_dedup_best(ds, score_col: str, text_col: str = "text",
+                     id_col: str = "doc_id", num_partitions: int = 16):
+    """Quality-aware exact dedup: keep the HIGHEST-``score_col`` row
+    per distinct text (ties → min id) — the curation-funnel variant of
+    :func:`exact_dedup` (when several sources carry the same document,
+    keep the best-scored copy, e.g. the ``quality_scores`` output, not
+    the accidental min-id one).
+
+    Same scale shape as ``exact_dedup``: rows shuffle once on the
+    64-bit content hash (never the raw text), the per-group argmax
+    happens inside the reduce (one lexsort + boundary mask per
+    partition, ``stages/shuffle.py::hash_partition_apply``), and the
+    survivors return via a co-partitioned semi-join. NaN scores lose
+    to any real score; an all-NaN group falls back to min id."""
+    from centrality_gpu_ray.stages.shuffle import (hash_partition_apply,
+                                                   hash_semi_join)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        base = _content_hashes(t, text_col, id_col)
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return base.append_column(
+            "_s", pa.array(np.where(np.isnan(s), -np.inf, s)))
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.select([id_col])
+        h = tbl.column("_h").to_numpy()
+        ids = tbl.column(id_col).to_numpy()
+        s = tbl.column("_s").to_numpy()
+        # per _h group: max score, then min id (lexsort: least
+        # significant key first)
+        order = np.lexsort((ids, -s, h))
+        hs = h[order]
+        first = np.ones(hs.size, dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return tbl.select([id_col]).take(pa.array(order[first]))
+
+    winners = hash_partition_apply(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        keys=["_h"], reduce_fn=pick, num_partitions=num_partitions)
+    return hash_semi_join(ds, winners, on=id_col,
+                          num_partitions=num_partitions)
+
+
 def exact_dedup_incremental(ds, state_dir: str, text_col: str = "text",
                             id_col: str = "doc_id",
                             num_partitions: int = 16):

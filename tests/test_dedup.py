@@ -436,3 +436,67 @@ def test_exact_dedup_incremental_crash_safe(tmp_path):
                                      num_partitions=4)
     assert s2.to_pandas()["doc_id"].tolist() == [4]
     assert d2.endswith("run=8")
+
+
+# ---------------------------------------------------------------------------
+# quality-aware exact dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_best_matches_duckdb_window(ray_session):
+    """Best-score winner per distinct text == SQL ROW_NUMBER oracle."""
+    import duckdb
+
+    from centrality_gpu_ray.functions.dedup import exact_dedup_best
+
+    rng = np.random.default_rng(17)
+    texts = [f"doc body variant {i % 7}" for i in range(40)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(200, 240), type=pa.int64()),
+        "text": pa.array(texts),
+        "quality": pa.array(np.round(rng.random(40), 3)),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = sorted(exact_dedup_best(ds, score_col="quality")
+                 .to_pandas()["doc_id"].tolist())
+    con = duckdb.connect()
+    con.register("docs", tbl.to_pandas())
+    want = sorted(con.sql("""
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY text
+                ORDER BY quality DESC, doc_id) AS rn
+            FROM docs) WHERE rn = 1""").df()["doc_id"].tolist())
+    assert got == want
+    assert len(got) == 7
+
+
+def test_exact_dedup_best_ties_and_nan(ray_session):
+    from centrality_gpu_ray.functions.dedup import exact_dedup_best
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "text": pa.array(["a", "a", "a", "b", "b", "c"]),
+        "quality": pa.array([0.5, 0.9, 0.9, float("nan"), 0.1,
+                             float("nan")]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = sorted(exact_dedup_best(ds, score_col="quality")
+                 .to_pandas()["doc_id"].tolist())
+    # "a": 0.9 tie -> min id 2; "b": NaN loses to 0.1 -> id 5;
+    # "c": all-NaN group -> min id 6
+    assert got == [2, 5, 6]
+
+
+def test_exact_dedup_best_schema_preserved(ray_session):
+    from centrality_gpu_ray.functions.dedup import exact_dedup_best
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["x", "x"]),
+        "quality": pa.array([0.1, 0.7]),
+        "lang": pa.array(["en", "de"]),
+    })
+    out = exact_dedup_best(ray.data.from_arrow(tbl),
+                           score_col="quality").to_pandas()
+    assert list(out.columns) == ["doc_id", "text", "quality", "lang"]
+    assert out.doc_id.tolist() == [2] and out.lang.tolist() == ["de"]
