@@ -289,6 +289,62 @@ def run_bench() -> dict:
                                      num_partitions=max(
                                          2, num_cpus // 2)).count())
 
+    # SGNS node embeddings over short walks (dense-id remap via the
+    # graph's node_ids table, broadcast once — 1.3 MB at sf0.1)
+    from centrality_gpu_ray.pipelines.embeddings import sgns_train
+    from centrality_gpu_ray.pipelines.walks import random_walks as _rw
+
+    def _sgns():
+        ids = g.node_ids
+
+        def to_dense(t):
+            import numpy as _np3
+            import pyarrow as _pa3
+            c = _np3.searchsorted(ids, t.column("center").to_numpy())
+            x = _np3.searchsorted(ids, t.column("context").to_numpy())
+            return _pa3.table({"center": _pa3.array(c.astype(_np3.int64)),
+                               "context": _pa3.array(x.astype(_np3.int64))})
+
+        pairs = skipgram_pairs(_rw(g, walk_length=5), window=3)
+        import ray.data as _rd
+        if not isinstance(pairs, _rd.Dataset):
+            pairs = _rd.from_arrow(pairs)
+        pairs = pairs.map_batches(to_dense, batch_format="pyarrow")
+        fit = sgns_train(pairs, g.num_vertices, dim=8, neg=2, iters=2)
+        return fit["n_pairs"]
+
+    timed("sgns_train_2it", _sgns)
+
+    # directed HITS via the bipartite double cover (lookup join +
+    # 12 eigenvector supersteps on the cover)
+    from centrality_gpu_ray.graph_queries import customer_supplier_hits_fixed
+    timed("hits_customer_supplier",
+          lambda: customer_supplier_hits_fixed(sf_dir).num_rows)
+
+    # hashed TF-IDF vectors (text→vector bridge): DF fold + vector emit
+    from centrality_gpu_ray.functions.vectorize import hashed_tfidf
+    timed("tfidf_vectors_256", lambda: hashed_tfidf(docs_ds,
+                                                    dim=256).count())
+
+    # label propagation (per-superstep mode exchange) and modularity
+    # scoring of its partition — separate rows so the partition-quality
+    # operator's cost (3 shuffles) is not buried under labelprop's
+    # 20-superstep mode computation
+    from centrality_gpu_ray.pipelines.community import (community_stats,
+                                                        modularity_score)
+    from centrality_gpu_ray.pipelines.labelprop import label_propagation
+
+    lp_out = {}
+
+    def _labelprop():
+        lp_out["labels"] = label_propagation(g)
+        return lp_out["labels"].num_rows
+
+    timed("labelprop", _labelprop)
+    timed("modularity_stats",
+          lambda: modularity_score(community_stats(
+              g.canonical_edges(), lp_out["labels"]))["q_micro"])
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
