@@ -266,19 +266,16 @@ def embedding_table(w: np.ndarray, node_ids: np.ndarray | None = None,
 def node2vec_embeddings(graph, dim: int = 32, walk_length: int = 20,
                         walks_per_node: int = 2, window: int = 4,
                         neg: int = 5, iters: int = 30, lr: float = 1.0,
-                        seed: int = 1) -> pa.Table:
+                        seed: int = 1, p: float = 1.0,
+                        q: float = 1.0) -> pa.Table:
     """The whole loop in one call: walks → skip-gram pairs → SGNS →
     ``(node, embedding)`` table keyed by ORIGINAL vertex ids.
-    DeepWalk semantics (uniform walks; node2vec's p/q biasing reduces
-    to this at p=q=1)."""
+    ``p == q == 1`` (default) is DeepWalk; other values run node2vec's
+    exact second-order rejection-sampled walks
+    (``pipelines/walks.py``)."""
     from centrality_gpu_ray.pipelines.walks import (random_walks,
                                                     skipgram_pairs)
 
-    walks = random_walks(graph, walk_length=walk_length,
-                         walks_per_node=walks_per_node, seed=seed)
-    pairs = skipgram_pairs(walks, window=window)
-    fit = sgns_train(pairs, graph.num_vertices, dim=dim, neg=neg,
-                     iters=iters, lr=lr, seed=seed)
     node_ids = getattr(graph, "node_ids", None)
     if node_ids is None:
         # sharded graphs (> dense_vertex_limit) keep ids in the
@@ -289,4 +286,23 @@ def node2vec_embeddings(graph, dim: int = 32, walk_length: int = 20,
         raise ValueError(
             "node2vec_embeddings: dense path only (graph is sharded); "
             "see module docstring for the owner-resident extension")
-    return embedding_table(fit["w_in"], np.asarray(node_ids))
+    ids = np.asarray(node_ids, dtype=np.int64)
+    walks = random_walks(graph, walk_length=walk_length,
+                         walks_per_node=walks_per_node, seed=seed,
+                         p=p, q=q)
+    pairs = skipgram_pairs(walks, window=window)
+
+    # walks carry ORIGINAL vertex ids; SGNS trains over dense rows
+    def to_dense(t: pa.Table) -> pa.Table:
+        c = np.searchsorted(ids, t.column("center").to_numpy())
+        x = np.searchsorted(ids, t.column("context").to_numpy())
+        return pa.table({"center": pa.array(c.astype(np.int64)),
+                         "context": pa.array(x.astype(np.int64))})
+
+    if isinstance(pairs, pa.Table):
+        pairs = to_dense(pairs)
+    else:
+        pairs = pairs.map_batches(to_dense, batch_format="pyarrow")
+    fit = sgns_train(pairs, graph.num_vertices, dim=dim, neg=neg,
+                     iters=iters, lr=lr, seed=seed)
+    return embedding_table(fit["w_in"], ids)

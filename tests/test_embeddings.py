@@ -157,3 +157,32 @@ def test_sharded_graph_rejected(ray_session):
               config=EngineConfig(dense_vertex_limit=1))
     with pytest.raises(ValueError, match="dense path only"):
         node2vec_embeddings(g, dim=4, iters=1)
+
+
+def test_node2vec_embeddings_nondense_ids_and_pq(ray_session):
+    """Original ids that are NOT 0..n-1 must remap through node_ids
+    (latent round-4 fix), and p/q must change the walk corpus."""
+    from centrality_gpu_ray.pipelines.graph import Graph
+
+    edges = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    edges.append((4, 5))
+    t = pa.table({
+        "src": pa.array([e[0] * 7 + 100 for e in edges], type=pa.int64()),
+        "dst": pa.array([e[1] * 7 + 100 for e in edges], type=pa.int64())})
+    g = Graph(rd.from_arrow(t))
+    emb = node2vec_embeddings(g, dim=4, walk_length=6, walks_per_node=2,
+                              window=2, neg=2, iters=3, seed=4)
+    nodes = np.sort(emb.column("node").to_numpy())
+    assert nodes.tolist() == [i * 7 + 100 for i in range(10)]
+    emb_pq = node2vec_embeddings(g, dim=4, walk_length=6,
+                                 walks_per_node=2, window=2, neg=2,
+                                 iters=3, seed=4, p=0.25, q=4.0)
+    a = np.vstack([np.asarray(v) for v in
+                   emb.column("embedding").to_pylist()])
+    b = np.vstack([np.asarray(v) for v in
+                   emb_pq.column("embedding").to_pylist()])
+    assert not np.allclose(a, b)

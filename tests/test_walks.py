@@ -217,3 +217,180 @@ def test_empty_graph_walks():
     out = random_walks(g, walk_length=3)
     assert out.num_rows == 0
     assert out.schema.names == ["walk_id", "start", "nodes"]
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order (p/q) walks
+# ---------------------------------------------------------------------------
+
+def _naive_node2vec(edges: pa.Table, walk_length: int, wpn: int,
+                    seed: int, weighted: bool, p: float,
+                    q: float) -> dict[int, list[int]]:
+    """Per-walk Python reimplementation of the rejection protocol
+    (same (walk_id, step, round) streams, scalar control flow) — the
+    independent check on the vectorized/distributed implementations."""
+    from centrality_gpu_ray.pipelines.walks import _accept_u, _choice_r2
+
+    src = edges.column("src").to_numpy()
+    dst = edges.column("dst").to_numpy()
+    w = (edges.column("weight").to_numpy() if weighted
+         else np.ones(src.size, dtype=np.int64))
+    ids = np.unique(np.concatenate([src, dst]))
+    dense = {int(v): i for i, v in enumerate(ids)}
+    adj: dict[int, list[tuple[int, int]]] = {i: [] for i in range(ids.size)}
+    eset = set()
+    for a, b, ww in zip(src, dst, w):
+        da, db = dense[int(a)], dense[int(b)]
+        adj[da].append((db, int(ww)))
+        adj[db].append((da, int(ww)))
+        eset.add((da, db))
+        eset.add((db, da))
+    for v in adj:
+        adj[v].sort()
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    M = max(inv_p, 1.0, inv_q)
+
+    def pick(cur: int, r: int) -> int:
+        nbrs = adj[cur]
+        if weighted:
+            tot = sum(ww for _, ww in nbrs)
+            t = r % tot
+            acc = 0
+            for nb, ww in nbrs:
+                acc += ww
+                if t < acc:
+                    return nb
+        return nbrs[r % len(nbrs)][0]
+
+    walks = {}
+    for v in range(ids.size):
+        for k in range(wpn):
+            wid = v * wpn + k
+            prev, cur, path = v, v, [int(ids[v])]
+            for t in range(1, walk_length + 1):
+                if t == 1:
+                    from centrality_gpu_ray.pipelines.walks import _choice_r
+                    nxt = pick(cur, int(_choice_r(np.array([wid]), t,
+                                                  seed)[0]))
+                else:
+                    nxt = None
+                    for rnd in range(64):
+                        r1 = _choice_r2(np.array([wid]), t, rnd, seed)
+                        cand = pick(cur, int(r1[0]))
+                        if cand == prev:
+                            bias = inv_p
+                        elif (prev, cand) in eset:
+                            bias = 1.0
+                        else:
+                            bias = inv_q
+                        if float(_accept_u(r1)[0]) * M < bias:
+                            nxt = cand
+                            break
+                    assert nxt is not None
+                prev, cur = cur, nxt
+                path.append(int(ids[cur]))
+            walks[wid] = path
+    return walks
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_node2vec_local_matches_naive(weighted):
+    edges = _random_edges(21, weights=weighted)
+    g = Graph(ray.data.from_arrow(edges), mode="local")
+    got = _as_dict(random_walks(g, walk_length=6, walks_per_node=2,
+                                seed=13, weighted=weighted, p=0.5, q=2.0))
+    want = _naive_node2vec(edges, 6, 2, 13, weighted, 0.5, 2.0)
+    assert got == want
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_node2vec_distributed_matches_local(weighted):
+    edges = _random_edges(22, weights=weighted)
+    cfg = EngineConfig(num_partitions=3)
+    g_loc = Graph(ray.data.from_arrow(edges), mode="local", config=cfg)
+    g_dist = Graph(ray.data.from_arrow(edges).repartition(4),
+                   mode="distributed", config=cfg)
+    kw = dict(walk_length=5, walks_per_node=2, seed=5,
+              weighted=weighted, p=0.25, q=4.0)
+    assert _as_dict(random_walks(g_dist, **kw)) \
+        == _as_dict(random_walks(g_loc, **kw))
+
+
+def test_node2vec_sharded_matches_local():
+    edges = _random_edges(23)
+    cfg = EngineConfig(num_partitions=3, dense_vertex_limit=5)
+    g_sh = Graph(ray.data.from_arrow(edges).repartition(2), config=cfg)
+    assert g_sh.sharded
+    g_loc = Graph(ray.data.from_arrow(edges), mode="local")
+    kw = dict(walk_length=4, seed=9, p=2.0, q=0.5)
+    assert _as_dict(random_walks(g_sh, **kw)) \
+        == _as_dict(random_walks(g_loc, **kw))
+
+
+def test_node2vec_low_p_returns():
+    """p ≪ 1 → strong return bias: on a path graph the walk oscillates
+    (interior candidate set = {prev (bias 1/p), other (bias 1/q=1)})."""
+    n = 12
+    edges = pa.table({
+        "src": pa.array(np.arange(n - 1, dtype=np.int64)),
+        "dst": pa.array(np.arange(1, n, dtype=np.int64))})
+    g = Graph(ray.data.from_arrow(edges), mode="local")
+    out = _as_dict(random_walks(g, walk_length=30, walks_per_node=8,
+                                seed=2, p=0.01, q=1.0))
+    returns = total = 0
+    for path in out.values():
+        for i in range(2, len(path)):
+            if 0 < path[i - 1] < n - 1:  # interior: return possible
+                total += 1
+                returns += path[i] == path[i - 2]
+    assert total > 500
+    assert returns / total > 0.9
+
+
+def test_node2vec_empirical_matches_analytic():
+    """Aggregate (u, v, x) transition frequencies over many walks match
+    the analytic node2vec conditional w(v,x)·bias(u,x)/Z within 5σ."""
+    edges = _random_edges(24, n=12, m=40)
+    g = Graph(ray.data.from_arrow(edges), mode="local")
+    p_, q_ = 0.5, 2.0
+    out = _as_dict(random_walks(g, walk_length=40, walks_per_node=60,
+                                seed=31, p=p_, q=q_))
+    nbrs: dict[int, list[int]] = {}
+    eset = set()
+    for a, b in zip(edges.column("src").to_pylist(),
+                    edges.column("dst").to_pylist()):
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+        eset.add((a, b))
+        eset.add((b, a))
+    counts: dict[tuple[int, int], dict[int, int]] = {}
+    for path in out.values():
+        for i in range(2, len(path)):
+            u, v, x = path[i - 2], path[i - 1], path[i]
+            counts.setdefault((u, v), {}).setdefault(x, 0)
+            counts[(u, v)][x] += 1
+    checked = 0
+    for (u, v), cx in counts.items():
+        tot = sum(cx.values())
+        if tot < 400:
+            continue
+        bias = {x: (1 / p_ if x == u else (1.0 if (u, x) in eset
+                                           else 1 / q_))
+                for x in nbrs[v]}
+        z = sum(bias.values())
+        for x in nbrs[v]:
+            want = bias[x] / z
+            se = (want * (1 - want) / tot) ** 0.5
+            assert abs(cx.get(x, 0) / tot - want) <= 5 * se + 1e-9, \
+                (u, v, x)
+            checked += 1
+    assert checked >= 10
+
+
+def test_node2vec_validation():
+    edges = _random_edges(25)
+    g = Graph(ray.data.from_arrow(edges), mode="local")
+    with pytest.raises(ValueError):
+        random_walks(g, walk_length=3, p=0.0)
+    with pytest.raises(ValueError):
+        random_walks(g, walk_length=3, q=-1.0)
