@@ -326,6 +326,11 @@ def run_bench() -> dict:
     timed("tfidf_vectors_256", lambda: hashed_tfidf(docs_ds,
                                                     dim=256).count())
 
+    # maximal independent set (greedy-by-permutation rounds, two
+    # min-gathers per round)
+    from centrality_gpu_ray.pipelines.mis import maximal_independent_set
+    timed("mis", lambda: maximal_independent_set(g, seed=0).num_rows)
+
     # label propagation (per-superstep mode exchange) and modularity
     # scoring of its partition — separate rows so the partition-quality
     # operator's cost (3 shuffles) is not buried under labelprop's

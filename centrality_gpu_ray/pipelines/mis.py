@@ -1,0 +1,228 @@
+"""Maximal independent set — greedy-by-random-permutation (Luby-style)
+superstep rounds.
+
+The classic symmetry-breaking primitive the reference engine lacks
+(its kernels are all centrality-shaped): every undecided vertex whose
+priority beats all its undecided neighbors' joins the MIS; its
+neighbors drop out; repeat.  With a random permutation as the
+priority this is the parallel greedy MIS — O(log n) rounds with high
+probability — and because the permutation is FIXED (derived from the
+original vertex ids + seed, then densely ranked), the output is a
+pure function of (graph, seed): identical across modes, partitionings
+and engines, so a chained-rounds SQL oracle can replay it exactly.
+
+Per round, two min-gathers over the edge set (the SSSP/PageRank
+message shape — map-side combined per block, ``exchange.py``):
+
+1. ``minnbr[v] = min(pri[u] : u ~ v, u undecided)`` → winners
+   (``pri[v] < minnbr[v]``; no undecided neighbor → wins).
+2. ``any winner neighbor?`` (min over a winner indicator) → exclusions.
+
+Each round decides at least the globally-min-priority undecided
+vertex, so termination is unconditional; ``max_supersteps`` is a loud
+cap only.
+
+Dense-path operator (priorities + status are driver vectors,
+broadcast per round — the same ≤``dense_vertex_limit`` envelope as
+dense PageRank; the sharded extension is owner-resident status with a
+``mis_step``, not built).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.functions.sketch import _splitmix
+from centrality_gpu_ray.pipelines.exchange import aggregate_messages
+from centrality_gpu_ray.pipelines.graph import Graph
+
+_INF = np.float64(np.inf)
+
+
+def mis_priorities(node_ids: np.ndarray, seed: int) -> np.ndarray:
+    """Unique int64 priority per vertex: rank of
+    ``(splitmix64(original_id ^ seed), original_id)`` — a deterministic
+    random permutation with id tie-breaks, reproducible by any engine
+    that can sort."""
+    h = _splitmix(node_ids.astype(np.int64).view(np.uint64)
+                  ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    order = np.lexsort((node_ids, h))
+    pri = np.empty(node_ids.size, dtype=np.int64)
+    pri[order] = np.arange(node_ids.size, dtype=np.int64)
+    return pri
+
+
+class _MaskedMinMsgs:
+    """(v, pri[u]) messages over edges whose SOURCE endpoint u is in
+    the given mask — min-combined per block before the exchange."""
+
+    def __init__(self, state_ref):
+        self._ref = state_ref
+        self._state = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._state is None:
+            self._state = ray.get(self._ref)
+        mask, val = self._state
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        keep_s, keep_d = mask[s], mask[d]
+        v = np.concatenate([d[keep_s], s[keep_d]])
+        c = np.concatenate([val[s[keep_s]], val[d[keep_d]]])
+        if v.size == 0:
+            return pa.table({"v": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.float64())})
+        order = np.lexsort((c, v))
+        v_s, c_s = v[order], c[order]
+        first = np.ones(v_s.size, dtype=bool)
+        first[1:] = v_s[1:] != v_s[:-1]
+        return pa.table({"v": pa.array(v_s[first]),
+                         "c": pa.array(c_s[first])})
+
+
+def _array_min_gather(s: np.ndarray, d: np.ndarray, n: int,
+                      mask: np.ndarray, val: np.ndarray) -> np.ndarray:
+    out = np.full(n, _INF, dtype=np.float64)
+    ks, kd = mask[s], mask[d]
+    np.minimum.at(out, d[ks], val[s[ks]])
+    np.minimum.at(out, s[kd], val[d[kd]])
+    return out
+
+
+def _masked_min_gather(graph: Graph, cfg: EngineConfig, mask: np.ndarray,
+                       val: np.ndarray) -> np.ndarray:
+    """minnbr[v] = min(val[u] : u ~ v, mask[u]); +inf where none."""
+    import ray
+
+    n = graph.num_vertices
+    if graph.mode == "local":
+        s, d, _w = graph.local_arrays()
+        return _array_min_gather(s, d, n, mask, val)
+    out = np.full(n, _INF, dtype=np.float64)
+    state_ref = ray.put((mask, val))
+    msgs = graph.edges.map_batches(_MaskedMinMsgs(state_ref),
+                                   batch_format="pyarrow",
+                                   batch_size=cfg.batch_size)
+    msgs = aggregate_messages(msgs, agg="min",
+                              salt_buckets=cfg.salt_buckets)
+    for b in msgs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        np.minimum.at(out, b.column("v").to_numpy(),
+                      b.column("c").to_numpy())
+    return out
+
+
+# tail-round optimization: the permutation decides most vertices in the
+# first round or two, after which every distributed round would still
+# stream the WHOLE edge set for a tiny undecided residue.  Since the
+# parallel rounds are a pure function of the undecided-INDUCED
+# subgraph, collecting that subgraph once it is small and continuing
+# the identical round loop in numpy yields bit-identical output
+# (parity-tested) at driver-array cost.
+_LOCAL_FINISH_EDGES = 4_000_000
+
+
+def _induced_edge_count(graph: Graph, cfg: EngineConfig,
+                        und: np.ndarray) -> int:
+    import ray
+
+    und_ref = ray.put(und)
+
+    def cnt(t: pa.Table, _ref=und_ref) -> pa.Table:
+        m = ray.get(_ref)
+        s = t.column("s").to_numpy()
+        d = t.column("d").to_numpy()
+        return pa.table({"c": pa.array(
+            [int((m[s] & m[d]).sum())], type=pa.int64())})
+
+    total = 0
+    for b in graph.edges.map_batches(
+            cnt, batch_format="pyarrow",
+            batch_size=cfg.batch_size).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        total += int(b.column("c").to_numpy().sum())
+    return total
+
+
+def _collect_induced(graph: Graph, cfg: EngineConfig,
+                     und: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    import ray
+
+    und_ref = ray.put(und)
+
+    def pick(t: pa.Table, _ref=und_ref) -> pa.Table:
+        m = ray.get(_ref)
+        s = t.column("s").to_numpy()
+        d = t.column("d").to_numpy()
+        keep = m[s] & m[d]
+        return pa.table({"s": pa.array(s[keep]), "d": pa.array(d[keep])})
+
+    ss, dd = [], []
+    for b in graph.edges.map_batches(
+            pick, batch_format="pyarrow",
+            batch_size=cfg.batch_size).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        ss.append(b.column("s").to_numpy())
+        dd.append(b.column("d").to_numpy())
+    return (np.concatenate(ss) if ss else np.empty(0, np.int64),
+            np.concatenate(dd) if dd else np.empty(0, np.int64))
+
+
+def maximal_independent_set(graph: Graph, seed: int = 0,
+                            config: EngineConfig | None = None,
+                            metrics: dict | None = None) -> pa.Table:
+    """Returns ``(node, in_mis, mis_round)`` — ``mis_round`` is the
+    1-based round the vertex was decided (joined the MIS or was
+    excluded by a neighbor joining).  Original node ids."""
+    cfg = config or graph.config
+    if getattr(graph, "sharded", False):
+        raise ValueError(
+            "maximal_independent_set: dense path only (module "
+            "docstring documents the owner-resident extension)")
+    n = graph.num_vertices
+    pri = mis_priorities(graph.node_ids, seed).astype(np.float64)
+    und = np.ones(n, dtype=bool)
+    in_mis = np.zeros(n, dtype=bool)
+    decided_round = np.zeros(n, dtype=np.int64)
+    t0 = time.perf_counter()
+    rnd = 0
+    s_loc = d_loc = None  # set once the residual problem is localized
+    zeros = np.zeros(n, dtype=np.float64)
+    while und.any():
+        rnd += 1
+        if rnd > cfg.max_supersteps:
+            raise RuntimeError(
+                f"maximal_independent_set: {int(und.sum())} vertices "
+                f"undecided after max_supersteps={cfg.max_supersteps}")
+        if s_loc is not None:
+            minnbr = _array_min_gather(s_loc, d_loc, n, und, pri)
+            win = und & (pri < minnbr)
+            excl = und & ~win & (_array_min_gather(
+                s_loc, d_loc, n, win, zeros) < _INF)
+        else:
+            minnbr = _masked_min_gather(graph, cfg, und, pri)
+            win = und & (pri < minnbr)
+            # exclusion: any WINNER neighbor (min over a 0-indicator)
+            excl = und & ~win & (_masked_min_gather(
+                graph, cfg, win, zeros) < _INF)
+        in_mis[win] = True
+        decided_round[win | excl] = rnd
+        und &= ~(win | excl)
+        if (graph.mode != "local" and s_loc is None and und.any()
+                and _induced_edge_count(graph, cfg, und)
+                <= _LOCAL_FINISH_EDGES):
+            s_loc, d_loc = _collect_induced(graph, cfg, und)
+    if metrics is not None:
+        metrics.update({"rounds": rnd, "sec": time.perf_counter() - t0,
+                        "mis_size": int(in_mis.sum()),
+                        "mode": graph.mode})
+    return pa.table({
+        "node": pa.array(graph.node_ids, type=pa.int64()),
+        "in_mis": pa.array(in_mis),
+        "mis_round": pa.array(decided_round),
+    })
