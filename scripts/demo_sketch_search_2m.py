@@ -161,6 +161,32 @@ def main() -> dict:
     out["counts"]["bm25_top_score"] = round(float(top["score"].iloc[0]), 4)
     _mark("bm25_topk")
 
+    # --- hashed TF-IDF vectors over the full corpus ---
+    # exact planted arithmetic: the PLANT suffix's email token is
+    # unique to planted docs, so its feature bucket's document
+    # frequency is >= n_planted (hash collisions only ADD), and every
+    # planted doc's vector is positive exactly there
+    import hashlib
+
+    from centrality_gpu_ray.functions.vectorize import (
+        document_frequencies, hashed_tfidf)
+
+    tfidf_dim = 128
+    email_tok = "planted.user@example.com"
+    b_email = int(hashlib.sha256(email_tok.encode()).hexdigest()[:15],
+                  16) % tfidf_dim
+    df_vec, n_df = document_frequencies(docs, dim=tfidf_dim)
+    assert n_df == n_rows
+    assert df_vec[b_email] >= n_planted, (df_vec[b_email], n_planted)
+    vecs_ds = hashed_tfidf(docs, dim=tfidf_dim)
+    first = vecs_ds.map_batches(
+        lambda t: t.filter(_pc.equal(t["doc_id"], 0)),
+        batch_format="pyarrow").to_pandas()
+    assert len(first) == 1
+    assert np.asarray(first["embedding"].iloc[0])[b_email] > 0.0
+    out["counts"]["tfidf_email_bucket_df"] = int(df_vec[b_email])
+    _mark("tfidf_vectors_2m")
+
     # --- distributed k-means over synthesized embeddings ---
     @ray.remote
     def gen_vec(c: int) -> pa.Table:
