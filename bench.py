@@ -326,6 +326,26 @@ def run_bench() -> dict:
     timed("tfidf_vectors_256", lambda: hashed_tfidf(docs_ds,
                                                     dim=256).count())
 
+    # product quantization: train + encode + ADC top-10 over the
+    # embeddings table (64-d → 8 uint8 codes/vector)
+    from centrality_gpu_ray.functions.pq import (ann_pq_topk, pq_encode,
+                                                 pq_train)
+
+    def _pq():
+        import numpy as _np4
+        import pyarrow as _pa4
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"])
+        cb = pq_train(emb, m=8, nbits=8, train_sample=8192)
+        codes = pq_encode(emb, cb)
+        qt = _pa4.concat_tables(list(emb.limit(32).iter_batches(
+            batch_size=None, batch_format="pyarrow")))
+        q = _np4.asarray([list(v) for v in
+                          qt.column("embedding").to_pylist()])
+        return ann_pq_topk(codes, cb, q, k=10).num_rows
+
+    timed("pq_ann_topk", _pq)
+
     # maximal independent set (greedy-by-permutation rounds, two
     # min-gathers per round)
     from centrality_gpu_ray.pipelines.mis import maximal_independent_set
