@@ -289,31 +289,13 @@ def run_bench() -> dict:
                                      num_partitions=max(
                                          2, num_cpus // 2)).count())
 
-    # SGNS node embeddings over short walks (dense-id remap via the
-    # graph's node_ids table, broadcast once — 1.3 MB at sf0.1)
-    from centrality_gpu_ray.pipelines.embeddings import sgns_train
-    from centrality_gpu_ray.pipelines.walks import random_walks as _rw
-
-    def _sgns():
-        ids = g.node_ids
-
-        def to_dense(t):
-            import numpy as _np3
-            import pyarrow as _pa3
-            c = _np3.searchsorted(ids, t.column("center").to_numpy())
-            x = _np3.searchsorted(ids, t.column("context").to_numpy())
-            return _pa3.table({"center": _pa3.array(c.astype(_np3.int64)),
-                               "context": _pa3.array(x.astype(_np3.int64))})
-
-        pairs = skipgram_pairs(_rw(g, walk_length=5), window=3)
-        import ray.data as _rd
-        if not isinstance(pairs, _rd.Dataset):
-            pairs = _rd.from_arrow(pairs)
-        pairs = pairs.map_batches(to_dense, batch_format="pyarrow")
-        fit = sgns_train(pairs, g.num_vertices, dim=8, neg=2, iters=2)
-        return fit["n_pairs"]
-
-    timed("sgns_train_2it", _sgns)
+    # SGNS node embeddings over short walks — the whole
+    # walks → pairs → dense-remap → train loop in one library call
+    from centrality_gpu_ray.pipelines.embeddings import node2vec_embeddings
+    timed("sgns_train_2it",
+          lambda: node2vec_embeddings(g, dim=8, walk_length=5,
+                                      walks_per_node=1, window=3,
+                                      neg=2, iters=2).num_rows)
 
     # directed HITS via the bipartite double cover (lookup join +
     # 12 eigenvector supersteps on the cover)

@@ -48,9 +48,11 @@ def _lloyd(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     if C.shape[0] < k:  # fewer distinct points than codewords
         C = np.vstack([C, np.repeat(C[:1], k - C.shape[0], axis=0)])
     for _ in range(iters):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2) \
-            if X.shape[1] * k <= 1 << 14 else \
-            (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None, :]
+        # GEMM-form distances only: the (n, k, dsub) broadcast form
+        # allocates n·k·dsub float64 temporaries (~2 GB at the default
+        # sample size with dsub=64) for an identical argmin
+        d2 = ((X * X).sum(1)[:, None] - 2.0 * X @ C.T
+              + (C * C).sum(1)[None, :])
         a = np.argmin(d2, axis=1)
         for j in range(k):
             mask = a == j
@@ -173,7 +175,9 @@ def ann_pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     order = np.lexsort((v, -s, q))
     q, v, s = q[order], v[order], s[order]
     rows_q, rows_v, rows_s, rows_r = [], [], [], []
-    for qi in range(Q.shape[0]):
+    # iterate queries in ascending OUTPUT id so the documented
+    # (query_id, rank) sort holds for unsorted query_ids too
+    for qi in np.argsort(qids, kind="stable"):
         sel = np.flatnonzero(q == qi)[:k]
         rows_q.append(np.full(sel.size, qids[qi], dtype=np.int64))
         rows_v.append(v[sel])

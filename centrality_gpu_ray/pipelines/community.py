@@ -69,17 +69,29 @@ def community_stats(edges_ds, labels_ds, weighted: bool = False,
         batch_format="pyarrow")
     ew = _with_weight(edges_ds, weighted)
 
-    # intra-community edge weight: label both endpoints in-shuffle
+    # intra-community edge weight: label both endpoints in-shuffle.
+    # outer_fill sentinel + loud guard: an inner join would silently
+    # DROP edges whose endpoint is missing from the label table —
+    # inconsistently between the intra and degree sides — and return a
+    # plausible but wrong Q (labels not covering every endpoint is a
+    # caller contract violation, fail loudly per the engine convention)
+    _MISSING = -(1 << 62)
     lab_src = hash_lookup_join(ew, labels_ds, row_key="src",
                                dict_key="node", attach={"label": "ls"},
+                               outer_fill={"ls": _MISSING},
                                num_partitions=num_partitions)
     lab_both = hash_lookup_join(lab_src, labels_ds, row_key="dst",
                                 dict_key="node", attach={"label": "ld"},
+                                outer_fill={"ld": _MISSING},
                                 num_partitions=num_partitions)
 
     def intra_rows(t: pa.Table) -> pa.Table:
         ls = t.column("ls").to_numpy()
         ld = t.column("ld").to_numpy()
+        if ((ls == _MISSING) | (ld == _MISSING)).any():
+            raise ValueError(
+                "community_stats: labels_ds does not cover every edge "
+                "endpoint — modularity over partial labels is undefined")
         keep = ls == ld
         return pa.table({"community": pa.array(ls[keep]),
                          "intra": pa.array(
@@ -105,8 +117,18 @@ def community_stats(edges_ds, labels_ds, weighted: bool = False,
     per_node = hash_lookup_join(per_node, labels_ds, row_key="node",
                                 dict_key="node",
                                 attach={"label": "community"},
+                                outer_fill={"community": _MISSING},
                                 num_partitions=num_partitions)
-    deg = hash_aggregate(per_node.select_columns(["community", "deg"]),
+
+    def deg_guard(t: pa.Table) -> pa.Table:
+        if (t.column("community").to_numpy() == _MISSING).any():
+            raise ValueError(
+                "community_stats: labels_ds does not cover every edge "
+                "endpoint — modularity over partial labels is undefined")
+        return t.select(["community", "deg"])
+
+    deg = hash_aggregate(per_node.map_batches(deg_guard,
+                                              batch_format="pyarrow"),
                          keys=["community"], aggs=[("deg", "sum")],
                          num_partitions=num_partitions)
 

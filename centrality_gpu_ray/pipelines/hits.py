@@ -87,7 +87,8 @@ def _finalize_dense(tbl: pa.Table) -> pa.Table:
         "side": _SIDE.take(pa.array(par)),
         "hits_nano": pa.array(np.floor(score * 1e9 + 0.5).astype(np.int64)),
     })
-    order = np.lexsort((node >> 1, par))
+    # match the sharded path's string sort: 'auth' (par=1) before 'hub'
+    order = np.lexsort((node >> 1, 1 - par))
     return out.take(pa.array(order))
 
 

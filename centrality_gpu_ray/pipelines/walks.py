@@ -222,6 +222,15 @@ def random_walks(graph: Graph, walk_length: int = 40,
         raise ValueError("node2vec p and q must be positive finite")
     if starts is not None:
         starts = np.asarray(starts, dtype=np.int64)
+        if np.unique(starts).size != starts.size:
+            # walk_id = dense(start)·wpn + k: duplicate starts collide
+            # on walk_id, which silently CORRUPTS sequence assembly in
+            # the distributed paths (two rows per (wid, step) interleave
+            # through the lexsort reshape). Multiplicity is what
+            # walks_per_node is for.
+            raise ValueError(
+                "random_walks: duplicate entries in starts (walk ids "
+                "would collide) — use walks_per_node for multiplicity")
     second_order = not (p == 1.0 and q == 1.0)
     if graph.mode == "local" and not graph.sharded:
         if second_order:
@@ -270,6 +279,38 @@ def _local_walks(graph: Graph, walk_length: int, wpn: int, seed: int,
         cur = _step_next(ss, dd, pre_w, cur, wid, t, seed)
         out[t] = cur
     return _seq_table(wid, ids[out.T.reshape(-1)], walk_length)
+
+
+def _assemble_walks(rows_ds, walk_length: int, dict_meta, ids_ref,
+                    P: int):
+    """(walk_id, step, node) rows → (walk_id, start, nodes) sequence
+    table via one walk_id exchange — shared by both distributed paths
+    (first-order and node2vec)."""
+    import ray
+
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
+    L = walk_length + 1
+
+    def build(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return _SEQ_SCHEMA.empty_table()
+        wid = tbl.column("walk_id").to_numpy(zero_copy_only=False)
+        stp = tbl.column("step").to_numpy(zero_copy_only=False)
+        nod = tbl.column("node").to_numpy(zero_copy_only=False)
+        order = np.lexsort((stp, wid))
+        wid, nod = wid[order], nod[order]
+        if wid.size % L:
+            raise AssertionError("random_walks: incomplete walk rows")
+        if dict_meta is not None:
+            from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+            orig = _DictReader(dict_meta).to_original(nod)
+        else:
+            orig = ray.get(ids_ref)[nod]
+        return _seq_table(wid[::L], orig, walk_length)
+
+    return hash_partition_apply(rows_ds, ["walk_id"], build,
+                                num_partitions=P)
 
 
 def _second_order_pick(ss, dd, pre_w, kk, K: int, prev: np.ndarray,
@@ -342,8 +383,7 @@ def _distributed_walks(graph: Graph, cfg: EngineConfig, walk_length: int,
     import ray
     import ray.data
 
-    from centrality_gpu_ray.stages.shuffle import (_nonempty_block_refs,
-                                                   hash_partition_apply)
+    from centrality_gpu_ray.stages.shuffle import _nonempty_block_refs
 
     n = graph.num_vertices
     P = cfg.num_partitions
@@ -386,6 +426,7 @@ def _distributed_walks(graph: Graph, cfg: EngineConfig, walk_length: int,
         from centrality_gpu_ray.pipelines.vertexdict import _DictReader
         dict_meta = (graph.vdict.mins, graph.vdict.offsets,
                      graph.vdict.block_refs)
+        ids_ref = None
     else:
         dict_meta = None
         ids_ref = ray.put(graph.node_ids)
@@ -450,29 +491,8 @@ def _distributed_walks(graph: Graph, cfg: EngineConfig, walk_length: int,
         step_rows.extend(o[0] for o in outs)
         frontier = [[o[1 + q] for o in outs] for q in range(P)]
 
-    rows_ds = ray.data.from_arrow_refs(step_rows)
-
-    # ---- assemble sequences per walk_id (one exchange), original ids
-    L = walk_length + 1
-
-    def build(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return _SEQ_SCHEMA.empty_table()
-        wid = tbl.column("walk_id").to_numpy(zero_copy_only=False)
-        stp = tbl.column("step").to_numpy(zero_copy_only=False)
-        nod = tbl.column("node").to_numpy(zero_copy_only=False)
-        order = np.lexsort((stp, wid))
-        wid, nod = wid[order], nod[order]
-        if wid.size % L:
-            raise AssertionError("random_walks: incomplete walk rows")
-        if dict_meta is not None:
-            orig = _DictReader(dict_meta).to_original(nod)
-        else:
-            orig = ray.get(ids_ref)[nod]
-        return _seq_table(wid[::L], orig, walk_length)
-
-    return hash_partition_apply(rows_ds, ["walk_id"], build,
-                                num_partitions=P)
+    return _assemble_walks(ray.data.from_arrow_refs(step_rows),
+                           walk_length, dict_meta, ids_ref, P)
 
 
 def _distributed_walks_2nd(graph: Graph, cfg: EngineConfig,
@@ -487,8 +507,7 @@ def _distributed_walks_2nd(graph: Graph, cfg: EngineConfig,
     import ray
     import ray.data
 
-    from centrality_gpu_ray.stages.shuffle import (_nonempty_block_refs,
-                                                   hash_partition_apply)
+    from centrality_gpu_ray.stages.shuffle import _nonempty_block_refs
 
     n = graph.num_vertices
     P = cfg.num_partitions
@@ -661,27 +680,8 @@ def _distributed_walks_2nd(graph: Graph, cfg: EngineConfig,
                     f"after {_MAX_REJECT_ROUNDS} distributed rounds")
         frontier = nxt_frontier
 
-    rows_ds = ray.data.from_arrow_refs(step_rows)
-    L = walk_length + 1
-
-    def build(tbl: pa.Table) -> pa.Table:
-        if tbl.num_rows == 0:
-            return _SEQ_SCHEMA.empty_table()
-        wid = tbl.column("walk_id").to_numpy(zero_copy_only=False)
-        stp = tbl.column("step").to_numpy(zero_copy_only=False)
-        nod = tbl.column("node").to_numpy(zero_copy_only=False)
-        order = np.lexsort((stp, wid))
-        wid, nod = wid[order], nod[order]
-        if wid.size % L:
-            raise AssertionError("random_walks: incomplete walk rows")
-        if dict_meta is not None:
-            orig = _DictReader(dict_meta).to_original(nod)
-        else:
-            orig = ray.get(ids_ref)[nod]
-        return _seq_table(wid[::L], orig, walk_length)
-
-    return hash_partition_apply(rows_ds, ["walk_id"], build,
-                                num_partitions=P)
+    return _assemble_walks(ray.data.from_arrow_refs(step_rows),
+                           walk_length, dict_meta, ids_ref, P)
 
 
 def skipgram_pairs(walks, window: int = 5):

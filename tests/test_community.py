@@ -133,3 +133,14 @@ def test_labelprop_partition_scores(ray_session):
     score = modularity_score(stats)
     assert score["communities"] == 2
     assert score["q_micro"] > 300000
+
+
+def test_partial_labels_raise(ray_session):
+    import pytest
+
+    edges = pa.table({"src": pa.array([0, 1], type=pa.int64()),
+                      "dst": pa.array([1, 2], type=pa.int64())})
+    labels = pa.table({"node": pa.array([0, 1], type=pa.int64()),
+                       "label": pa.array([0, 0], type=pa.int64())})
+    with pytest.raises(Exception, match="cover every edge endpoint"):
+        _stats_dict(community_stats(_ds(edges), labels))

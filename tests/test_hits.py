@@ -116,3 +116,22 @@ def test_sharded_parity(ray_session):
         assert abs(hd[n] - hs[n]) <= 1, n
     for n in ad:
         assert abs(ad[n] - as_[n]) <= 1, n
+
+
+def test_dense_row_order_matches_sharded(ray_session):
+    """Both modes emit (side, node)-sorted rows — 'auth' block first
+    (string sort order), ascending node within a side."""
+    edges = _directed_edges(31)
+    ds = ray.data.from_arrow(edges)
+    dense = hits_fixed(ds, supersteps=6)
+    rows_dense = list(zip(dense.column("side").to_pylist(),
+                          dense.column("node").to_pylist()))
+    sharded = hits_fixed(ds, supersteps=6,
+                         config=EngineConfig(dense_vertex_limit=2,
+                                             num_partitions=4))
+    tbl = pa.concat_tables(sharded.iter_batches(batch_size=None,
+                                                batch_format="pyarrow"))
+    rows_sh = list(zip(tbl.column("side").to_pylist(),
+                       tbl.column("node").to_pylist()))
+    assert rows_dense == sorted(rows_dense)
+    assert rows_dense == rows_sh

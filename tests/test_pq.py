@@ -114,3 +114,14 @@ def test_validation(ray_session):
     cb = pq_train(ds, m=6, nbits=4, train_sample=100)
     with pytest.raises(ValueError, match="query dim"):
         ann_pq_topk(pq_encode(ds, cb), cb, np.ones((1, 31)))
+
+
+def test_unsorted_query_ids_output_order(ray_session):
+    X = _blobs(13, n=400)
+    ds = ray.data.from_arrow(_emb_table(X)).repartition(2)
+    cb = pq_train(ds, m=4, nbits=5, train_sample=400)
+    codes = pq_encode(ds, cb)
+    out = ann_pq_topk(codes, cb, X[:3], k=4,
+                      query_ids=np.array([30, 10, 20])).to_pandas()
+    assert out.query_id.tolist() == [10] * 4 + [20] * 4 + [30] * 4
+    assert out["rank"].tolist() == [0, 1, 2, 3] * 3

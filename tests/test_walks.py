@@ -394,3 +394,11 @@ def test_node2vec_validation():
         random_walks(g, walk_length=3, p=0.0)
     with pytest.raises(ValueError):
         random_walks(g, walk_length=3, q=-1.0)
+
+
+def test_duplicate_starts_rejected():
+    edges = _random_edges(26)
+    g = Graph(ray.data.from_arrow(edges), mode="local")
+    some = edges.column("src").to_pylist()[0]
+    with pytest.raises(ValueError, match="duplicate"):
+        random_walks(g, walk_length=3, starts=[some, some])
