@@ -333,6 +333,10 @@ def run_bench() -> dict:
     from centrality_gpu_ray.pipelines.mis import maximal_independent_set
     timed("mis", lambda: maximal_independent_set(g, seed=0).num_rows)
 
+    from centrality_gpu_ray.pipelines.coloring import greedy_coloring
+    timed("greedy_coloring",
+          lambda: greedy_coloring(g, seed=0).num_rows)
+
     # label propagation (per-superstep mode exchange) and modularity
     # scoring of its partition — separate rows so the partition-quality
     # operator's cost (3 shuffles) is not buried under labelprop's

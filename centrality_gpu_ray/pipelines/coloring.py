@@ -1,0 +1,246 @@
+"""Greedy graph coloring — Jones–Plassmann rounds over the MIS
+priority permutation.
+
+The companion symmetry-breaking primitive to ``pipelines/mis.py``: an
+uncolored vertex colors itself the round after every HIGHER-priority
+neighbor is colored, picking the smallest color absent from its
+already-colored neighborhood.  The ready set each round is independent
+(adjacent vertices are priority-ordered), so the parallel mex is safe,
+and the final coloring is EXACTLY the sequential greedy coloring in
+priority order (Jones & Plassmann, SIAM J. Sci. Comput. 1993) — which
+is the serial oracle the tests replay.  Rounds = longest
+priority-increasing path ≈ O(log n / log log n) whp for a random
+permutation.
+
+Per round, two exchanges over the edge set:
+
+1. max-gather of UNCOLORED-neighbor priorities (as a min-gather of the
+   negated values — the SSSP message shape) → ready set;
+2. distinct (ready vertex, colored-neighbor color) pairs, map-side
+   deduped per block, driver-side vectorized mex (total pair volume
+   over ALL rounds is ≤ m — each edge contributes to its endpoints'
+   coloring rounds only).
+
+Same tail-round optimization as MIS: once the uncolored-induced
+subgraph fits a cap, collect it PLUS the fixed boundary colors and
+continue the identical loop on driver arrays — bit-identical output.
+
+Dense-path operator (state = driver vectors broadcast per round, the
+≤``dense_vertex_limit`` envelope); greedy coloring is the standard
+preprocessing for parallel scheduling / register-allocation-shaped
+problems and a quality probe for the partition operators.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from centrality_gpu_ray.config import EngineConfig
+from centrality_gpu_ray.pipelines.graph import Graph
+from centrality_gpu_ray.pipelines.mis import (_LOCAL_FINISH_EDGES,
+                                              _array_min_gather,
+                                              _induced_edge_count,
+                                              _masked_min_gather,
+                                              mis_priorities)
+
+_NOCOLOR = np.int64(-1)
+
+
+def _mex_per_vertex(v: np.ndarray, c: np.ndarray, n: int) -> np.ndarray:
+    """Smallest color ≥ 0 absent from each ready vertex's pair list.
+    Ready vertices with no pairs get 0."""
+    mex = np.zeros(n, dtype=np.int64)
+    if v.size == 0:
+        return mex
+    keys = v * (np.int64(n) + 1) + np.minimum(c, n - 1) + 1
+    uniq = np.unique(keys)
+    uv = uniq // (np.int64(n) + 1)
+    uc = uniq % (np.int64(n) + 1) - 1
+    starts = np.flatnonzero(np.r_[True, uv[1:] != uv[:-1]])
+    seg_of = np.repeat(np.arange(starts.size), np.diff(np.r_[starts,
+                                                             uv.size]))
+    pos = np.arange(uv.size, dtype=np.int64) - starts[seg_of]
+    # colors sorted unique per vertex: mex = first position where
+    # color != position, else the segment length
+    mism = uc != pos
+    cand = np.where(mism, pos, np.iinfo(np.int64).max)
+    first_mism = np.full(starts.size, np.iinfo(np.int64).max)
+    np.minimum.at(first_mism, seg_of, cand)
+    seg_len = np.diff(np.r_[starts, uv.size])
+    mex_seg = np.where(first_mism < np.iinfo(np.int64).max,
+                       first_mism, seg_len)
+    mex[uv[starts]] = mex_seg
+    return mex
+
+
+def _array_pairs(s: np.ndarray, d: np.ndarray, ready: np.ndarray,
+                 colors: np.ndarray):
+    """(ready endpoint, colored-neighbor color) pairs from edge arrays."""
+    col = colors >= 0
+    m1 = ready[d] & col[s]
+    m2 = ready[s] & col[d]
+    return (np.concatenate([d[m1], s[m2]]),
+            np.concatenate([colors[s[m1]], colors[d[m2]]]))
+
+
+class _ReadyColorPairs:
+    """Per-block distinct (ready vertex, colored-neighbor color) rows."""
+
+    def __init__(self, state_ref):
+        self._ref = state_ref
+        self._state = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if self._state is None:
+            self._state = ray.get(self._ref)
+        ready, colors = self._state
+        s = batch.column("s").to_numpy()
+        d = batch.column("d").to_numpy()
+        v, c = _array_pairs(s, d, ready, colors)
+        if v.size:
+            uniq = np.unique(v * (np.int64(colors.size) + 1) + c)
+            v = uniq // (np.int64(colors.size) + 1)
+            c = uniq % (np.int64(colors.size) + 1)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+
+def greedy_coloring(graph: Graph, seed: int = 0,
+                    config: EngineConfig | None = None,
+                    max_rounds: int | None = None,
+                    metrics: dict | None = None) -> pa.Table:
+    """Returns ``(node, color, color_round)`` — the sequential greedy
+    coloring in the seed-derived priority order; ``color_round`` is the
+    1-based JP round the vertex was colored.  Original node ids.
+
+    ``max_rounds`` defaults to n (the true termination bound — every
+    round colors at least the globally-min-priority uncolored vertex),
+    NOT ``cfg.max_supersteps``: unlike fixpoint supersteps, JP rounds
+    on skewed graphs routinely exceed 100 (153 on the sf0.01 lineitem
+    co-occurrence graph) while tail rounds over the compacted residual
+    cost microseconds."""
+    import ray
+
+    cfg = config or graph.config
+    if getattr(graph, "sharded", False):
+        raise ValueError(
+            "greedy_coloring: dense path only (module docstring "
+            "documents the owner-resident extension)")
+    n = graph.num_vertices
+    cap = n if max_rounds is None else max_rounds
+    pri = mis_priorities(graph.node_ids, seed).astype(np.float64)
+    colors = np.full(n, _NOCOLOR, dtype=np.int64)
+    colored_round = np.zeros(n, dtype=np.int64)
+    t0 = time.perf_counter()
+    rnd = 0
+    s_loc = d_loc = None
+    if graph.mode == "local":
+        s_loc, d_loc, _w = graph.local_arrays()
+    bnd_v = np.empty(0, dtype=np.int64)
+    bnd_c = np.empty(0, dtype=np.int64)
+    while (colors < 0).any():
+        rnd += 1
+        if rnd > cap:
+            raise RuntimeError(
+                f"greedy_coloring: {int((colors < 0).sum())} vertices "
+                f"uncolored after max_rounds={cap}")
+        unc = colors < 0
+        if s_loc is not None:
+            minnbr = _array_min_gather(s_loc, d_loc, n, unc, pri)
+            ready = unc & (pri < minnbr)  # +inf where no unc neighbor
+            pv, pc = _array_pairs(s_loc, d_loc, ready, colors)
+            keep_b = ready[bnd_v] if bnd_v.size else np.empty(0, bool)
+            pv = np.concatenate([pv, bnd_v[keep_b]])
+            pc = np.concatenate([pc, bnd_c[keep_b]])
+        else:
+            minnbr = _masked_min_gather(graph, cfg, unc, pri)
+            ready = unc & (pri < minnbr)
+            state_ref = ray.put((ready, colors))
+            pvs, pcs = [], []
+            for b in graph.edges.map_batches(
+                    _ReadyColorPairs(state_ref), batch_format="pyarrow",
+                    batch_size=cfg.batch_size).iter_batches(
+                    batch_size=None, batch_format="pyarrow"):
+                pvs.append(b.column("v").to_numpy())
+                pcs.append(b.column("c").to_numpy())
+            pv = (np.concatenate(pvs) if pvs else
+                  np.empty(0, dtype=np.int64))
+            pc = (np.concatenate(pcs) if pcs else
+                  np.empty(0, dtype=np.int64))
+        colors[ready] = _mex_per_vertex(pv, pc, n)[ready]
+        colored_round[ready] = rnd
+        if (graph.mode != "local" and s_loc is None
+                and (colors < 0).any()
+                and _induced_edge_count(graph, cfg, colors < 0)
+                <= _LOCAL_FINISH_EDGES):
+            s_loc, d_loc, bnd_v, bnd_c = _collect_residual(graph, cfg,
+                                                           colors)
+        elif s_loc is not None and s_loc.size:
+            # compact: an edge with BOTH endpoints colored is dead for
+            # every future gather/pair pass — tail rounds then run over
+            # the shrinking residual, not the whole edge set
+            unc2 = colors < 0
+            alive = unc2[s_loc] | unc2[d_loc]
+            if 2 * int(alive.sum()) < s_loc.size:
+                s_loc, d_loc = s_loc[alive], d_loc[alive]
+                if bnd_v.size:
+                    keep = unc2[bnd_v]
+                    bnd_v, bnd_c = bnd_v[keep], bnd_c[keep]
+    if metrics is not None:
+        metrics.update({
+            "rounds": rnd, "sec": time.perf_counter() - t0,
+            "num_colors": int(colors.max()) + 1 if n else 0,
+            "mode": graph.mode})
+    return pa.table({
+        "node": pa.array(graph.node_ids, type=pa.int64()),
+        "color": pa.array(colors),
+        "color_round": pa.array(colored_round),
+    })
+
+
+def _collect_residual(graph: Graph, cfg: EngineConfig,
+                      colors: np.ndarray):
+    """Uncolored-induced edges + fixed boundary (uncolored vertex,
+    colored-neighbor color) pairs, one pass."""
+    import ray
+
+    ref = ray.put(colors)
+
+    def pick(t: pa.Table, _ref=ref) -> pa.Table:
+        # one schema, two row kinds: 0 = uncolored-induced edge (a, b),
+        # 1 = fixed boundary pair (uncolored vertex, neighbor color)
+        cl = ray.get(_ref)
+        unc = cl < 0
+        s = t.column("s").to_numpy()
+        d = t.column("d").to_numpy()
+        keep = unc[s] & unc[d]
+        bv, bc = _array_pairs(s, d, unc, cl)
+        return pa.table({
+            "a": pa.array(np.concatenate([s[keep], bv]).astype(np.int64)),
+            "b": pa.array(np.concatenate([d[keep], bc]).astype(np.int64)),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(int(keep.sum()), np.int8),
+                 np.ones(bv.size, np.int8)])),
+        })
+
+    ss, dd, bvs, bcs = [], [], [], []
+    for b in graph.edges.map_batches(
+            pick, batch_format="pyarrow",
+            batch_size=cfg.batch_size).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        kind = b.column("kind").to_numpy()
+        e = kind == 0
+        ss.append(a[e])
+        dd.append(bb[e])
+        bvs.append(a[~e])
+        bcs.append(bb[~e])
+    cat = (lambda xs: np.concatenate(xs) if xs
+           else np.empty(0, np.int64))
+    return cat(ss), cat(dd), cat(bvs), cat(bcs)

@@ -134,3 +134,14 @@ def test_seed_changes_set():
     a = {v for v, (f, _r) in _engine_mis(edges, seed=0).items() if f}
     b = {v for v, (f, _r) in _engine_mis(edges, seed=1).items() if f}
     assert a != b
+
+
+def test_distributed_no_local_finish(monkeypatch):
+    """Force the distributed gathers for EVERY round."""
+    import centrality_gpu_ray.pipelines.mis as mis_mod
+
+    monkeypatch.setattr(mis_mod, "_LOCAL_FINISH_EDGES", -1)
+    edges = _random_edges(29)
+    a = _engine_mis(edges, seed=3)
+    b = _engine_mis(edges, seed=3, mode="distributed", parts=3)
+    assert a == b
