@@ -245,7 +245,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quantile_band": _doc_quantile_band,
         "graph_edge_support": gq.lineitem_edge_support,
         "graph_ktruss": gq.lineitem_ktruss,
-        "graph_katz_fixed": gq.lineitem_katz_fixed,
+        # swapped in (round 4) for graph_katz_fixed: Katz runs the
+        # IDENTICAL gather as the four kept spectral rows (eigenvector/
+        # PR/weighted-PR/PPR) and keeps its serial-recurrence + mode-
+        # parity pytest (test_algorithms.py); MIS is a NEW operator
+        # family (symmetry breaking) with a chained-round SQL oracle
+        # over the sha256-prefix priority permutation
+        "graph_mis": gq.lineitem_mis,
         "graph_ppr_fixed": gq.lineitem_ppr_fixed,
         "graph_assortativity": gq.lineitem_assortativity,
         "graph_clustering": gq.lineitem_clustering,
@@ -496,6 +502,53 @@ def _eigen_fixed_oracle_sql(supersteps: int = 12,
     parts.append(f"""
         SELECT node, CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT) AS ev_nano
         FROM x{supersteps}""")
+    return "".join(parts)
+
+
+def _mis_oracle_sql(rounds: int = 12, seed: int = 0) -> str:
+    """graph_mis oracle: greedy-by-permutation MIS rounds replayed
+    literally — priorities are ROW_NUMBER over the sha256-prefix hash
+    the engine's ``mis_priorities(scheme="sha256")`` computes, each
+    round's winners are the undecided vertices beating every undecided
+    neighbor, winners' undecided neighbors drop out with the same
+    round stamp.  Self-verifying: a sentinel row appears if ``rounds``
+    did not reach the fixpoint (the engine needs 3 at sf0.01).
+    AS MATERIALIZED — DuckDB inlines plain CTEs exponentially."""
+    parts = [_GRAPH_EDGES_CTE, f"""
+        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+                 UNION ALL SELECT dst, src FROM edges),
+        pri AS MATERIALIZED (
+            SELECT node,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(('0x' || substr(sha256(
+                           CAST(node AS VARCHAR) || '|{seed}'),
+                           1, 15)) AS UBIGINT), node) - 1 AS pri
+            FROM deg),
+        u0 AS MATERIALIZED (SELECT node, pri FROM pri)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        m{i} AS MATERIALIZED (SELECT n.node FROM u{i} n
+                 LEFT JOIN (SELECT se.a AS node, MIN(p.pri) AS mp
+                            FROM se JOIN u{i} p ON p.node = se.b
+                            GROUP BY se.a) g USING (node)
+                 WHERE n.pri < COALESCE(g.mp, 1e18)),
+        x{i} AS MATERIALIZED (
+            SELECT DISTINCT se.b AS node FROM se
+            JOIN m{i} w ON w.node = se.a
+            WHERE se.b IN (SELECT node FROM u{i})),
+        u{i + 1} AS MATERIALIZED (SELECT node, pri FROM u{i}
+                     WHERE node NOT IN (SELECT node FROM m{i})
+                       AND node NOT IN (SELECT node FROM x{i}))""")
+    union = " UNION ALL ".join(
+        f"SELECT node, TRUE AS in_mis, CAST({i + 1} AS BIGINT) AS r "
+        f"FROM m{i} UNION ALL "
+        f"SELECT node, FALSE, CAST({i + 1} AS BIGINT) FROM x{i}"
+        for i in range(rounds))
+    parts.append(f"""
+        SELECT node, in_mis, r AS mis_round FROM ({union})
+        UNION ALL
+        SELECT CAST(-424242 AS BIGINT), FALSE, CAST(-424242 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM u{rounds})""")
     return "".join(parts)
 
 
@@ -1289,7 +1342,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents, lo, hi
             WHERE n_chars BETWEEN lo.v AND hi.v""",
         "graph_ktruss": _ktruss_oracle_sql(),
-        "graph_katz_fixed": _katz_fixed_oracle_sql(),
+        "graph_mis": _mis_oracle_sql(),
         "graph_ppr_fixed": _ppr_fixed_oracle_sql(),
         "graph_assortativity": _GRAPH_EDGES_CTE + """
             , se AS (SELECT src AS a, dst AS b FROM edges

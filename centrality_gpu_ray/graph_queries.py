@@ -220,6 +220,19 @@ def lineitem_eigenvector_fixed(sf_dir: str, supersteps: int = 12,
     })
 
 
+def lineitem_mis(sf_dir: str, seed: int = 0):
+    """Maximal independent set over the part–supplier–order graph with
+    the sha256-prefix priority permutation — the greedy-by-permutation
+    rounds (``pipelines/mis.py``) with the one hash family DuckDB can
+    replay bit-exactly, so the driver value-checks (node, in_mis,
+    mis_round) for every vertex against a chained-round SQL oracle."""
+    from centrality_gpu_ray.pipelines.mis import maximal_independent_set
+
+    g = lineitem_graph(sf_dir)
+    return maximal_independent_set(g, seed=seed,
+                                   priority_scheme="sha256")
+
+
 def customer_supplier_hits_fixed(sf_dir: str, supersteps: int = 12):
     """HITS hubs/authorities over the DIRECTED customer→supplier
     purchase graph (orders ⋈ lineitem on the order key — the one

@@ -43,13 +43,28 @@ from centrality_gpu_ray.pipelines.graph import Graph
 _INF = np.float64(np.inf)
 
 
-def mis_priorities(node_ids: np.ndarray, seed: int) -> np.ndarray:
+def mis_priorities(node_ids: np.ndarray, seed: int,
+                   scheme: str = "splitmix") -> np.ndarray:
     """Unique int64 priority per vertex: rank of
-    ``(splitmix64(original_id ^ seed), original_id)`` — a deterministic
+    ``(hash(original_id, seed), original_id)`` — a deterministic
     random permutation with id tie-breaks, reproducible by any engine
-    that can sort."""
-    h = _splitmix(node_ids.astype(np.int64).view(np.uint64)
-                  ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    that can sort.
+
+    ``scheme="splitmix"`` (default) is the cheap vectorized family;
+    ``scheme="sha256"`` hashes the 60-bit prefix of
+    ``sha256(f"{id}|{seed}")`` — one Python hash per vertex, but
+    bit-reproducible in ANSI SQL (the ``doc_fingerprints`` idiom), so
+    the driver's DuckDB oracle can replay the permutation exactly."""
+    if scheme == "sha256":
+        import hashlib
+
+        h = np.fromiter(
+            (int(hashlib.sha256(f"{int(v)}|{seed}".encode())
+                 .hexdigest()[:15], 16) for v in node_ids),
+            dtype=np.uint64, count=node_ids.size)
+    else:
+        h = _splitmix(node_ids.astype(np.int64).view(np.uint64)
+                      ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
     order = np.lexsort((node_ids, h))
     pri = np.empty(node_ids.size, dtype=np.int64)
     pri[order] = np.arange(node_ids.size, dtype=np.int64)
@@ -175,6 +190,7 @@ def _collect_induced(graph: Graph, cfg: EngineConfig,
 
 def maximal_independent_set(graph: Graph, seed: int = 0,
                             config: EngineConfig | None = None,
+                            priority_scheme: str = "splitmix",
                             metrics: dict | None = None) -> pa.Table:
     """Returns ``(node, in_mis, mis_round)`` — ``mis_round`` is the
     1-based round the vertex was decided (joined the MIS or was
@@ -185,7 +201,8 @@ def maximal_independent_set(graph: Graph, seed: int = 0,
             "maximal_independent_set: dense path only (module "
             "docstring documents the owner-resident extension)")
     n = graph.num_vertices
-    pri = mis_priorities(graph.node_ids, seed).astype(np.float64)
+    pri = mis_priorities(graph.node_ids, seed,
+                         scheme=priority_scheme).astype(np.float64)
     und = np.ones(n, dtype=bool)
     in_mis = np.zeros(n, dtype=bool)
     decided_round = np.zeros(n, dtype=np.int64)
