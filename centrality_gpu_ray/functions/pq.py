@@ -107,6 +107,144 @@ def pq_encode(emb_ds, codebooks: np.ndarray, id_col: str = "vec_id",
     return emb_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _topk_by_score(s: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of exactly the ``kk`` best rows by (-score, id), in that
+    order.  PQ scores tie OFTEN (same code → same score) and a bare
+    argpartition prunes boundary ties arbitrarily, which breaks
+    partitioning invariance of any downstream merge — survivors are
+    all rows strictly above the boundary score plus the lowest ids
+    among the boundary ties."""
+    n = s.size
+    if kk < n:
+        cut = np.argpartition(-s, kk - 1)
+        b = s[cut[kk - 1]]
+        sure = np.flatnonzero(s > b)
+        tie = np.flatnonzero(s == b)
+        tie = tie[np.argsort(ids[tie])][:kk - sure.size]
+        cand = np.concatenate([sure, tie])
+    else:
+        cand = np.arange(n)
+    return cand[np.lexsort((ids[cand], -s[cand]))]
+
+
+def ann_ivfpq_topk(emb_ds, queries: np.ndarray, k: int = 10,
+                   nlist: int = 64, nprobe: int = 8, m: int = 8,
+                   nbits: int = 8, train_sample: int = 16384,
+                   kmeans_iters: int = 10, pq_iters: int = 15,
+                   seed: int = 17, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   query_ids: np.ndarray | None = None):
+    """IVF-PQ cosine top-k — the two scale levers composed: the IVF
+    coarse quantizer prunes WHICH lists a query scans
+    (``similarity.ann_ivf``'s shape), PQ compresses WHAT each list
+    stores and the ADC tables score codes without decompression.  One
+    pass assigns-and-encodes every vector to ``(list, id, m×uint8)``
+    rows; candidates move through ONE hash exchange keyed by list id;
+    per-partition scoring is pure table gathers with tie-exact partial
+    top-k.  Vectors are encoded directly (not as residuals) — the
+    normalized-cosine IVFADC variant; recall is tuned by
+    nprobe/nlist/m/nbits.  Returns a Dataset of
+    ``(query_id, vec_id, score, rank)`` like ``ann_ivf``."""
+    import ray
+
+    from centrality_gpu_ray.functions.similarity import (_kmeans_spherical,
+                                                         _merge_topk)
+    from centrality_gpu_ray.stages.shuffle import hash_partition_apply
+
+    if not 1 <= nbits <= 8:
+        raise ValueError("nbits must be in [1, 8] (uint8 codes)")
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = (np.arange(Q.shape[0], dtype=np.int64) if query_ids is None
+            else np.asarray(query_ids, dtype=np.int64))
+
+    sample = pa.concat_tables(list(
+        emb_ds.select_columns([vec_col]).limit(train_sample)
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    X = _normalize(_matrix_from_arrow(sample.column(vec_col)))
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub, K = d // m, 1 << nbits
+    C = _kmeans_spherical(X, nlist, kmeans_iters, seed)
+    nlist = C.shape[0]
+    cb = np.stack([_lloyd(X[:, j * dsub:(j + 1) * dsub], K,
+                          pq_iters, seed + j) for j in range(m)])
+
+    np_probe = min(nprobe, nlist)
+    probe = np.argpartition(Q @ C.T, nlist - np_probe,
+                            axis=1)[:, nlist - np_probe:]
+    qmap: dict[int, list[int]] = {}
+    for qi in range(Q.shape[0]):
+        for lst in probe[qi]:
+            qmap.setdefault(int(lst), []).append(qi)
+    lut = np.einsum("qjd,jkd->qjk", Q.reshape(Q.shape[0], m, dsub), cb)
+    bcast = ray.put((C, cb, lut, qids, qmap))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        Cm, cbm, *_ = ray.get(bcast)
+        M = _normalize(_matrix_from_arrow(batch.column(vec_col)))
+        lists = np.argmax(M @ Cm.T, axis=1).astype(np.int64)
+        n = M.shape[0]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            S = M[:, j * dsub:(j + 1) * dsub]
+            Cj = cbm[j]
+            d2 = ((S * S).sum(1)[:, None] - 2.0 * S @ Cj.T
+                  + (Cj * Cj).sum(1)[None, :])
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            "list": pa.array(lists),
+            id_col: batch.column(id_col),
+            "code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m),
+        })
+
+    def score_partition(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if tbl.num_rows == 0:
+            return empty
+        _, _, lutm, q_ids, qm = ray.get(bcast)
+        l_arr = tbl.column("list").to_numpy(zero_copy_only=False)
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        col = tbl.column("code")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(-1, m).astype(np.int64)
+        order = np.lexsort((ids, l_arr))
+        l_s, ids_s, codes_s = l_arr[order], ids[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]])
+        bounds = np.r_[starts, l_s.size]
+        ar = np.arange(m)
+        out_q, out_v, out_s = [], [], []
+        for gi in range(starts.size):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            qlist = qm.get(int(l_s[lo]))
+            if not qlist:
+                continue
+            cd = codes_s[lo:hi]
+            for qi in qlist:
+                s = lutm[qi][ar[None, :], cd].sum(axis=1)
+                sel = _topk_by_score(s, ids_s[lo:hi], min(k, s.size))
+                out_q.append(np.full(sel.size, q_ids[qi],
+                                     dtype=np.int64))
+                out_v.append(ids_s[lo:hi][sel])
+                out_s.append(s[sel])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_v)),
+                         "score": pa.array(np.concatenate(out_s))})
+
+    assigned = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        assign_encode, batch_format="pyarrow", batch_size=4096)
+    scored = hash_partition_apply(assigned, ["list"], score_partition,
+                                  num_partitions=16)
+    return _merge_topk(scored, k)
+
+
 def ann_pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
                 k: int = 10, id_col: str = "vec_id",
                 query_ids: np.ndarray | None = None) -> pa.Table:
@@ -138,22 +276,7 @@ def ann_pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
         ar = np.arange(m)
         for qi in range(_lut.shape[0]):
             s = _lut[qi][ar[None, :], codes].sum(axis=1)
-            if kk < n:
-                # keep exactly the kk best by (-score, id): PQ scores
-                # tie OFTEN (same code → same score), and a bare
-                # argpartition prunes boundary ties arbitrarily, which
-                # breaks partitioning invariance of the global merge.
-                # Survivors = all strictly above the boundary score +
-                # lowest ids among the boundary ties.
-                cut = np.argpartition(-s, kk - 1)
-                b = s[cut[kk - 1]]
-                sure = np.flatnonzero(s > b)
-                tie = np.flatnonzero(s == b)
-                tie = tie[np.argsort(ids[tie])][:kk - sure.size]
-                cand = np.concatenate([sure, tie])
-            else:
-                cand = np.arange(n)
-            order = cand[np.lexsort((ids[cand], -s[cand]))]
+            order = _topk_by_score(s, ids, kk)
             out_q.append(np.full(order.size, qi, dtype=np.int64))
             out_v.append(ids[order])
             out_s.append(s[order])

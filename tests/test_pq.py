@@ -125,3 +125,36 @@ def test_unsorted_query_ids_output_order(ray_session):
                       query_ids=np.array([30, 10, 20])).to_pandas()
     assert out.query_id.tolist() == [10] * 4 + [20] * 4 + [30] * 4
     assert out["rank"].tolist() == [0, 1, 2, 3] * 3
+
+
+def test_ivfpq_self_retrieval_and_invariance(ray_session):
+    from centrality_gpu_ray.functions.pq import ann_ivfpq_topk
+
+    rng = np.random.default_rng(21)
+    X = rng.standard_normal((2500, 32))
+    ds = ray.data.from_arrow(_emb_table(X)).repartition(4)
+    out = ann_ivfpq_topk(ds, X[:30], k=3, nlist=16, nprobe=4, m=8,
+                         nbits=8, train_sample=2000).to_pandas()
+    hits = sum(1 for qi in range(30)
+               if qi in set(out[out.query_id == qi].vec_id))
+    assert hits >= 27, hits          # own list is always probed
+    # partitioning invariance (tie-exact partials + deterministic merge)
+    out2 = ann_ivfpq_topk(ray.data.from_arrow(_emb_table(X))
+                          .repartition(9), X[:30], k=3, nlist=16,
+                          nprobe=4, m=8, nbits=8,
+                          train_sample=2000).to_pandas()
+    assert out.vec_id.tolist() == out2.vec_id.tolist()
+
+
+def test_ivfpq_exhaustive_probe_covers_every_vector(ray_session):
+    from centrality_gpu_ray.functions.pq import ann_ivfpq_topk
+
+    rng = np.random.default_rng(25)
+    X = rng.standard_normal((600, 16))
+    ds = ray.data.from_arrow(_emb_table(X)).repartition(3)
+    out = ann_ivfpq_topk(ds, X[:10], k=5, nlist=8, nprobe=8, m=4,
+                         nbits=6, train_sample=600).to_pandas()
+    assert len(out) == 50
+    hits = sum(1 for qi in range(10)
+               if qi in set(out[out.query_id == qi].vec_id))
+    assert hits == 10                # nprobe == nlist: nothing pruned
