@@ -5,6 +5,11 @@ from centrality_gpu_ray.functions.dedup import (
     exact_dedup, minhash_dedup, simhash_signatures, simhash_dedup,
     ngram_jaccard_pairs, embedding_near_dup, remove_repeated_paragraphs)
 from centrality_gpu_ray.functions.similarity import ann_brute_force, ann_lsh
+from centrality_gpu_ray.functions.vectorize import (document_frequencies,
+                                                    hashed_tfidf)
+from centrality_gpu_ray.functions.pq import (ann_ivfpq_topk, ann_pq_topk,
+                                             pq_encode, pq_train)
+from centrality_gpu_ray.functions.dedup import exact_dedup_best
 from centrality_gpu_ray.functions.multimodal import (
     synth_media_table, decode_media, extract_features, sample_frames)
 from centrality_gpu_ray.functions.sketch import (
@@ -32,4 +37,6 @@ __all__ = [
     "kmeans", "kmeans_assign", "kmeans_fit", "semantic_dedup",
     "filter_by_quantile", "project_embeddings", "corpus_report",
     "remove_repeated_paragraphs", "repetition_stats", "repetition_filter", "dsir_fit", "dsir_weights", "dsir_select",
+    "hashed_tfidf", "document_frequencies", "pq_train", "pq_encode",
+    "ann_pq_topk", "ann_ivfpq_topk", "exact_dedup_best",
 ]

@@ -13,6 +13,14 @@ from centrality_gpu_ray.pipelines.closeness import closeness_from_sources
 from centrality_gpu_ray.pipelines.eigenvector import (eigenvector_centrality,
                                                       katz_centrality)
 from centrality_gpu_ray.pipelines.linkpred import link_prediction
+from centrality_gpu_ray.pipelines.hits import hits_fixed
+from centrality_gpu_ray.pipelines.mis import maximal_independent_set
+from centrality_gpu_ray.pipelines.coloring import greedy_coloring
+from centrality_gpu_ray.pipelines.community import (community_stats,
+                                                    modularity_score)
+from centrality_gpu_ray.pipelines.walks import random_walks, skipgram_pairs
+from centrality_gpu_ray.pipelines.embeddings import (node2vec_embeddings,
+                                                     sgns_train)
 
 __all__ = [
     "Graph",
@@ -31,4 +39,13 @@ __all__ = [
     "eigenvector_centrality",
     "katz_centrality",
     "link_prediction",
+    "hits_fixed",
+    "maximal_independent_set",
+    "greedy_coloring",
+    "community_stats",
+    "modularity_score",
+    "random_walks",
+    "skipgram_pairs",
+    "node2vec_embeddings",
+    "sgns_train",
 ]

@@ -37,7 +37,6 @@ import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
 from centrality_gpu_ray.functions.sketch import _splitmix
-from centrality_gpu_ray.pipelines.exchange import aggregate_messages
 from centrality_gpu_ray.pipelines.graph import Graph
 
 _INF = np.float64(np.inf)
@@ -124,8 +123,10 @@ def _masked_min_gather(graph: Graph, cfg: EngineConfig, mask: np.ndarray,
     msgs = graph.edges.map_batches(_MaskedMinMsgs(state_ref),
                                    batch_format="pyarrow",
                                    batch_size=cfg.batch_size)
-    msgs = aggregate_messages(msgs, agg="min",
-                              salt_buckets=cfg.salt_buckets)
+    # NO aggregate_messages here: the map side already min-combines per
+    # block and the duplicate-safe np.minimum.at fold below merges
+    # across blocks — a Ray Data groupby in between is the documented
+    # ~125 µs/row python path (it cost 20+ s per round at sf0.1)
     for b in msgs.iter_batches(batch_size=None, batch_format="pyarrow"):
         np.minimum.at(out, b.column("v").to_numpy(),
                       b.column("c").to_numpy())
