@@ -628,29 +628,6 @@ def _ppr_fixed_oracle_sql(supersteps: int = 12, alpha: float = 0.85,
     return "".join(parts)
 
 
-def _katz_fixed_oracle_sql(supersteps: int = 8, alpha: float = 1e-4,
-                           beta: float = 1.0) -> str:
-    """Katz recurrence x ← β + α·A·x from x₀ = β for exactly
-    ``supersteps`` rounds, micro-unit output (α·λ_max ≪ 1 at these
-    scales, so values stay O(1) and float noise ≪ the 0.5 µ boundary)."""
-    parts = [_GRAPH_EDGES_CTE, f"""
-        , se AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
-                 UNION ALL SELECT dst, src FROM edges),
-        k0 AS MATERIALIZED (
-            SELECT node, CAST({beta} AS DOUBLE) AS x FROM deg)"""]
-    for i in range(supersteps):
-        parts.append(f""",
-        g{i} AS MATERIALIZED (
-            SELECT se.b AS node, SUM(l.x) AS gx
-            FROM se JOIN k{i} l ON l.node = se.a GROUP BY se.b),
-        k{i + 1} AS MATERIALIZED (
-            SELECT d.node, {beta} + {alpha} * COALESCE(g.gx, 0.0) AS x
-            FROM deg d LEFT JOIN g{i} g USING (node))""")
-    parts.append(f"""
-        SELECT node, CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT) AS katz_micro
-        FROM k{supersteps}""")
-    return "".join(parts)
-
 
 def _lp_oracle_sql(rounds: int = 20) -> str:
     """Synchronous weighted mode-label propagation, exactly the engine's

@@ -2,14 +2,14 @@ from centrality_gpu_ray.functions.text import (
     TextAnalyzer, token_stats, quality_scores, language_id, fingerprints,
     corpus_report)
 from centrality_gpu_ray.functions.dedup import (
-    exact_dedup, minhash_dedup, simhash_signatures, simhash_dedup,
-    ngram_jaccard_pairs, embedding_near_dup, remove_repeated_paragraphs)
+    exact_dedup, exact_dedup_best, minhash_dedup, simhash_signatures,
+    simhash_dedup, ngram_jaccard_pairs, embedding_near_dup,
+    remove_repeated_paragraphs)
 from centrality_gpu_ray.functions.similarity import ann_brute_force, ann_lsh
 from centrality_gpu_ray.functions.vectorize import (document_frequencies,
                                                     hashed_tfidf)
 from centrality_gpu_ray.functions.pq import (ann_ivfpq_topk, ann_pq_topk,
                                              pq_encode, pq_train)
-from centrality_gpu_ray.functions.dedup import exact_dedup_best
 from centrality_gpu_ray.functions.multimodal import (
     synth_media_table, decode_media, extract_features, sample_frames)
 from centrality_gpu_ray.functions.sketch import (

@@ -61,17 +61,12 @@ def _lloyd(X: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     return C
 
 
-def pq_train(emb_ds, m: int = 8, nbits: int = 8,
-             train_sample: int = 16384, iters: int = 15, seed: int = 23,
-             vec_col: str = "embedding") -> np.ndarray:
-    """Train per-subspace codebooks on a bounded sample of the
-    (normalized) vectors.  Returns ``(m, 2^nbits, d/m)`` float64."""
+def _train_codebooks(X: np.ndarray, m: int, nbits: int, iters: int,
+                     seed: int) -> np.ndarray:
+    """Per-subspace codebooks from a normalized sample matrix — the
+    ONE training definition shared by pq_train and ann_ivfpq_topk."""
     if not 1 <= nbits <= 8:
         raise ValueError("nbits must be in [1, 8] (uint8 codes)")
-    sample = pa.concat_tables(list(
-        emb_ds.select_columns([vec_col]).limit(train_sample)
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
-    X = _normalize(_matrix_from_arrow(sample.column(vec_col)))
     d = X.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -79,6 +74,36 @@ def pq_train(emb_ds, m: int = 8, nbits: int = 8,
     return np.stack([
         _lloyd(X[:, j * dsub:(j + 1) * dsub], k, iters, seed + j)
         for j in range(m)])
+
+
+def _encode_matrix(M: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, d) normalized rows → (n, m) uint8 nearest-codeword ids —
+    the ONE encode definition shared by pq_encode and ann_ivfpq_topk."""
+    m, _k, dsub = cb.shape
+    codes = np.empty((M.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        S = M[:, j * dsub:(j + 1) * dsub]
+        C = cb[j]
+        d2 = ((S * S).sum(1)[:, None] - 2.0 * S @ C.T
+              + (C * C).sum(1)[None, :])
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def _fetch_sample(emb_ds, vec_col: str, train_sample: int) -> np.ndarray:
+    sample = pa.concat_tables(list(
+        emb_ds.select_columns([vec_col]).limit(train_sample)
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    return _normalize(_matrix_from_arrow(sample.column(vec_col)))
+
+
+def pq_train(emb_ds, m: int = 8, nbits: int = 8,
+             train_sample: int = 16384, iters: int = 15, seed: int = 23,
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train per-subspace codebooks on a bounded sample of the
+    (normalized) vectors.  Returns ``(m, 2^nbits, d/m)`` float64."""
+    return _train_codebooks(_fetch_sample(emb_ds, vec_col, train_sample),
+                            m, nbits, iters, seed)
 
 
 def pq_encode(emb_ds, codebooks: np.ndarray, id_col: str = "vec_id",
@@ -90,14 +115,7 @@ def pq_encode(emb_ds, codebooks: np.ndarray, id_col: str = "vec_id",
 
     def fn(batch: pa.Table, _cb=cb) -> pa.Table:
         X = _normalize(_matrix_from_arrow(batch.column(vec_col)))
-        n = X.shape[0]
-        codes = np.empty((n, m), dtype=np.uint8)
-        for j in range(m):
-            S = X[:, j * dsub:(j + 1) * dsub]
-            C = _cb[j]
-            d2 = (S * S).sum(1)[:, None] - 2.0 * S @ C.T \
-                + (C * C).sum(1)[None, :]
-            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes = _encode_matrix(X, _cb)
         return pa.table({
             id_col: batch.column(id_col),
             "code": pa.FixedSizeListArray.from_arrays(
@@ -151,24 +169,15 @@ def ann_ivfpq_topk(emb_ds, queries: np.ndarray, k: int = 10,
                                                          _merge_topk)
     from centrality_gpu_ray.stages.shuffle import hash_partition_apply
 
-    if not 1 <= nbits <= 8:
-        raise ValueError("nbits must be in [1, 8] (uint8 codes)")
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     qids = (np.arange(Q.shape[0], dtype=np.int64) if query_ids is None
             else np.asarray(query_ids, dtype=np.int64))
 
-    sample = pa.concat_tables(list(
-        emb_ds.select_columns([vec_col]).limit(train_sample)
-        .iter_batches(batch_size=None, batch_format="pyarrow")))
-    X = _normalize(_matrix_from_arrow(sample.column(vec_col)))
-    d = X.shape[1]
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub, K = d // m, 1 << nbits
+    X = _fetch_sample(emb_ds, vec_col, train_sample)
     C = _kmeans_spherical(X, nlist, kmeans_iters, seed)
     nlist = C.shape[0]
-    cb = np.stack([_lloyd(X[:, j * dsub:(j + 1) * dsub], K,
-                          pq_iters, seed + j) for j in range(m)])
+    cb = _train_codebooks(X, m, nbits, pq_iters, seed)
+    dsub = X.shape[1] // m
 
     np_probe = min(nprobe, nlist)
     probe = np.argpartition(Q @ C.T, nlist - np_probe,
@@ -184,14 +193,7 @@ def ann_ivfpq_topk(emb_ds, queries: np.ndarray, k: int = 10,
         Cm, cbm, *_ = ray.get(bcast)
         M = _normalize(_matrix_from_arrow(batch.column(vec_col)))
         lists = np.argmax(M @ Cm.T, axis=1).astype(np.int64)
-        n = M.shape[0]
-        codes = np.empty((n, m), dtype=np.uint8)
-        for j in range(m):
-            S = M[:, j * dsub:(j + 1) * dsub]
-            Cj = cbm[j]
-            d2 = ((S * S).sum(1)[:, None] - 2.0 * S @ Cj.T
-                  + (Cj * Cj).sum(1)[None, :])
-            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes = _encode_matrix(M, cbm)
         return pa.table({
             "list": pa.array(lists),
             id_col: batch.column(id_col),
@@ -251,7 +253,8 @@ def ann_pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     """ADC cosine top-k over a PQ-encoded table: per query one (m, K)
     inner-product lookup table, per block table-gather sums + partial
     top-k, one driver merge.  Returns ``(query_id, vec_id, score,
-    rank)`` sorted by (query_id, rank); ties → min vec_id."""
+    rank)`` sorted by (query_id, rank), rank 1-based like the whole
+    similarity family; ties → min vec_id."""
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, K, dsub = cb.shape
     Q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -305,7 +308,7 @@ def ann_pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
         rows_q.append(np.full(sel.size, qids[qi], dtype=np.int64))
         rows_v.append(v[sel])
         rows_s.append(s[sel])
-        rows_r.append(np.arange(sel.size, dtype=np.int64))
+        rows_r.append(np.arange(1, sel.size + 1, dtype=np.int64))
     return pa.table({
         "query_id": pa.array(np.concatenate(rows_q)),
         "vec_id": pa.array(np.concatenate(rows_v)),

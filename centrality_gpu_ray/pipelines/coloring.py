@@ -220,6 +220,14 @@ def _collect_residual(graph: Graph, cfg: EngineConfig,
         d = t.column("d").to_numpy()
         keep = unc[s] & unc[d]
         bv, bc = _array_pairs(s, d, unc, cl)
+        if bv.size:
+            # per-block dedup (the _ReadyColorPairs key): the boundary
+            # pair volume is otherwise O(edges with one colored
+            # endpoint) — unbounded by the induced-edge trigger on
+            # hub-heavy graphs
+            uniq = np.unique(bv * (np.int64(cl.size) + 1) + bc)
+            bv = uniq // (np.int64(cl.size) + 1)
+            bc = uniq % (np.int64(cl.size) + 1)
         return pa.table({
             "a": pa.array(np.concatenate([s[keep], bv]).astype(np.int64)),
             "b": pa.array(np.concatenate([d[keep], bc]).astype(np.int64)),

@@ -61,9 +61,13 @@ def mis_priorities(node_ids: np.ndarray, seed: int,
             (int(hashlib.sha256(f"{int(v)}|{seed}".encode())
                  .hexdigest()[:15], 16) for v in node_ids),
             dtype=np.uint64, count=node_ids.size)
-    else:
+    elif scheme == "splitmix":
         h = _splitmix(node_ids.astype(np.int64).view(np.uint64)
                       ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+    else:
+        # loud: a typo'd scheme silently degrading to splitmix would
+        # only surface as a driver-gate hash mismatch much later
+        raise ValueError(f"mis_priorities: unknown scheme {scheme!r}")
     order = np.lexsort((node_ids, h))
     pri = np.empty(node_ids.size, dtype=np.int64)
     pri[order] = np.arange(node_ids.size, dtype=np.int64)

@@ -124,7 +124,7 @@ def test_unsorted_query_ids_output_order(ray_session):
     out = ann_pq_topk(codes, cb, X[:3], k=4,
                       query_ids=np.array([30, 10, 20])).to_pandas()
     assert out.query_id.tolist() == [10] * 4 + [20] * 4 + [30] * 4
-    assert out["rank"].tolist() == [0, 1, 2, 3] * 3
+    assert out["rank"].tolist() == [1, 2, 3, 4] * 3
 
 
 def test_ivfpq_self_retrieval_and_invariance(ray_session):
