@@ -228,9 +228,21 @@ def sgns_train(pairs, n_nodes: int, dim: int = 32, neg: int = 5,
             cn = b.column("cnt").to_numpy()
             loss += float(b.column("loss").to_numpy().sum())
             gs = b.column("g")
-            blob = b"".join(v.as_py() for v in gs)
-            arr = np.frombuffer(blob, dtype=np.float64).reshape(
-                nd.size, dim)
+            if isinstance(gs, pa.ChunkedArray):
+                gs = gs.combine_chunks()
+            # zero-copy blob concat: binary values are stored
+            # contiguously in offset order, so one buffer view replaces
+            # the per-row as_py() Python loop (it was ~30% of a full
+            # sgns_train iteration at 168k nodes)
+            off = np.frombuffer(gs.buffers()[1], dtype=np.int32)[
+                gs.offset:gs.offset + len(gs) + 1]
+            data = np.frombuffer(gs.buffers()[2], dtype=np.uint8)
+            raw = data[off[0]:off[-1]]
+            if off[0] % 8:  # misaligned slice: copy once (rare)
+                arr = np.frombuffer(raw.tobytes(), dtype=np.float64) \
+                    .reshape(nd.size, dim)
+            else:
+                arr = raw.view(np.float64).reshape(nd.size, dim)
             m0 = sd == 0
             # np.add.at: iter_batches may coalesce blocks → duplicate
             # node rows within one batch; fancy += would drop them
