@@ -337,6 +337,30 @@ def run_bench() -> dict:
     timed("greedy_coloring",
           lambda: greedy_coloring(g, seed=0).num_rows)
 
+    # bipartite butterflies over the customer→supplier purchase graph
+    # (the HITS edge table); center side auto-selected by wedge sum
+    from centrality_gpu_ray.pipelines.butterflies import butterfly_count
+    from centrality_gpu_ray.stages.shuffle import hash_lookup_join
+
+    def _butterflies():
+        li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_orderkey", "l_suppkey"])
+        orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                       columns=["o_orderkey",
+                                                "o_custkey"])
+        joined = hash_lookup_join(li, orders, row_key="l_orderkey",
+                                  dict_key="o_orderkey",
+                                  attach={"o_custkey": "cust"},
+                                  num_partitions=16)
+        edges = joined.map_batches(
+            lambda t: t.select(["cust", "l_suppkey"]),
+            batch_format="pyarrow")
+        return int(butterfly_count(
+            edges, left_col="cust",
+            right_col="l_suppkey").column("butterflies")[0].as_py())
+
+    timed("butterflies_cust_supp", _butterflies)
+
     # label propagation (per-superstep mode exchange) and modularity
     # scoring of its partition — separate rows so the partition-quality
     # operator's cost (3 shuffles) is not buried under labelprop's
