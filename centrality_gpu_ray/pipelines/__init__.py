@@ -14,6 +14,7 @@ from centrality_gpu_ray.pipelines.eigenvector import (eigenvector_centrality,
                                                       katz_centrality)
 from centrality_gpu_ray.pipelines.linkpred import link_prediction
 from centrality_gpu_ray.pipelines.hits import hits_fixed
+from centrality_gpu_ray.pipelines.butterflies import butterfly_count
 from centrality_gpu_ray.pipelines.mis import maximal_independent_set
 from centrality_gpu_ray.pipelines.coloring import greedy_coloring
 from centrality_gpu_ray.pipelines.community import (community_stats,
@@ -40,6 +41,7 @@ __all__ = [
     "katz_centrality",
     "link_prediction",
     "hits_fixed",
+    "butterfly_count",
     "maximal_independent_set",
     "greedy_coloring",
     "community_stats",
