@@ -107,49 +107,59 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
 
     t0 = time.perf_counter()
     changed = True
-    while changed and step < max_supersteps:
-        if graph.mode == "local":
-            s, d, w = graph.local_arrays()
-            ww = w.astype(np.int64) if weighted else np.ones(s.size, dtype=np.int64)
-            v = np.concatenate([d, s])
-            lab = np.concatenate([labels[s], labels[d]])
-            cc = np.concatenate([ww, ww])
-            pairs = np.stack([v, lab], axis=1)
-            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-            cnt = np.bincount(inv, weights=cc).astype(np.int64)
-            new = _pick_labels(uniq[:, 0], uniq[:, 1], cnt, labels)
-        else:
-            lab_ref = ray.put(labels)
-            if cfg.combine == "shuffle":
-                msgs = graph.edges.map_batches(_CountMsgs(lab_ref, weighted),
-                                               batch_format="pyarrow",
-                                               batch_size=cfg.batch_size)
-                # explicit hash shuffle — Ray's native groupby iterates
-                # groups in Python (~125 µs/row; collapses at scale)
-                msgs = hash_aggregate(msgs, ["v", "label"], [("c", "sum")],
-                                      num_partitions=cfg.num_partitions)
-                rows = [b for b in msgs.iter_batches(batch_size=None,
-                                                     batch_format="pyarrow")]
-                t = pa.concat_tables(rows) if rows else None
-                if t is None or t.num_rows == 0:
-                    break
-                vv = t.column("v").to_numpy()
-                ll = t.column("label").to_numpy()
-                cc = t.column("c").to_numpy()
+    if (graph.mode != "local" and cfg.combine != "shuffle"
+            and getattr(graph.pool, "_frontier_capable", True)):
+        # change-driven owner-resident path: ONE full-count superstep
+        # builds the resident (v, label)→count tables; every later
+        # superstep ships only the changed triples and their incident
+        # count deltas (O(Σdeg(changed)), decays geometrically) — no
+        # per-superstep O(m) driver pull.
+        labels, step, changed = _lp_resident_loop(
+            graph, labels, step, max_supersteps, weighted, ckpt)
+    else:
+        while changed and step < max_supersteps:
+            if graph.mode == "local":
+                s, d, w = graph.local_arrays()
+                ww = w.astype(np.int64) if weighted else np.ones(s.size, dtype=np.int64)
+                v = np.concatenate([d, s])
+                lab = np.concatenate([labels[s], labels[d]])
+                cc = np.concatenate([ww, ww])
+                pairs = np.stack([v, lab], axis=1)
+                uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+                cnt = np.bincount(inv, weights=cc).astype(np.int64)
+                new = _pick_labels(uniq[:, 0], uniq[:, 1], cnt, labels)
             else:
-                vv, ll, cc = graph.pool.gather_label_counts(lab_ref, weighted)
-                if vv.size == 0:
-                    break
-            # merge per-shard partial counts (exact int sums, order-free)
-            pairs = np.stack([vv, ll], axis=1)
-            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-            cnt = np.bincount(inv, weights=cc).astype(np.int64)
-            new = _pick_labels(uniq[:, 0], uniq[:, 1], cnt, labels)
-        changed = bool(np.any(new != labels))
-        labels = new
-        ckpt.maybe_write(step, _result(graph, labels), changed=changed,
-                         mode=graph.mode)
-        step += 1
+                lab_ref = ray.put(labels)
+                if cfg.combine == "shuffle":
+                    msgs = graph.edges.map_batches(_CountMsgs(lab_ref, weighted),
+                                                   batch_format="pyarrow",
+                                                   batch_size=cfg.batch_size)
+                    # explicit hash shuffle — Ray's native groupby iterates
+                    # groups in Python (~125 µs/row; collapses at scale)
+                    msgs = hash_aggregate(msgs, ["v", "label"], [("c", "sum")],
+                                          num_partitions=cfg.num_partitions)
+                    rows = [b for b in msgs.iter_batches(batch_size=None,
+                                                         batch_format="pyarrow")]
+                    t = pa.concat_tables(rows) if rows else None
+                    if t is None or t.num_rows == 0:
+                        break
+                    vv = t.column("v").to_numpy()
+                    ll = t.column("label").to_numpy()
+                    cc = t.column("c").to_numpy()
+                else:
+                    vv, ll, cc = graph.pool.gather_label_counts(lab_ref, weighted)
+                    if vv.size == 0:
+                        break
+                # merge per-shard partial counts (exact int sums, order-free)
+                pairs = np.stack([vv, ll], axis=1)
+                uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+                cnt = np.bincount(inv, weights=cc).astype(np.int64)
+                new = _pick_labels(uniq[:, 0], uniq[:, 1], cnt, labels)
+            changed = bool(np.any(new != labels))
+            labels = new
+            ckpt.maybe_write(step, _result(graph, labels), changed=changed,
+                             mode=graph.mode)
+            step += 1
     elapsed = time.perf_counter() - t0
 
     if metrics is not None:
@@ -166,22 +176,62 @@ def label_propagation(graph: Graph, config: EngineConfig | None = None,
     return _result(graph, labels)
 
 
+def _lp_resident_loop(graph: Graph, labels0: np.ndarray, start_step: int,
+                      max_supersteps: int, weighted: bool,
+                      ckpt: CheckpointManager | None):
+    """Run change-driven LP supersteps over owner-resident state;
+    returns (final labels, step, changed). Superstep semantics are
+    bit-identical to the full-recompute loop (exact integer count
+    invariant + the same `_pick_labels` decide), so checkpoints and the
+    converged flag compare exactly."""
+    pool = graph.pool
+    pool.setup_owner_ranges(graph.num_vertices)
+    pool.set_state(labels0.astype(np.float64))
+    step, changed = start_step, True
+    triple_ref = None
+    while changed and step < max_supersteps:
+        if triple_ref is None:
+            nch, triple_ref = pool.lp_init_resident(weighted)
+        else:
+            nch, triple_ref = pool.lp_delta_step(triple_ref, weighted)
+        changed = nch > 0
+        if ckpt is not None and ckpt.root is not None \
+                and step % ckpt.every == 0:
+            labels = pool.collect_state().astype(np.int64)
+            ckpt.maybe_write(step, _result(graph, labels), changed=changed,
+                             mode=graph.mode)
+        step += 1
+    return pool.collect_state().astype(np.int64), step, changed
+
+
 def _labelprop_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
                        max_supersteps: int, metrics: dict | None):
     """>dense_vertex_limit LP: labels live sharded in the owner actors
-    (mode combine per range); returns a Dataset of (node, label) in
-    ORIGINAL ids."""
+    (change-driven resident count state); returns a Dataset of
+    (node, label) in ORIGINAL ids."""
     from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
 
     n = graph.num_vertices
     pool = graph.pool
-    pool.setup_owners_sharded(n, weighted)
-    pool.reset_labels()
     t0 = time.perf_counter()
     step, changed = 0, True
-    while changed and step < max_supersteps:
-        changed = pool.lp_step(weighted) > 0
-        step += 1
+    if getattr(pool, "_frontier_capable", True):
+        pool.setup_owner_ranges(n)
+        pool.reset_labels()
+        triple_ref = None
+        while changed and step < max_supersteps:
+            if triple_ref is None:
+                nch, triple_ref = pool.lp_init_resident(weighted)
+            else:
+                nch, triple_ref = pool.lp_delta_step(triple_ref, weighted)
+            changed = nch > 0
+            step += 1
+    else:
+        pool.setup_owners_sharded(n, weighted)
+        pool.reset_labels()
+        while changed and step < max_supersteps:
+            changed = pool.lp_step(weighted) > 0
+            step += 1
     elapsed = time.perf_counter() - t0
     if metrics is not None:
         metrics.update({"supersteps": step, "sec": elapsed,

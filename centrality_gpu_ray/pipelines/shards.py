@@ -282,6 +282,147 @@ def _shard_class():
             self.state = new.astype(np.float64)
             return changed
 
+        # -- change-driven mode-LP (owner-resident count state) ----------
+        # Full-count supersteps stream all 2m messages every round even
+        # when almost no label changed.  Change-driven LP instead keeps
+        # the exact per-(vertex, label) neighbor-count table RESIDENT in
+        # the owners and, per superstep, ships only the changed
+        # vertices' (id, old_label, new_label) triples; shards emit
+        # ±w count deltas from the changed vertices' own adjacency
+        # segments (O(Σdeg(changed)), decays geometrically as LP
+        # converges) and owners fold them into the resident table and
+        # re-decide only the touched vertices.  Decisions are
+        # bit-identical to the full recompute: the count table is an
+        # exact integer invariant and `_pick_labels` depends only on a
+        # vertex's (rows, current label).  Packing envelope: dense ids
+        # and labels < 2^32 (same as owner_combine_mode).
+
+        _LAB_MASK = np.int64((1 << 32) - 1)
+
+        def shard_lp_delta(self, bounds: np.ndarray, triple,
+                           weighted: bool):
+            """Range-split (v, label, ±delta) partials from the changed
+            vertices' adjacency segments. ``triple`` = one assembled
+            plasma object (sorted changed dense ids, old labels, new
+            labels)."""
+            changed, old_lab, new_lab = triple
+            z = np.empty(0, dtype=np.int64)
+            empty = tuple((z, z, z) for _ in range(len(bounds) - 1))
+            if self.u.size == 0 or changed.size == 0:
+                return empty
+            nbr, counts, hit, idx = self._frontier_segments(changed)
+            if nbr.size == 0:
+                return empty
+            w = (self.w[idx].astype(np.int64) if weighted
+                 else np.ones(nbr.size, dtype=np.int64))
+            v2 = np.concatenate([nbr, nbr])
+            lab2 = np.concatenate([np.repeat(old_lab[hit], counts),
+                                   np.repeat(new_lab[hit], counts)])
+            d2 = np.concatenate([-w, w])
+            key = (v2 << np.int64(32)) | lab2
+            uniq, inv = np.unique(key, return_inverse=True)
+            dd = np.bincount(inv, weights=d2).astype(np.int64)
+            nz = dd != 0
+            uniq, dd = uniq[nz], dd[nz]
+            vv = uniq >> np.int64(32)
+            cuts = np.searchsorted(vv, bounds)
+            ll = uniq & self._LAB_MASK
+            return tuple((vv[cuts[i]:cuts[i + 1]], ll[cuts[i]:cuts[i + 1]],
+                          dd[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def owner_lp_init_resident(self, my_idx: int, *shard_outs):
+            """Build this range's resident LP count table from the
+            shards' full (v, label, count) partials, then run the first
+            decide; returns the changed (ids, old, new) triple."""
+            vs, ls, cs = [], [], []
+            for out in shard_outs:
+                v, l, c = out[my_idx]
+                vs.append(v)
+                ls.append(l)
+                cs.append(c)
+            v = np.concatenate(vs)
+            z = np.empty(0, dtype=np.int64)
+            if v.size == 0:
+                self.lp_keys = z
+                self.lp_cnt = z.copy()
+                return z, z, z
+            lab = np.concatenate(ls)
+            cnt0 = np.concatenate(cs)
+            key = ((v - self.lo).astype(np.int64) << np.int64(32)) | lab
+            uniq, inv = np.unique(key, return_inverse=True)
+            self.lp_keys = uniq
+            self.lp_cnt = np.bincount(inv, weights=cnt0).astype(np.int64)
+            return self._lp_decide(np.unique(uniq >> np.int64(32)))
+
+        def owner_lp_apply(self, my_idx: int, *delta_outs):
+            """Fold the shards' count deltas into the resident table
+            (sorted-merge: in-place adds for existing keys, merge-insert
+            for fresh ones — both O(deltas), not O(table)), then
+            re-decide only the touched vertices."""
+            vs, ls, ds = [], [], []
+            for out in delta_outs:
+                v, l, d = out[my_idx]
+                vs.append(v)
+                ls.append(l)
+                ds.append(d)
+            v = np.concatenate(vs)
+            z = np.empty(0, dtype=np.int64)
+            if v.size == 0:
+                return z, z, z
+            lab = np.concatenate(ls)
+            d0 = np.concatenate(ds)
+            key0 = ((v - self.lo).astype(np.int64) << np.int64(32)) | lab
+            # combine duplicates across shards (small: delta rows only)
+            key, inv = np.unique(key0, return_inverse=True)
+            dd = np.bincount(inv, weights=d0).astype(np.int64)
+            pos = np.searchsorted(self.lp_keys, key)
+            pos_c = np.minimum(pos, max(self.lp_keys.size - 1, 0))
+            hit = (self.lp_keys[pos_c] == key) if self.lp_keys.size \
+                else np.zeros(key.size, dtype=bool)
+            self.lp_cnt[pos_c[hit]] += dd[hit]
+            miss = ~hit
+            if miss.any():
+                self.lp_keys = np.insert(self.lp_keys, pos[miss], key[miss])
+                self.lp_cnt = np.insert(self.lp_cnt, pos[miss], dd[miss])
+            # drop zeroed rows (a neighbor left the label entirely) so
+            # the table stays bounded by the live (v, label) support
+            nzm = self.lp_cnt != 0
+            if not nzm.all():
+                self.lp_keys = self.lp_keys[nzm]
+                self.lp_cnt = self.lp_cnt[nzm]
+            return self._lp_decide(np.unique(key >> np.int64(32)))
+
+        def _lp_decide(self, touched_rel: np.ndarray):
+            """Argmax-with-tie-break over the touched vertices' resident
+            rows (contiguous in packed-key order); commits the new
+            labels and returns (dense ids, old, new) of changed."""
+            from centrality_gpu_ray.pipelines.labelprop import _pick_labels
+
+            z = np.empty(0, dtype=np.int64)
+            if touched_rel.size == 0:
+                return z, z, z
+            starts = np.searchsorted(self.lp_keys,
+                                     touched_rel << np.int64(32))
+            ends = np.searchsorted(self.lp_keys,
+                                   (touched_rel + 1) << np.int64(32))
+            counts = ends - starts
+            idx = np.repeat(starts, counts) + _ragged(counts)
+            keys = self.lp_keys[idx]
+            current = self.state.astype(np.int64)
+            new = _pick_labels(keys >> np.int64(32), keys & self._LAB_MASK,
+                               self.lp_cnt[idx], current)
+            ch = np.flatnonzero(new != current)
+            old_lab = current[ch]
+            self.state = new.astype(np.float64)
+            return ch + self.lo, old_lab, new[ch]
+
+        def owner_set_range(self, lo: int, hi: int) -> bool:
+            """Minimal owner init (range only) for algorithms that need
+            neither degrees nor a numeric init vector (LP)."""
+            self.lo, self.hi = lo, hi
+            return True
+
         def owner_fill_aux(self, value: float) -> bool:
             """Secondary owner-resident vector (e.g. BFS parents)."""
             self.aux = np.full(self.hi - self.lo, value, dtype=np.float64)
@@ -322,8 +463,9 @@ def _shard_class():
         # rep_fold-tiled shards (seg no longer indexes uniq_v 1:1).
 
         def _frontier_segments(self, frontier: np.ndarray):
-            """(neighbor array, per-frontier counts, hit mask) for the
-            frontier vertices present in this shard."""
+            """(neighbor array, per-frontier counts, hit mask, message
+            indices) for the frontier vertices present in this shard;
+            ``idx`` indexes the parallel per-message arrays (u/w)."""
             pos = np.searchsorted(self.uniq_v, frontier)
             pos_c = np.minimum(pos, max(self.uniq_v.size - 1, 0))
             hit = (self.uniq_v[pos_c] == frontier) if self.uniq_v.size \
@@ -333,7 +475,7 @@ def _shard_class():
             starts, ends = self.seg[pos], seg_ends[pos]
             counts = ends - starts
             idx = np.repeat(starts, counts) + _ragged(counts)
-            return self.u[idx].astype(np.int64), counts, hit
+            return self.u[idx].astype(np.int64), counts, hit, idx
 
         def shard_bfs_topdown(self, bounds: np.ndarray,
                               frontier: np.ndarray):
@@ -344,7 +486,7 @@ def _shard_class():
             z = np.empty(0, dtype=np.int64)
             if self.u.size == 0 or frontier.size == 0:
                 return tuple((z, z) for _ in range(len(bounds) - 1))
-            nbr, counts, hit = self._frontier_segments(frontier)
+            nbr, counts, hit, _ = self._frontier_segments(frontier)
             par = np.repeat(frontier[hit], counts)
             if nbr.size == 0:
                 return tuple((z, z) for _ in range(len(bounds) - 1))
@@ -367,7 +509,7 @@ def _shard_class():
             if self.u.size == 0 or frontier.size == 0:
                 return tuple((z, z.astype(np.float64))
                              for _ in range(len(bounds) - 1))
-            nbr, counts, hit = self._frontier_segments(frontier)
+            nbr, counts, hit, _ = self._frontier_segments(frontier)
             contrib = np.repeat(vals[hit], counts)
             if nbr.size == 0:
                 return tuple((z, z.astype(np.float64))
@@ -1219,8 +1361,19 @@ def _assemble_fn():
             return tuple(np.concatenate([t[i] for t in tuples])
                          for i in range(k))
 
+        @ray.remote(num_cpus=0, num_returns=2)
+        def _assemble_changed(*triples):
+            """(count scalar, one (ids, old, new) plasma triple) from P
+            owners' changed-vertex partials — the driver derefs only the
+            scalar; the triple ships straight to the next superstep's
+            shards (ids stay globally sorted — owner ranges ascend)."""
+            ids = np.concatenate([t[0] for t in triples])
+            old = np.concatenate([t[1] for t in triples])
+            new = np.concatenate([t[2] for t in triples])
+            return int(ids.size), (ids, old, new)
+
         _ASSEMBLE = (_assemble, _assemble_wm, _assemble_pair,
-                     _assemble_cols)
+                     _assemble_cols, _assemble_changed)
     return _ASSEMBLE
 
 
@@ -1276,6 +1429,10 @@ class ShardPool:
     @staticmethod
     def _assembler_cols():
         return _assemble_fn()[3]
+
+    @staticmethod
+    def _assembler_changed():
+        return _assemble_fn()[4]
 
     # -- owner-mode orchestration (no O(n) driver work per superstep) ----
 
@@ -1653,6 +1810,51 @@ class ShardPool:
             for p in range(P)
         ]
         return int(sum(ray.get(changed_refs)))
+
+    def setup_owner_ranges(self, n: int):
+        """Minimal owner init: just the [lo, hi) range split — no degree
+        pass, no numeric init vector (LP needs neither)."""
+        import ray
+
+        P = len(self.actors)
+        bounds = (n * np.arange(P + 1, dtype=np.int64)) // P
+        ray.get([a.owner_set_range.remote(int(bounds[i]), int(bounds[i + 1]))
+                 for i, a in enumerate(self.actors)])
+        self.bounds = bounds
+        self.n = n
+
+    def lp_init_resident(self, weighted: bool = True):
+        """Change-driven LP superstep 0: ONE full-count gather builds
+        the owners' resident (v, label)→count tables and runs the first
+        decide. Returns (#changed, changed-triple ref); the driver
+        derefs only the scalar."""
+        import ray
+
+        P = len(self.actors)
+        lab_refs = [a.owner_get_state.remote() for a in self.actors]
+        lab_full = self._assembler().remote(*lab_refs)
+        outs = [a.shard_gather_label_counts.remote(self.bounds, lab_full,
+                                                   weighted)
+                for a in self.actors]
+        ch_refs = [self.actors[p].owner_lp_init_resident.remote(p, *outs)
+                   for p in range(P)]
+        cnt_ref, triple_ref = self._assembler_changed().remote(*ch_refs)
+        return int(ray.get(cnt_ref)), triple_ref
+
+    def lp_delta_step(self, triple_ref, weighted: bool = True):
+        """One change-driven LP superstep: shards emit ±w count deltas
+        from the changed vertices' adjacency segments
+        (O(Σdeg(changed)), not O(m)); owners fold and re-decide only
+        touched vertices. Returns (#changed, next changed-triple ref)."""
+        import ray
+
+        P = len(self.actors)
+        outs = [a.shard_lp_delta.remote(self.bounds, triple_ref, weighted)
+                for a in self.actors]
+        ch_refs = [self.actors[p].owner_lp_apply.remote(p, *outs)
+                   for p in range(P)]
+        cnt_ref, next_ref = self._assembler_changed().remote(*ch_refs)
+        return int(ray.get(cnt_ref)), next_ref
 
     def lp_step(self, weighted: bool = True) -> int:
         """One mode-LP superstep over owner-resident labels; returns
