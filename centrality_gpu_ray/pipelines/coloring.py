@@ -25,8 +25,11 @@ Same tail-round optimization as MIS: once the uncolored-induced
 subgraph fits a cap, collect it PLUS the fixed boundary colors and
 continue the identical loop on driver arrays — bit-identical output.
 
-Dense-path operator (state = driver vectors broadcast per round, the
-≤``dense_vertex_limit`` envelope); greedy coloring is the standard
+Dense path: state = driver vectors broadcast per round (the
+≤``dense_vertex_limit`` envelope). Sharded path
+(``_coloring_sharded``): owner-resident counters + neighbor-color
+sets on the shard pool, only newly-colored vertices ship per round
+(O(m) total message volume). Greedy coloring is the standard
 preprocessing for parallel scheduling / register-allocation-shaped
 problems and a quality probe for the partition operators.
 """
@@ -49,16 +52,20 @@ from centrality_gpu_ray.pipelines.mis import (_LOCAL_FINISH_EDGES,
 _NOCOLOR = np.int64(-1)
 
 
-def _mex_per_vertex(v: np.ndarray, c: np.ndarray, n: int) -> np.ndarray:
-    """Smallest color ≥ 0 absent from each ready vertex's pair list.
-    Ready vertices with no pairs get 0."""
-    mex = np.zeros(n, dtype=np.int64)
+def _mex_compact(v: np.ndarray, c: np.ndarray, k: int,
+                 mod: int) -> np.ndarray:
+    """Smallest color ≥ 0 absent from each index's pair list, for
+    indices ``v`` in [0, k); colors must be < ``mod`` − 1.  Indices
+    with no pairs get 0.  Output is a k-vector — callers with a large
+    id space pass compacted ranks so the output stays candidate-sized
+    (the owner-resident JP path), full-n callers pass k = n."""
+    mex = np.zeros(k, dtype=np.int64)
     if v.size == 0:
         return mex
-    keys = v * (np.int64(n) + 1) + np.minimum(c, n - 1) + 1
+    keys = v * np.int64(mod) + np.minimum(c, mod - 2) + 1
     uniq = np.unique(keys)
-    uv = uniq // (np.int64(n) + 1)
-    uc = uniq % (np.int64(n) + 1) - 1
+    uv = uniq // np.int64(mod)
+    uc = uniq % np.int64(mod) - 1
     starts = np.flatnonzero(np.r_[True, uv[1:] != uv[:-1]])
     seg_of = np.repeat(np.arange(starts.size), np.diff(np.r_[starts,
                                                              uv.size]))
@@ -74,6 +81,12 @@ def _mex_per_vertex(v: np.ndarray, c: np.ndarray, n: int) -> np.ndarray:
                        first_mism, seg_len)
     mex[uv[starts]] = mex_seg
     return mex
+
+
+def _mex_per_vertex(v: np.ndarray, c: np.ndarray, n: int) -> np.ndarray:
+    """Smallest color ≥ 0 absent from each ready vertex's pair list.
+    Ready vertices with no pairs get 0."""
+    return _mex_compact(v, c, n, n + 1)
 
 
 def _array_pairs(s: np.ndarray, d: np.ndarray, ready: np.ndarray,
@@ -128,9 +141,7 @@ def greedy_coloring(graph: Graph, seed: int = 0,
 
     cfg = config or graph.config
     if getattr(graph, "sharded", False):
-        raise ValueError(
-            "greedy_coloring: dense path only (module docstring "
-            "documents the owner-resident extension)")
+        return _coloring_sharded(graph, seed, cfg, max_rounds, metrics)
     n = graph.num_vertices
     cap = n if max_rounds is None else max_rounds
     pri = mis_priorities(graph.node_ids, seed).astype(np.float64)
@@ -201,6 +212,56 @@ def greedy_coloring(graph: Graph, seed: int = 0,
         "color": pa.array(colors),
         "color_round": pa.array(colored_round),
     })
+
+
+def _coloring_sharded(graph: Graph, seed: int, cfg: EngineConfig,
+                      max_rounds: int | None, metrics: dict | None):
+    """>dense_vertex_limit JP coloring: owner-resident counters of
+    uncolored lower-priority neighbors + resident neighbor-color sets;
+    per round only the newly-colored vertices ship (total message
+    volume O(m) over ALL rounds — the dense path's per-round full-edge
+    gathers don't survive 100× scale). Round-for-round identical to the
+    dense path (splitmix64 priorities are bijective, so the hash order
+    IS the dense permutation order); returns a Dataset of
+    (node, color, color_round) in original ids."""
+    import time as _time
+
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    n = graph.num_vertices
+    cap = n if max_rounds is None else max_rounds
+    pool = graph.pool
+    if not getattr(pool, "_frontier_capable", True):
+        raise ValueError("sharded coloring needs a frontier-capable "
+                         "pool (no replica tiling)")
+    dict_meta = (graph.vdict.mins, graph.vdict.offsets,
+                 graph.vdict.block_refs)
+    t0 = _time.perf_counter()
+    pool.jp_setup(seed, dict_meta, n)
+    rnd = 1
+    ncol, pair_ref = pool.jp_color_first()
+    total = ncol
+    while total < n:
+        rnd += 1
+        if rnd > cap:
+            raise RuntimeError(
+                f"greedy_coloring[sharded]: {n - total} vertices "
+                f"uncolored after max_rounds={cap}")
+        ncol, pair_ref = pool.jp_color_round(pair_ref, rnd)
+        total += ncol
+    und, max_color = pool.jp_finalize()
+    if und:
+        raise AssertionError(
+            f"greedy_coloring[sharded]: {und} undecided after "
+            "termination — counter invariant broken")
+    if metrics is not None:
+        metrics.update({"rounds": rnd,
+                        "sec": _time.perf_counter() - t0,
+                        "num_colors": max_color + 1,
+                        "mode": "sharded"})
+    return scores_dataset(graph.vdict, pool, "color",
+                          aux_col="color_round", value_cast="int64",
+                          aux_cast="int64")
 
 
 def _collect_residual(graph: Graph, cfg: EngineConfig,

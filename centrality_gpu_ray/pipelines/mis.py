@@ -22,10 +22,11 @@ Each round decides at least the globally-min-priority undecided
 vertex, so termination is unconditional; ``max_supersteps`` is a loud
 cap only.
 
-Dense-path operator (priorities + status are driver vectors,
-broadcast per round — the same ≤``dense_vertex_limit`` envelope as
-dense PageRank; the sharded extension is owner-resident status with a
-``mis_step``, not built).
+Dense path: priorities + status are driver vectors broadcast per
+round (the same ≤``dense_vertex_limit`` envelope as dense PageRank).
+Sharded path (``_mis_sharded``): owner-resident Jones–Plassmann
+counters on the shard pool — per round only the newly-decided
+vertices ship, O(m) total message volume over all rounds.
 """
 
 from __future__ import annotations
@@ -202,9 +203,7 @@ def maximal_independent_set(graph: Graph, seed: int = 0,
     excluded by a neighbor joining).  Original node ids."""
     cfg = config or graph.config
     if getattr(graph, "sharded", False):
-        raise ValueError(
-            "maximal_independent_set: dense path only (module "
-            "docstring documents the owner-resident extension)")
+        return _mis_sharded(graph, seed, cfg, priority_scheme, metrics)
     n = graph.num_vertices
     pri = mis_priorities(graph.node_ids, seed,
                          scheme=priority_scheme).astype(np.float64)
@@ -248,3 +247,61 @@ def maximal_independent_set(graph: Graph, seed: int = 0,
         "in_mis": pa.array(in_mis),
         "mis_round": pa.array(decided_round),
     })
+
+
+def _mis_sharded(graph: Graph, seed: int, cfg: EngineConfig,
+                 priority_scheme: str, metrics: dict | None):
+    """>dense_vertex_limit MIS on the owner-resident Jones–Plassmann
+    machinery (``shards.py``): resident counters of undecided
+    lower-priority neighbors; per round, (1) last round's decided set
+    ships decrements → zero-counter vertices win, (2) winners' undecided
+    neighbors are excluded. Total message volume O(m) over all rounds;
+    round-for-round identical to the dense path. Returns a Dataset of
+    (node, in_mis, mis_round) in original ids."""
+    import time as _time
+
+    from centrality_gpu_ray.pipelines.vertexdict import scores_dataset
+
+    if priority_scheme != "splitmix":
+        # the owner-resident path relies on splitmix64's bijectivity
+        # (hash order == dense rank order with NO ties); the sha256
+        # 60-bit-prefix family can tie and needs the dense global rank
+        raise ValueError("sharded MIS supports priority_scheme="
+                         "'splitmix' only")
+    n = graph.num_vertices
+    pool = graph.pool
+    if not getattr(pool, "_frontier_capable", True):
+        raise ValueError("sharded MIS needs a frontier-capable pool "
+                         "(no replica tiling)")
+    dict_meta = (graph.vdict.mins, graph.vdict.offsets,
+                 graph.vdict.block_refs)
+    t0 = _time.perf_counter()
+    pool.jp_setup(seed, dict_meta, n)
+    rnd = 1
+    nwin, win_ref = pool.mis_first()
+    mis_size = nwin
+    nexc, exc_ref = pool.mis_exclude_round(win_ref, rnd)
+    total = nwin + nexc
+    dec_ref = pool._assembler().remote(win_ref, exc_ref)
+    while total < n:
+        rnd += 1
+        if rnd > cfg.max_supersteps:
+            raise RuntimeError(
+                f"maximal_independent_set[sharded]: {n - total} "
+                f"undecided after max_supersteps={cfg.max_supersteps}")
+        nwin, win_ref = pool.mis_win_round(dec_ref, rnd)
+        mis_size += nwin
+        nexc, exc_ref = pool.mis_exclude_round(win_ref, rnd)
+        total += nwin + nexc
+        dec_ref = pool._assembler().remote(win_ref, exc_ref)
+    und, _ = pool.jp_finalize()
+    if und:
+        raise AssertionError(
+            f"maximal_independent_set[sharded]: {und} undecided after "
+            "termination — counter invariant broken")
+    if metrics is not None:
+        metrics.update({"rounds": rnd, "sec": _time.perf_counter() - t0,
+                        "mis_size": mis_size, "mode": "sharded"})
+    return scores_dataset(graph.vdict, pool, "in_mis",
+                          aux_col="mis_round", value_cast="bool",
+                          aux_cast="int64")

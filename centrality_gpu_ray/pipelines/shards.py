@@ -423,6 +423,254 @@ def _shard_class():
             self.lo, self.hi = lo, hi
             return True
 
+        # -- owner-resident Jones–Plassmann machinery (MIS + coloring) ---
+        # The dense JP/MIS paths broadcast (mask, pri) and stream all 2m
+        # messages every round. Owner-resident JP instead keeps, per
+        # vertex: a resident counter of UNDECIDED lower-priority
+        # neighbors (ready/winner ⟺ counter hits 0) and — for coloring —
+        # the set of colors already taken by neighbors. Per round only
+        # the newly-decided vertices ship; shards emit decrements (and
+        # color marks) from those vertices' adjacency segments, so total
+        # message volume over ALL rounds is O(m), not O(m·rounds).
+        # Decisions are round-for-round identical to the dense paths:
+        # counter==0 ⟺ pri < min over undecided neighbors, and the
+        # resident color set at decision time equals the dense pair
+        # gather. Priorities are the splitmix64 hash of the original id
+        # (bijective ⇒ strict total order, same order as the dense
+        # path's dense rank), order-preservingly remapped to int64.
+
+        def owner_jp_pri_chunk(self, seed: int, dict_meta) -> np.ndarray:
+            """This range's priority chunk: splitmix64(original_id ^
+            seed) — identical hash to `mis_priorities(scheme=
+            "splitmix")`, so the int64-mapped values sort exactly like
+            the dense path's permutation ranks."""
+            from centrality_gpu_ray.functions.sketch import _splitmix
+            from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+
+            orig = _DictReader(dict_meta).to_original(
+                np.arange(self.lo, self.hi, dtype=np.int64))
+            h = _splitmix(orig.view(np.uint64)
+                          ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+            pri = (h ^ np.uint64(1 << 63)).view(np.int64)
+            self.jp_pri_chunk = pri
+            return pri
+
+        def shard_jp_load_pri(self, pri_full: np.ndarray) -> bool:
+            """Cache the assembled priority vector shard-resident
+            (zero-copy plasma view; static across all rounds)."""
+            self.jp_pri = pri_full
+            return True
+
+        def shard_jp_cnt_init(self, bounds: np.ndarray):
+            """Per-range (v, #lower-priority neighbors) partials — the
+            one full-edge pass of the owner-resident JP setup."""
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0:
+                return tuple((z, z) for _ in range(len(bounds) - 1))
+            lower = (self.jp_pri[self.u]
+                     < self.jp_pri[self.v]).astype(np.int64)
+            cnt = np.add.reduceat(lower, self.seg)
+            cuts = np.searchsorted(self.uniq_v, bounds)
+            return tuple((self.uniq_v[cuts[i]:cuts[i + 1]].astype(np.int64),
+                          cnt[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def shard_jp_color_delta(self, bounds: np.ndarray, pair):
+            """Per-range (dec vertex, dec count, mark vertex, color)
+            partials from the newly-colored vertices' adjacency
+            segments: decrements for lower-pri→higher-pri edges, plus
+            distinct (neighbor, color) marks for the mex sets."""
+            ids, cols = pair
+            z = np.empty(0, dtype=np.int64)
+            empty = tuple((z, z, z, z) for _ in range(len(bounds) - 1))
+            if self.u.size == 0 or ids.size == 0:
+                return empty
+            nbr, counts, hit, _ = self._frontier_segments(ids)
+            if nbr.size == 0:
+                return empty
+            u_ids = np.repeat(ids[hit], counts)
+            dec_m = self.jp_pri[u_ids] < self.jp_pri[nbr]
+            vd, dc = self._dec_partial(nbr[dec_m])
+            key = np.unique((nbr << np.int64(32))
+                            | np.repeat(cols[hit], counts))
+            vs = key >> np.int64(32)
+            cs = key & self._LAB_MASK
+            cut_d = np.searchsorted(vd, bounds)
+            cut_s = np.searchsorted(vs, bounds)
+            return tuple((vd[cut_d[i]:cut_d[i + 1]],
+                          dc[cut_d[i]:cut_d[i + 1]],
+                          vs[cut_s[i]:cut_s[i + 1]],
+                          cs[cut_s[i]:cut_s[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        @staticmethod
+        def _dec_partial(targets: np.ndarray):
+            """(sorted unique vertices, decrement counts)."""
+            if targets.size == 0:
+                z = np.empty(0, dtype=np.int64)
+                return z, z
+            uv, cnts = np.unique(targets, return_counts=True)
+            return uv, cnts.astype(np.int64)
+
+        def shard_mis_dec(self, bounds: np.ndarray, ids: np.ndarray):
+            """Per-range decrement partials from newly-DECIDED vertices
+            (MIS winners + exclusions of the previous round)."""
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0 or ids.size == 0:
+                return tuple((z, z) for _ in range(len(bounds) - 1))
+            nbr, counts, hit, _ = self._frontier_segments(ids)
+            u_ids = np.repeat(ids[hit], counts)
+            vd, dc = self._dec_partial(nbr[self.jp_pri[u_ids]
+                                           < self.jp_pri[nbr]])
+            cuts = np.searchsorted(vd, bounds)
+            return tuple((vd[cuts[i]:cuts[i + 1]], dc[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1))
+
+        def shard_nbr_ids(self, bounds: np.ndarray, ids: np.ndarray):
+            """Per-range distinct neighbor ids of the given vertices
+            (MIS winner→exclusion marking)."""
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0 or ids.size == 0:
+                return tuple(z for _ in range(len(bounds) - 1))
+            nbr, _counts, _hit, _ = self._frontier_segments(ids)
+            un = np.unique(nbr)
+            cuts = np.searchsorted(un, bounds)
+            return tuple(un[cuts[i]:cuts[i + 1]]
+                         for i in range(len(bounds) - 1))
+
+        def owner_jp_state_init(self, n: int, my_idx: int,
+                                *cnt_outs) -> bool:
+            """Fold the shards' lower-pri-neighbor counts and reset the
+            decision vectors (color/status −1, round 0)."""
+            width = self.hi - self.lo
+            cnt = np.zeros(width, dtype=np.int64)
+            for out in cnt_outs:
+                uniq_v, c = out[my_idx]
+                cnt[uniq_v - self.lo] += c
+            self.jp_cnt = cnt
+            self.jp_n = n
+            self.jp_color = np.full(width, -1, dtype=np.int64)
+            self.jp_round = np.zeros(width, dtype=np.int64)
+            self.jp_keys = np.empty(0, dtype=np.int64)  # (v_rel, color) set
+            return True
+
+        def _jp_ready_mex(self, cand_rel: np.ndarray, rnd: int):
+            """Color the ready candidates (uncolored, counter 0) by mex
+            over their resident neighbor-color sets; returns their
+            (dense ids, colors)."""
+            from centrality_gpu_ray.pipelines.coloring import _mex_compact
+
+            z = np.empty(0, dtype=np.int64)
+            if cand_rel.size == 0:
+                return z, z
+            ready = cand_rel[(self.jp_color[cand_rel] < 0)
+                             & (self.jp_cnt[cand_rel] == 0)]
+            if ready.size == 0:
+                return z, z
+            starts = np.searchsorted(self.jp_keys, ready << np.int64(32))
+            ends = np.searchsorted(self.jp_keys,
+                                   (ready + 1) << np.int64(32))
+            counts = ends - starts
+            idx = np.repeat(starts, counts) + _ragged(counts)
+            keys = self.jp_keys[idx]
+            rank = np.searchsorted(ready, keys >> np.int64(32))
+            mex = _mex_compact(rank, keys & self._LAB_MASK, ready.size,
+                               self.jp_n + 1)
+            self.jp_color[ready] = mex
+            self.jp_round[ready] = rnd
+            return ready + self.lo, mex
+
+        def owner_jp_color_first(self, rnd: int = 1):
+            """Round 1: color every vertex with no lower-pri neighbor."""
+            return self._jp_ready_mex(np.flatnonzero(self.jp_cnt == 0),
+                                      rnd)
+
+        def owner_jp_color_apply(self, my_idx: int, rnd: int,
+                                 *delta_outs):
+            """Fold decrements + color marks from the previous round's
+            colorings, then color the newly-ready vertices."""
+            vds, dcs, vss, css = [], [], [], []
+            for out in delta_outs:
+                vd, dc, vs, cs = out[my_idx]
+                vds.append(vd)
+                dcs.append(dc)
+                vss.append(vs)
+                css.append(cs)
+            vd = np.concatenate(vds)
+            if vd.size:
+                # decrement partials are unique per shard; cross-shard
+                # duplicates need the unbuffered scatter-add
+                np.add.at(self.jp_cnt, vd - self.lo,
+                          -np.concatenate(dcs))
+            vs = np.concatenate(vss)
+            keep = (self.jp_color[vs - self.lo] < 0) if vs.size \
+                else np.zeros(0, dtype=bool)
+            if keep.any():
+                key = np.unique(((vs[keep] - self.lo) << np.int64(32))
+                                | np.concatenate(css)[keep])
+                pos = np.searchsorted(self.jp_keys, key)
+                pos_c = np.minimum(pos, max(self.jp_keys.size - 1, 0))
+                hit = (self.jp_keys[pos_c] == key) if self.jp_keys.size \
+                    else np.zeros(key.size, dtype=bool)
+                if (~hit).any():
+                    self.jp_keys = np.insert(self.jp_keys, pos[~hit],
+                                             key[~hit])
+            cand = np.unique(vd - self.lo) if vd.size \
+                else np.empty(0, dtype=np.int64)
+            return self._jp_ready_mex(cand, rnd)
+
+        def owner_mis_first(self, rnd: int = 1):
+            """Round 1 winners: every vertex with no lower-pri
+            neighbor joins the MIS."""
+            win = np.flatnonzero(self.jp_cnt == 0)
+            self.jp_color[win] = 1
+            self.jp_round[win] = rnd
+            return win + self.lo
+
+        def owner_mis_apply(self, my_idx: int, rnd: int, *dec_outs):
+            """Fold decrements from last round's decided vertices; the
+            undecided whose counter hits 0 join the MIS."""
+            vds, dcs = [], []
+            for out in dec_outs:
+                vd, dc = out[my_idx]
+                vds.append(vd)
+                dcs.append(dc)
+            vd = np.concatenate(vds)
+            if vd.size == 0:
+                return np.empty(0, dtype=np.int64)
+            np.add.at(self.jp_cnt, vd - self.lo, -np.concatenate(dcs))
+            cand = np.unique(vd - self.lo)
+            win = cand[(self.jp_color[cand] < 0)
+                       & (self.jp_cnt[cand] == 0)]
+            self.jp_color[win] = 1
+            self.jp_round[win] = rnd
+            return win + self.lo
+
+        def owner_mis_exclude(self, my_idx: int, rnd: int, *nbr_outs):
+            """Mark undecided neighbors of this round's winners
+            excluded; returns their dense ids (next round's decrement
+            sources alongside the winners)."""
+            parts = [out[my_idx] for out in nbr_outs]
+            nb = np.concatenate(parts) if parts \
+                else np.empty(0, dtype=np.int64)
+            if nb.size == 0:
+                return nb
+            rel = np.unique(nb - self.lo)
+            excl = rel[self.jp_color[rel] < 0]
+            self.jp_color[excl] = 0
+            self.jp_round[excl] = rnd
+            return excl + self.lo
+
+        def owner_jp_finalize(self):
+            """Mirror the decision vectors into the generic owner state
+            (state = color/status, aux = round) for `scores_dataset`;
+            returns (undecided count, max decision value) for the
+            loud-cap check / num_colors metric."""
+            self.state = self.jp_color.astype(np.float64)
+            self.aux = self.jp_round.astype(np.float64)
+            return (int((self.jp_color < 0).sum()),
+                    int(self.jp_color.max(initial=-1)))
+
         def owner_fill_aux(self, value: float) -> bool:
             """Secondary owner-resident vector (e.g. BFS parents)."""
             self.aux = np.full(self.hi - self.lo, value, dtype=np.float64)
@@ -1362,6 +1610,20 @@ def _assemble_fn():
                          for i in range(k))
 
         @ray.remote(num_cpus=0, num_returns=2)
+        def _assemble_pair_count(*pairs):
+            """(count scalar, one (ids, vals) plasma pair) from P
+            owners' partials — driver derefs only the scalar."""
+            ids = np.concatenate([p[0] for p in pairs])
+            vals = np.concatenate([p[1] for p in pairs])
+            return int(ids.size), (ids, vals)
+
+        @ray.remote(num_cpus=0, num_returns=2)
+        def _assemble_ids_count(*arrays):
+            """(count scalar, one concatenated id plasma array)."""
+            ids = np.concatenate(arrays)
+            return int(ids.size), ids
+
+        @ray.remote(num_cpus=0, num_returns=2)
         def _assemble_changed(*triples):
             """(count scalar, one (ids, old, new) plasma triple) from P
             owners' changed-vertex partials — the driver derefs only the
@@ -1373,7 +1635,8 @@ def _assemble_fn():
             return int(ids.size), (ids, old, new)
 
         _ASSEMBLE = (_assemble, _assemble_wm, _assemble_pair,
-                     _assemble_cols, _assemble_changed)
+                     _assemble_cols, _assemble_changed,
+                     _assemble_pair_count, _assemble_ids_count)
     return _ASSEMBLE
 
 
@@ -1433,6 +1696,14 @@ class ShardPool:
     @staticmethod
     def _assembler_changed():
         return _assemble_fn()[4]
+
+    @staticmethod
+    def _assembler_pair_count():
+        return _assemble_fn()[5]
+
+    @staticmethod
+    def _assembler_ids_count():
+        return _assemble_fn()[6]
 
     # -- owner-mode orchestration (no O(n) driver work per superstep) ----
 
@@ -1872,6 +2143,90 @@ class ShardPool:
             for p in range(P)
         ]
         return int(sum(ray.get(changed_refs)))
+
+    # -- owner-resident Jones–Plassmann orchestration --------------------
+
+    def jp_setup(self, seed: int, dict_meta, n: int):
+        """One-time JP setup: priority chunks (computed per owner from
+        the sharded vertex dictionary), ONE static priority broadcast
+        into the shards, one full-edge lower-pri-count pass, decision
+        vectors reset. Driver work: O(P) calls."""
+        import ray
+
+        self.setup_owner_ranges(n)
+        P = len(self.actors)
+        pri_refs = [a.owner_jp_pri_chunk.remote(seed, dict_meta)
+                    for a in self.actors]
+        pri_full = self._assembler().remote(*pri_refs)
+        ray.get([a.shard_jp_load_pri.remote(pri_full)
+                 for a in self.actors])
+        cnt_outs = [a.shard_jp_cnt_init.remote(self.bounds)
+                    for a in self.actors]
+        ray.get([self.actors[p].owner_jp_state_init.remote(n, p, *cnt_outs)
+                 for p in range(P)])
+
+    def jp_color_first(self):
+        """Round 1: color the zero-counter vertices; returns
+        (#colored, (ids, colors) pair ref)."""
+        refs = [a.owner_jp_color_first.remote() for a in self.actors]
+        return self._pair_count(refs)
+
+    def jp_color_round(self, pair_ref, rnd: int):
+        """One change-driven coloring round; returns
+        (#colored, next pair ref)."""
+        P = len(self.actors)
+        outs = [a.shard_jp_color_delta.remote(self.bounds, pair_ref)
+                for a in self.actors]
+        refs = [self.actors[p].owner_jp_color_apply.remote(p, rnd, *outs)
+                for p in range(P)]
+        return self._pair_count(refs)
+
+    def _pair_count(self, refs):
+        import ray
+
+        cnt_ref, pair_ref = self._assembler_pair_count().remote(*refs)
+        return int(ray.get(cnt_ref)), pair_ref
+
+    def _ids_count(self, refs):
+        import ray
+
+        cnt_ref, ids_ref = self._assembler_ids_count().remote(*refs)
+        return int(ray.get(cnt_ref)), ids_ref
+
+    def mis_first(self):
+        """Round 1 winners; returns (#winners, winner ids ref)."""
+        refs = [a.owner_mis_first.remote() for a in self.actors]
+        return self._ids_count(refs)
+
+    def mis_win_round(self, dec_ids_ref, rnd: int):
+        """Apply decrements from last round's decided set; returns
+        (#new winners, winner ids ref)."""
+        P = len(self.actors)
+        outs = [a.shard_mis_dec.remote(self.bounds, dec_ids_ref)
+                for a in self.actors]
+        refs = [self.actors[p].owner_mis_apply.remote(p, rnd, *outs)
+                for p in range(P)]
+        return self._ids_count(refs)
+
+    def mis_exclude_round(self, win_ids_ref, rnd: int):
+        """Mark undecided neighbors of this round's winners excluded;
+        returns (#excluded, excluded ids ref)."""
+        P = len(self.actors)
+        outs = [a.shard_nbr_ids.remote(self.bounds, win_ids_ref)
+                for a in self.actors]
+        refs = [self.actors[p].owner_mis_exclude.remote(p, rnd, *outs)
+                for p in range(P)]
+        return self._ids_count(refs)
+
+    def jp_finalize(self) -> tuple[int, int]:
+        """Commit color/status + round into the generic owner vectors;
+        returns (global undecided count, global max decision value)."""
+        import ray
+
+        parts = ray.get([a.owner_jp_finalize.remote()
+                         for a in self.actors])
+        return (int(sum(p[0] for p in parts)),
+                int(max(p[1] for p in parts)))
 
     def bfs_step_sharded(self, depth: int,
                          frontier_size: int | None = None) -> int:

@@ -138,13 +138,18 @@ class _RemapSharded:
 def scores_dataset(vdict: VertexDict, pool, col: str,
                    to_original_values: bool = False,
                    aux_col: str | None = None,
-                   aux_to_original: bool = False):
+                   aux_to_original: bool = False,
+                   value_cast: str | None = None,
+                   aux_cast: str | None = None):
     """Per-owner state chunks → Dataset of (node, col[, aux_col]) rows
     without the driver ever holding n rows. ``to_original_values=True``
     maps the primary VALUES (dense vertex ids, e.g. CC labels) back to
     original ids; ``aux_col`` additionally emits the owners' aux vector
     (e.g. BFS parents), with ``aux_to_original`` mapping non-negative
-    aux values to original ids (negatives pass through)."""
+    aux values to original ids (negatives pass through).
+    ``value_cast``/``aux_cast``: numpy dtype names applied to the
+    emitted vectors (owner state is float64; integral/bool results —
+    colors, MIS membership — cast back so cross-mode schemas match)."""
     import ray
     import ray.data
 
@@ -157,6 +162,8 @@ def scores_dataset(vdict: VertexDict, pool, col: str,
         vals = state
         if to_original_values:
             vals = reader.to_original(state.astype(np.int64))
+        if value_cast is not None:
+            vals = vals.astype(value_cast)
         cols = {"node": pa.array(reader.to_original(dense)),
                 col: pa.array(vals)}
         if aux is not None:
@@ -165,6 +172,8 @@ def scores_dataset(vdict: VertexDict, pool, col: str,
                 ai = aux.astype(np.int64)
                 mapped = reader.to_original(np.maximum(ai, 0))
                 av = np.where(ai >= 0, mapped, -1).astype(np.int64)
+            elif aux_cast is not None:
+                av = av.astype(aux_cast)
             cols[aux_col] = pa.array(av)
         return pa.table(cols)
 

@@ -2,12 +2,14 @@
 coloring over a 6M-vertex / 12M-edge ring+chord graph (the
 demo_sharded_6m topology), with EXACT distributed verification.
 
-The dense-path operators run with ``dense_vertex_limit`` raised (the
-driver vectors are ~50 MB at 6M vertices — well inside the documented
-envelope); correctness is then checked the scale-honest way: one
-map_batches pass over the edge Dataset counts MIS independence
-violations and coloring properness violations exactly (must be 0),
-plus maximality via the winner-neighbor gather.
+Both operators run the OWNER-RESIDENT sharded path (the default
+``dense_vertex_limit`` stays at 5M — nothing is raised): the vertex
+dictionary is built distributed, priorities/counters/color-sets live
+in the shard-pool owners, and each round ships only the newly-decided
+vertices (total message volume O(m) over all rounds). Correctness is
+then checked the scale-honest way: one map_batches pass over the edge
+Dataset counts MIS independence violations and coloring properness
+violations exactly (must be 0).
 
 Run: python scripts/demo_symmetry_6m.py [num_vertices] (owns its Ray
 session; defaults 6,000,000 / 32 CPUs via RAY_GRAFT_CPUS).
@@ -63,27 +65,33 @@ def main() -> dict:
     edges = ray.data.from_arrow_refs(
         [edge_block.remote(lo, min(lo + BLOCK, N))
          for lo in range(0, N, BLOCK)])
-    # Graph's dense-vs-sharded decision uses the SUM of per-block
-    # uniques (an upper bound that overcounts shared endpoints ~4x on
-    # this topology) — size the limit for the bound, not the true n
-    cfg = EngineConfig(dense_vertex_limit=64_000_000)
+    # default dense_vertex_limit (5M) at full scale — the
+    # per-block-unique upper bound exceeds it, so the graph builds
+    # SHARDED and MIS/coloring run the owner-resident Jones–Plassmann
+    # machinery (smaller smoke-run N lowers the limit to stay sharded)
+    cfg = EngineConfig(dense_vertex_limit=min(5_000_000, N - 1))
     t0 = time.perf_counter()
     g = Graph(edges, config=cfg, mode="distributed")
     out["build_sec"] = round(time.perf_counter() - t0, 3)
     out["num_edges"] = g.num_edges
+    out["sharded"] = bool(g.sharded)
+    assert g.sharded, "demo expects the sharded path at this scale"
 
-    # ---- MIS ----
+    # ---- MIS (owner-resident sharded rounds) ----
     m_mis: dict = {}
-    mis_tbl = maximal_independent_set(g, seed=0, config=cfg,
-                                      metrics=m_mis)
+    mis_ds = maximal_independent_set(g, seed=0, config=cfg,
+                                     metrics=m_mis)
+    assert m_mis["mode"] == "sharded"
+    mis_pdf = mis_ds.to_pandas()
     out["mis"] = {k: (round(v, 3) if isinstance(v, float) else v)
                   for k, v in m_mis.items()}
 
-    # exact distributed verification: in_mis in DENSE id space
-    node = mis_tbl.column("node").to_numpy()
-    dense_idx = np.searchsorted(np.sort(node), node)  # node_ids sorted
+    # exact distributed verification: in_mis in DENSE id space (dense
+    # id = rank of original id — identical to the vdict's ordering)
+    node = mis_pdf["node"].to_numpy()
+    dense_idx = np.searchsorted(np.sort(node), node)
     in_mis = np.zeros(g.num_vertices, dtype=bool)
-    in_mis[dense_idx] = mis_tbl.column("in_mis").to_numpy()
+    in_mis[dense_idx] = mis_pdf["in_mis"].to_numpy()
     ref = ray.put(in_mis)
 
     def mis_violations(t: pa.Table, _r=ref) -> pa.Table:
@@ -101,14 +109,18 @@ def main() -> dict:
     assert viol == 0, f"MIS independence violated on {viol} edges"
     out["mis"]["independence_violations"] = viol
 
-    # ---- JP coloring ----
+    # ---- JP coloring (owner-resident sharded rounds) ----
     m_col: dict = {}
-    col_tbl = greedy_coloring(g, seed=0, config=cfg, metrics=m_col)
+    col_ds = greedy_coloring(g, seed=0, config=cfg, metrics=m_col)
+    assert m_col["mode"] == "sharded"
+    col_pdf = col_ds.to_pandas()
     out["coloring"] = {k: (round(v, 3) if isinstance(v, float) else v)
                        for k, v in m_col.items()}
+    cnode = col_pdf["node"].to_numpy()
+    cidx = np.searchsorted(np.sort(cnode), cnode)
     colors = np.empty(g.num_vertices, dtype=np.int64)
-    colors[dense_idx] = col_tbl.column("color").to_numpy()
-    assert int(col_tbl.column("color").to_numpy().min()) >= 0
+    colors[cidx] = col_pdf["color"].to_numpy()
+    assert int(col_pdf["color"].min()) >= 0
     cref = ray.put(colors)
 
     def color_violations(t: pa.Table, _r=cref) -> pa.Table:
