@@ -24,15 +24,22 @@ unigram^0.75 noise distribution via a splitmix64 stream keyed on
 ``(seed, c, x, t, j)`` — duplicate pairs share negatives, so the
 full-batch gradient is a multiset sum independent of row order.
 
-Scale envelope: the dense ``(n, d)`` model matrices live on the
-driver and broadcast once per iteration (``ray.put``) — the same
-``dense_vertex_limit``-style envelope as PageRank's dense path
-(n=10M, d=64 → 5 GB for both matrices; fine to ~10M nodes). The
-per-block partial gradients are node-keyed, so the >10M-node
-extension is owner-resident matrix chunks on the existing ShardPool
-(one node-range fold per owner instead of the driver fold) — the
-exchange shape is already what the owners consume. Pairs stream and
-spill in the object store; nothing driver-side is pair-count-sized.
+Scale envelope: ``sgns_train`` keeps the dense ``(n, d)`` model
+matrices on the driver and broadcasts once per iteration (``ray.put``)
+— the same ``dense_vertex_limit``-style envelope as PageRank's dense
+path (n=10M, d=64 → 5 GB for both matrices; fine to ~10M nodes).
+Past that, ``sgns_train_sharded`` keeps the matrices as node-range
+chunks in shard-pool owners: per iteration the chunks assemble into
+one broadcast object pair (the per-node broadcast budget every
+superstep already pays — gradient tasks need random access to the
+full matrices), per-block gradient tasks return range-split sparse
+partials, and each owner folds + updates its own range — no O(n·d)
+driver section; the remaining driver-resident O(n) piece is the
+noise CDF (8 bytes/node — 0.8 GB at 100M nodes, documented). Pairs
+stream and spill in the object store; nothing driver-side is
+pair-count-sized. Both trainers share `_batch_grads`, the identical
+init rows and the identical update rule, so they agree up to float
+association (parity-tested).
 """
 
 from __future__ import annotations
@@ -40,7 +47,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["sgns_train", "embedding_table", "node2vec_embeddings"]
+__all__ = ["sgns_train", "sgns_train_sharded", "sgns_collect",
+           "sgns_embeddings_dataset", "embedding_table",
+           "node2vec_embeddings"]
 
 _U64 = np.uint64
 _PHI = _U64(0x9E3779B97F4A7C15)
@@ -52,14 +61,19 @@ def _splitmix(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U64(31))
 
 
-def _init_matrix(n: int, dim: int, seed: int) -> np.ndarray:
-    """Deterministic uniform(-0.5/dim, 0.5/dim) init (the word2vec
-    syn0 convention), derived per (seed, flat index) — identical on
-    any machine, no RandomState stream to keep in sync."""
-    idx = np.arange(n * dim, dtype=np.uint64)
+def _init_rows(lo: int, hi: int, dim: int, seed: int) -> np.ndarray:
+    """Rows [lo, hi) of the deterministic uniform(-0.5/dim, 0.5/dim)
+    init (the word2vec syn0 convention), derived per (seed, flat
+    index) — identical on any machine AND for any row slicing, so
+    owner-resident chunks equal the dense matrix's rows exactly."""
+    idx = np.arange(lo * dim, hi * dim, dtype=np.uint64)
     h = _splitmix(idx * _PHI + _U64(seed * 2 + 1))
     u = h.astype(np.float64) / float(2**64)  # [0, 1)
-    return ((u - 0.5) / dim).reshape(n, dim)
+    return ((u - 0.5) / dim).reshape(hi - lo, dim)
+
+
+def _init_matrix(n: int, dim: int, seed: int) -> np.ndarray:
+    return _init_rows(0, n, dim, seed)
 
 
 def _noise_cdf(pairs, n_nodes: int, power: float) -> np.ndarray:
@@ -110,6 +124,49 @@ def _draw_negatives(c: np.ndarray, x: np.ndarray, it: int, neg: int,
     return np.searchsorted(cdf, u, side="right").astype(np.int64)
 
 
+def _batch_grads(c: np.ndarray, x: np.ndarray, w_in, w_out, cdf,
+                 it: int, neg: int, seed: int, dim: int):
+    """Exact SGNS gradients for one pair chunk, combined per
+    (node, side): returns ``(nodes, sides, grads(m,d), counts,
+    loss)`` — the shared math of the dense AND owner-resident
+    trainers (they must stay bit-identical)."""
+    m = c.size
+    wc = w_in[c]                                   # (m, d)
+    vx = w_out[x]                                  # (m, d)
+    s_pos = _sigmoid(np.einsum("ij,ij->i", wc, vx))
+    g_pos = s_pos - 1.0                            # (m,)
+    gin = g_pos[:, None] * vx                      # grad wrt wc
+    gx = g_pos[:, None] * wc                       # grad wrt vx
+    loss = -np.log(np.maximum(1.0 - s_pos, 1e-300)).sum()
+    nodes = [c, x]
+    sides = [0, 1]
+    grads = [gin, gx]
+    if neg > 0:
+        nn = _draw_negatives(c, x, it, neg, seed, cdf)  # (m, neg)
+        vn = w_out[nn]                             # (m, neg, d)
+        s_neg = _sigmoid(np.einsum("ij,ikj->ik", wc, vn))
+        gin += np.einsum("ik,ikj->ij", s_neg, vn)
+        gn = s_neg[..., None] * wc[:, None, :]     # (m, neg, d)
+        loss += -np.log(np.maximum(1.0 - s_neg, 1e-300)).sum()
+        nodes.append(nn.ravel())
+        sides.append(1)
+        grads.append(gn.reshape(m * neg, dim))
+    out_n, out_s, out_g, out_c = [], [], [], []
+    for nd, sd, gr in zip(nodes, sides, grads):
+        # in-chunk combine: one row per (node) per side
+        u, inv = np.unique(nd, return_inverse=True)
+        acc = np.zeros((u.size, dim))
+        np.add.at(acc, inv, gr)
+        out_n.append(u)
+        out_s.append(np.full(u.size, sd, dtype=np.int8))
+        out_g.append(acc)
+        out_c.append(np.bincount(inv, minlength=u.size)
+                     .astype(np.float64))
+    return (np.concatenate(out_n), np.concatenate(out_s),
+            np.concatenate(out_g, axis=0), np.concatenate(out_c),
+            float(loss))
+
+
 def _grad_pass(pairs, w_in_ref, w_out_ref, cdf_ref, it: int, neg: int,
                seed: int, dim: int, batch_size: int):
     """One full-batch gradient pass → per-block sparse partial rows."""
@@ -120,56 +177,23 @@ def _grad_pass(pairs, w_in_ref, w_out_ref, cdf_ref, it: int, neg: int,
                             ray.get(cdf_ref))
         c = t.column("center").to_numpy()
         x = t.column("context").to_numpy()
-        m = c.size
-        empty = pa.table({
-            "node": pa.array([], type=pa.int64()),
-            "side": pa.array([], type=pa.int8()),
-            "g": pa.array([], type=pa.binary()),
-            "cnt": pa.array([], type=pa.float64()),
-            "loss": pa.array([], type=pa.float64())})
-        if m == 0:
-            return empty
-        wc = w_in[c]                                   # (m, d)
-        vx = w_out[x]                                  # (m, d)
-        s_pos = _sigmoid(np.einsum("ij,ij->i", wc, vx))
-        g_pos = s_pos - 1.0                            # (m,)
-        gin = g_pos[:, None] * vx                      # grad wrt wc
-        gx = g_pos[:, None] * wc                       # grad wrt vx
-        loss = -np.log(np.maximum(1.0 - s_pos, 1e-300)).sum()
-        nodes = [c, x]
-        sides = [0, 1]
-        grads = [gin, gx]
-        if neg > 0:
-            nn = _draw_negatives(c, x, it, neg, seed, cdf)  # (m, neg)
-            vn = w_out[nn]                             # (m, neg, d)
-            s_neg = _sigmoid(np.einsum("ij,ikj->ik", wc, vn))
-            gin += np.einsum("ik,ikj->ij", s_neg, vn)
-            gn = s_neg[..., None] * wc[:, None, :]     # (m, neg, d)
-            loss += -np.log(np.maximum(1.0 - s_neg, 1e-300)).sum()
-            nodes.append(nn.ravel())
-            sides.append(1)
-            grads.append(gn.reshape(m * neg, dim))
-        out_n, out_s, out_g, out_c = [], [], [], []
-        for nd, sd, gr in zip(nodes, sides, grads):
-            # in-block combine: one row per (node) per side
-            u, inv = np.unique(nd, return_inverse=True)
-            acc = np.zeros((u.size, dim))
-            np.add.at(acc, inv, gr)
-            out_n.append(u)
-            out_s.append(np.full(u.size, sd, dtype=np.int8))
-            out_g.append(acc)
-            out_c.append(np.bincount(inv, minlength=u.size)
-                         .astype(np.float64))
-        n_all = np.concatenate(out_n)
-        g_all = np.concatenate(out_g, axis=0)
+        if c.size == 0:
+            return pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int8()),
+                "g": pa.array([], type=pa.binary()),
+                "cnt": pa.array([], type=pa.float64()),
+                "loss": pa.array([], type=pa.float64())})
+        n_all, s_all, g_all, c_all, loss = _batch_grads(
+            c, x, w_in, w_out, cdf, it, neg, seed, dim)
         blob = [g_all[i].tobytes() for i in range(n_all.size)]
         ls = np.zeros(n_all.size)
         ls[0] = loss
         return pa.table({
             "node": pa.array(n_all, type=pa.int64()),
-            "side": pa.array(np.concatenate(out_s), type=pa.int8()),
+            "side": pa.array(s_all, type=pa.int8()),
             "g": pa.array(blob, type=pa.binary()),
-            "cnt": pa.array(np.concatenate(out_c), type=pa.float64()),
+            "cnt": pa.array(c_all, type=pa.float64()),
             "loss": pa.array(ls, type=pa.float64())})
 
     fn.__name__ = f"sgns_grad_it{it}"
@@ -233,8 +257,19 @@ def sgns_train(pairs, n_nodes: int, dim: int = 32, neg: int = 5,
             # zero-copy blob concat: binary values are stored
             # contiguously in offset order, so one buffer view replaces
             # the per-row as_py() Python loop (it was ~30% of a full
-            # sgns_train iteration at 168k nodes)
-            off = np.frombuffer(gs.buffers()[1], dtype=np.int32)[
+            # sgns_train iteration at 168k nodes). Offset width follows
+            # the actual type — a large_binary producer has int64
+            # offsets, and reading those as int32 would silently
+            # corrupt every gradient (ADVICE r4)
+            if gs.type == pa.binary():
+                off_dtype = np.int32
+            elif gs.type == pa.large_binary():
+                off_dtype = np.int64
+            else:
+                raise TypeError(
+                    f"sgns_train: gradient column has type {gs.type}, "
+                    "expected binary/large_binary")
+            off = np.frombuffer(gs.buffers()[1], dtype=off_dtype)[
                 gs.offset:gs.offset + len(gs) + 1]
             data = np.frombuffer(gs.buffers()[2], dtype=np.uint8)
             raw = data[off[0]:off[-1]]
@@ -256,6 +291,164 @@ def sgns_train(pairs, n_nodes: int, dim: int = 32, neg: int = 5,
         losses.append(loss / n_pairs)
     return {"w_in": w_in, "w_out": w_out, "loss": losses,
             "n_pairs": n_pairs}
+
+
+_SGNS_TASK = None
+
+
+def _sgns_task():
+    """Lazy remote fn: exact gradients for one pair block, combined
+    per (node, side) and range-split by owner bounds. num_returns=2 so
+    the driver derefs only the loss scalar; the partial tuple ships
+    straight to the owners."""
+    global _SGNS_TASK
+    if _SGNS_TASK is None:
+        import ray
+
+        @ray.remote(num_returns=2)
+        def block_grads(t: pa.Table, w_in, w_out, cdf, bounds, it: int,
+                        neg: int, seed: int, dim: int, chunk: int):
+            c_all = t.column("center").to_numpy()
+            x_all = t.column("context").to_numpy()
+            z = np.empty(0, dtype=np.int64)
+            if c_all.size == 0:
+                return tuple(
+                    (z, z.astype(np.int8), np.zeros((0, dim)),
+                     z.astype(np.float64))
+                    for _ in range(len(bounds) - 1)), 0.0
+            ns, ss, gs, cs = [], [], [], []
+            loss = 0.0
+            for ofs in range(0, c_all.size, chunk):
+                n_, s_, g_, c_, l_ = _batch_grads(
+                    c_all[ofs:ofs + chunk], x_all[ofs:ofs + chunk],
+                    w_in, w_out, cdf, it, neg, seed, dim)
+                ns.append(n_)
+                ss.append(s_)
+                gs.append(g_)
+                cs.append(c_)
+                loss += l_
+            # cross-chunk combine per (node, side), node-major sorted
+            key = np.concatenate(ns) * 2 + np.concatenate(ss)
+            u, inv = np.unique(key, return_inverse=True)
+            acc = np.zeros((u.size, dim))
+            np.add.at(acc, inv, np.concatenate(gs, axis=0))
+            cnt = np.bincount(inv, weights=np.concatenate(cs),
+                              minlength=u.size)
+            nodes = u >> 1
+            sides = (u & 1).astype(np.int8)
+            cuts = np.searchsorted(nodes, bounds)
+            return tuple((nodes[cuts[i]:cuts[i + 1]],
+                          sides[cuts[i]:cuts[i + 1]],
+                          acc[cuts[i]:cuts[i + 1]],
+                          cnt[cuts[i]:cuts[i + 1]])
+                         for i in range(len(bounds) - 1)), loss
+
+        _SGNS_TASK = block_grads
+    return _SGNS_TASK
+
+
+def sgns_train_sharded(pairs, n_nodes: int, dim: int = 32, neg: int = 5,
+                       iters: int = 10, lr: float = 0.5, seed: int = 1,
+                       noise_power: float = 0.75, pool=None,
+                       chunk: int = 16384) -> dict:
+    """Owner-resident SGNS: the (n, d) model matrices live as
+    node-range chunks in shard-pool owners (the >10M-node path the
+    dense trainer's driver matrices can't reach). Per iteration the
+    chunks assemble into ONE broadcast object pair, per-block gradient
+    tasks return range-split sparse partials, and each owner folds +
+    applies its own range's per-node-mean update — no O(n·d) driver
+    work or memory anywhere.
+
+    Same math as ``sgns_train`` (`_batch_grads`, content-keyed
+    negatives, per-node-mean update, identical init rows), so results
+    match the dense trainer up to float association (parity-tested at
+    1e-9). Returns ``{"pool", "loss", "n_pairs", "dim"}`` — matrices
+    stay owner-resident; emit with ``sgns_embeddings_dataset`` or
+    collect small models with ``sgns_collect``.
+
+    ``pool``: reuse an existing ShardPool's actors (e.g.
+    ``graph.pool`` — owner ranges are re-bound); default spawns a
+    state-only pool."""
+    import ray
+
+    from centrality_gpu_ray.pipelines.shards import ShardPool, _blocks
+
+    if isinstance(pairs, pa.Table):
+        import ray.data as rd
+        pairs = rd.from_arrow(pairs)
+    pairs = pairs.select_columns(["center", "context"]).materialize()
+    n_pairs = pairs.count()
+    if pool is None:
+        pool = ShardPool.state_only()
+    P = len(pool.actors)
+    pool.setup_owner_ranges(n_nodes)
+    ray.get([a.owner_sgns_init.remote(dim, seed) for a in pool.actors])
+    losses: list[float] = []
+    if n_pairs:
+        blocks = _blocks(pairs)
+        if len(blocks) < P:
+            blocks = _blocks(pairs.repartition(P).materialize())
+        cdf_ref = ray.put(_noise_cdf(pairs, n_nodes, noise_power))
+        task = _sgns_task()
+        bounds = pool.bounds
+        for it in range(iters):
+            w_in_full = pool._assembler().remote(
+                *[a.owner_sgns_chunk.remote(0) for a in pool.actors])
+            w_out_full = pool._assembler().remote(
+                *[a.owner_sgns_chunk.remote(1) for a in pool.actors])
+            outs, loss_refs = [], []
+            for br in blocks:
+                pr, lref = task.remote(br, w_in_full, w_out_full,
+                                       cdf_ref, bounds, it, neg, seed,
+                                       dim, chunk)
+                outs.append(pr)
+                loss_refs.append(lref)
+            lr_t = max(lr * (1.0 - it / max(iters, 1)), 0.1 * lr)
+            ray.get([pool.actors[p].owner_sgns_apply.remote(p, lr_t,
+                                                            *outs)
+                     for p in range(P)])
+            losses.append(float(sum(ray.get(loss_refs))) / n_pairs)
+    return {"pool": pool, "loss": losses, "n_pairs": n_pairs,
+            "dim": dim, "n_nodes": n_nodes}
+
+
+def sgns_collect(pool) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate the owners' model chunks (TEST/SMALL models only —
+    the whole point of the sharded trainer is not doing this at
+    scale)."""
+    import ray
+
+    w_in = np.concatenate(ray.get([a.owner_sgns_chunk.remote(0)
+                                   for a in pool.actors]))
+    w_out = np.concatenate(ray.get([a.owner_sgns_chunk.remote(1)
+                                    for a in pool.actors]))
+    return w_in, w_out
+
+
+def sgns_embeddings_dataset(pool, vdict=None, emb_col: str = "embedding"):
+    """Per-owner (node, embedding) chunks → Dataset, driver never
+    holding n rows. ``vdict`` maps dense row ids back to original
+    vertex ids (sharded graphs); None emits dense ids."""
+    import ray
+    import ray.data
+
+    meta = (None if vdict is None
+            else (vdict.mins, vdict.offsets, vdict.block_refs))
+
+    @ray.remote
+    def emit(lo: int, hi: int, w: np.ndarray):
+        ids = np.arange(lo, hi, dtype=np.int64)
+        if meta is not None:
+            from centrality_gpu_ray.pipelines.vertexdict import \
+                _DictReader
+            ids = _DictReader(meta).to_original(ids)
+        return embedding_table(w, ids, emb_col=emb_col)
+
+    bounds = pool.bounds
+    tabs = [emit.remote(int(bounds[i]), int(bounds[i + 1]),
+                        a.owner_sgns_chunk.remote(0))
+            for i, a in enumerate(pool.actors)]
+    return ray.data.from_arrow_refs(tabs)
 
 
 def embedding_table(w: np.ndarray, node_ids: np.ndarray | None = None,
@@ -292,12 +485,15 @@ def node2vec_embeddings(graph, dim: int = 32, walk_length: int = 20,
     if node_ids is None:
         # sharded graphs (> dense_vertex_limit) keep ids in the
         # VertexDict; the dense (n, d) model matrices would not fit
-        # the driver there anyway — the documented extension is
-        # owner-resident matrix chunks (module docstring), not a
-        # silent driver materialization
+        # the driver there anyway. Train those with
+        # ``sgns_train_sharded`` (owner-resident matrix chunks) over a
+        # dense-id pair Dataset and emit with
+        # ``sgns_embeddings_dataset(pool, graph.vdict)``; the walk
+        # stage's original→dense remap is the caller's choice of
+        # start set, so this convenience wrapper stays dense-only
         raise ValueError(
             "node2vec_embeddings: dense path only (graph is sharded); "
-            "see module docstring for the owner-resident extension")
+            "use sgns_train_sharded + sgns_embeddings_dataset")
     ids = np.asarray(node_ids, dtype=np.int64)
     walks = random_walks(graph, walk_length=walk_length,
                          walks_per_node=walks_per_node, seed=seed,

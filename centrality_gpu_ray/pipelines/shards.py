@@ -661,6 +661,54 @@ def _shard_class():
             self.jp_round[excl] = rnd
             return excl + self.lo
 
+        # -- owner-resident SGNS model chunks (>10M-node trainer) --------
+        # The dense SGNS trainer holds both (n, d) model matrices on
+        # the driver (envelope ~10M nodes). Owner-resident mode keeps
+        # each owner's node-range chunk resident; per iteration the
+        # chunks are assembled into ONE broadcast object (the gradient
+        # pass needs random access to the full matrices — the same
+        # per-node broadcast budget as every superstep), gradient tasks
+        # return range-split sparse partials, and each owner folds and
+        # applies ITS range's update — no O(n·d) driver section.
+
+        def owner_sgns_init(self, dim: int, seed: int) -> bool:
+            from centrality_gpu_ray.pipelines.embeddings import (
+                _init_rows)
+
+            self.sgns_dim = dim
+            self.sgns_w_in = _init_rows(self.lo, self.hi, dim, seed)
+            self.sgns_w_out = np.zeros((self.hi - self.lo, dim))
+            return True
+
+        def owner_sgns_chunk(self, which: int) -> np.ndarray:
+            return self.sgns_w_in if which == 0 else self.sgns_w_out
+
+        def owner_sgns_apply(self, my_idx: int, lr_t: float,
+                             *grad_outs) -> bool:
+            """Fold this range's sparse gradient partials and apply the
+            per-node-mean update (same rule as the dense trainer)."""
+            width = self.hi - self.lo
+            dim = self.sgns_dim
+            g_in = np.zeros((width, dim))
+            g_out = np.zeros((width, dim))
+            c_in = np.zeros(width)
+            c_out = np.zeros(width)
+            for out in grad_outs:
+                nodes, sides, g, cnt = out[my_idx]
+                rel = nodes - self.lo
+                m0 = sides == 0
+                # np.add.at: (node, side) rows are unique within one
+                # task's partial but repeat across tasks
+                np.add.at(g_in, rel[m0], g[m0])
+                np.add.at(g_out, rel[~m0], g[~m0])
+                np.add.at(c_in, rel[m0], cnt[m0])
+                np.add.at(c_out, rel[~m0], cnt[~m0])
+            self.sgns_w_in = self.sgns_w_in \
+                - lr_t * g_in / np.maximum(c_in, 1.0)[:, None]
+            self.sgns_w_out = self.sgns_w_out \
+                - lr_t * g_out / np.maximum(c_out, 1.0)[:, None]
+            return True
+
         def owner_jp_finalize(self):
             """Mirror the decision vectors into the generic owner state
             (state = color/status, aux = round) for `scores_dataset`;
@@ -1676,6 +1724,23 @@ class ShardPool:
         # seg↔uniq_v indexing the frontier kernels rely on
         self._frontier_capable = replicas == 1 or stride > 0
         ray.get([a.ready.remote() for a in self.actors])
+
+    @classmethod
+    def state_only(cls, num_owners: int | None = None) -> "ShardPool":
+        """Owner-role-only pool (no edge slices): state holders for
+        algorithms whose input is not an edge set (owner-resident SGNS
+        model chunks). Shard-side superstep methods are unusable on
+        such a pool (`_frontier_capable` False, empty layouts)."""
+        import ray
+
+        self = cls.__new__(cls)
+        EdgeShard = _shard_class()
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        k = max(1, num_owners or min(cpus, 16))
+        self.actors = [EdgeShard.remote() for _ in range(k)]
+        self._frontier_capable = False
+        ray.get([a.ready.remote() for a in self.actors])
+        return self
 
     @staticmethod
     def _assembler():
