@@ -2,11 +2,13 @@
 
 Image/audio/video payloads are opaque Arrow ``binary`` columns with a
 typed metadata header. The Ray-side plumbing — schema, actor-pool
-stages, batch sizing for wide rows, output layout — is real and tested;
-the *codec* itself is stubbed (no image/audio libraries in this
-container) behind a clearly-marked seam: ``DecodeMedia`` parses our
-deterministic fake header, and :data:`HAVE_REAL_CODECS` documents where
-a real decoder (PIL / torchaudio / pyav) would be slotted in.
+stages, batch sizing for wide rows, output layout — is real and tested.
+``DecodeMedia`` parses REAL image headers in pure numpy (PNG IHDR,
+GIF87a/89a logical screen, JPEG SOFn marker walk) plus the
+deterministic fake header the oracle gate hash-checks; the remaining
+stub seam is full pixel decode and audio/video codecs (no
+PIL/torchaudio/pyav in this container) — :data:`HAVE_REAL_CODECS`
+documents where those would slot in.
 
 Batch-size guidance (ray_guide "Memory-aware"): payloads here are
 KB-scale fakes, but the stages default to small ``batch_size`` (64) the
@@ -175,13 +177,61 @@ def _binary_buffers(col) -> tuple[np.ndarray, np.ndarray]:
     return offs.astype(np.int64), data
 
 
+_PNG_SIG = np.frombuffer(b"\x89PNG\r\n\x1a\n", dtype=np.uint8)
+_IHDR = np.frombuffer(b"IHDR", dtype=np.uint8)
+# JPEG start-of-frame markers that carry the image dimensions (all
+# baseline/progressive/lossless/arith variants; NOT C4/C8/CC which are
+# DHT/JPG/DAC)
+_JPEG_SOF = frozenset({0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF})
+
+
+def _jpeg_dims(buf: np.ndarray):
+    """(width, height) from a JPEG byte stream by walking the marker
+    segments to the first SOFn — pure numpy/ints, no codec library.
+    Only the few-dozen header bytes are touched; returns None on a
+    malformed stream (caller marks the row undecoded)."""
+    i, n = 2, buf.size
+    while i + 1 < n:
+        if buf[i] != 0xFF:
+            return None  # lost marker sync
+        marker = int(buf[i + 1])
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # TEM/RSTn/SOI
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan before SOF
+            return None
+        if i + 3 >= n:
+            return None
+        seglen = (int(buf[i + 2]) << 8) | int(buf[i + 3])
+        if marker in _JPEG_SOF:
+            if i + 9 > n or seglen < 7:
+                return None
+            h = (int(buf[i + 5]) << 8) | int(buf[i + 6])
+            w = (int(buf[i + 7]) << 8) | int(buf[i + 8])
+            return w, h
+        if seglen < 2:
+            return None
+        i += 2 + seglen
+    return None
+
+
 class DecodeMedia:
-    """Actor-pool decode stage. With real codecs this __init__ would load
-    the codec context once per actor; __call__ decodes a batch. The stub
-    parses the fake header VECTORIZED over the batch's Arrow binary
-    buffers — the fields are fixed-offset, so one fancy-index gather of
-    the 17-byte prefixes decodes every row at once (no per-row Python) —
-    and raises on real (non-FAKE) payloads so misuse is loud."""
+    """Actor-pool decode stage. With real codecs this __init__ would
+    load the codec context once per actor; __call__ decodes a batch.
+
+    IMAGE HEADERS ARE REAL: PNG (IHDR width/height, big-endian u32 at
+    fixed offsets — vectorized over the batch), GIF87a/89a (logical
+    screen u16le at fixed offsets — vectorized) and JPEG (marker-segment
+    walk to the first SOFn — per-row over header bytes only, the same
+    shape a real codec's header sniff has). The deterministic FAKE
+    header remains the oracle-checkable format (fixed-offset, fully
+    vectorized). Full pixel/audio/video decode is the remaining stub
+    seam — strict mode raises on payloads none of these parsers
+    accept."""
 
     _HDR = 17  # magic(4) | modality u8 | width u32 | height u32 | frames u32
 
@@ -193,27 +243,84 @@ class DecodeMedia:
         offs, data = _binary_buffers(batch.column("payload"))
         n = offs.size - 1
         lens = offs[1:] - offs[:-1]
-        ok = lens >= self._HDR
+        ok = np.zeros(n, dtype=bool)
         widths = np.zeros(n, dtype=np.int32)
         heights = np.zeros(n, dtype=np.int32)
         frames = np.zeros(n, dtype=np.int32)
-        rows = np.flatnonzero(ok)
+        fmt = np.full(n, "", dtype=object)
+
+        # FAKE header rows (vectorized fixed-offset parse)
+        rows = np.flatnonzero(lens >= self._HDR)
         if rows.size:
             hdr = data[offs[rows, None] + np.arange(self._HDR)]  # (k, 17)
             magic_ok = (hdr[:, :4] == self._magic).all(axis=1)
-            ok[rows] = magic_ok
             rows, hdr = rows[magic_ok], hdr[magic_ok]
             fields = np.ascontiguousarray(hdr[:, 5:17]).view("<u4")
             widths[rows] = fields[:, 0].astype(np.int32)
             heights[rows] = fields[:, 1].astype(np.int32)
             frames[rows] = fields[:, 2].astype(np.int32)
+            ok[rows] = True
+            fmt[rows] = "fake"
+
+        # PNG rows: sig(8) | IHDR length(4) | "IHDR"(4) | w u32be | h u32be
+        rows = np.flatnonzero(~ok & (lens >= 24))
+        if rows.size:
+            pre = data[offs[rows, None] + np.arange(24)]  # (k, 24)
+            is_png = ((pre[:, :8] == _PNG_SIG).all(axis=1)
+                      & (pre[:, 12:16] == _IHDR).all(axis=1))
+            rows, pre = rows[is_png], pre[is_png]
+            be = pre[:, 16:24].astype(np.int64)
+            widths[rows] = ((be[:, 0] << 24) | (be[:, 1] << 16)
+                            | (be[:, 2] << 8) | be[:, 3]).astype(np.int32)
+            heights[rows] = ((be[:, 4] << 24) | (be[:, 5] << 16)
+                             | (be[:, 6] << 8) | be[:, 7]).astype(np.int32)
+            frames[rows] = 1
+            ok[rows] = True
+            fmt[rows] = "png"
+
+        # GIF rows: "GIF87a"/"GIF89a" | w u16le | h u16le
+        rows = np.flatnonzero(~ok & (lens >= 10))
+        if rows.size:
+            pre = data[offs[rows, None] + np.arange(10)]  # (k, 10)
+            is_gif = ((pre[:, :3] == np.frombuffer(b"GIF", np.uint8))
+                      .all(axis=1)
+                      & ((pre[:, 3:6] == np.frombuffer(b"87a", np.uint8))
+                         .all(axis=1)
+                         | (pre[:, 3:6] == np.frombuffer(b"89a", np.uint8))
+                         .all(axis=1)))
+            rows, pre = rows[is_gif], pre[is_gif]
+            le = pre[:, 6:10].astype(np.int32)
+            widths[rows] = le[:, 0] | (le[:, 1] << 8)
+            heights[rows] = le[:, 2] | (le[:, 3] << 8)
+            frames[rows] = 1
+            ok[rows] = True
+            fmt[rows] = "gif"
+
+        # JPEG rows: FFD8FF prefix, then a marker walk per row (touches
+        # only header bytes; body bytes are never read)
+        rows = np.flatnonzero(~ok & (lens >= 4))
+        if rows.size:
+            pre = data[offs[rows, None] + np.arange(3)]
+            is_jpg = (pre == np.asarray([0xFF, 0xD8, 0xFF],
+                                        np.uint8)).all(axis=1)
+            for r in rows[is_jpg]:
+                dims = _jpeg_dims(data[offs[r]:offs[r + 1]])
+                if dims is not None:
+                    widths[r], heights[r] = dims
+                    frames[r] = 1
+                    ok[r] = True
+                    fmt[r] = "jpeg"
+
         if self.strict and not ok.all():
             raise NotImplementedError(
-                "real media decode requires PIL/pyav — not available "
-                "in this environment (stub decodes FAKE headers only)")
+                "payload is none of FAKE/PNG/GIF/JPEG — full pixel and "
+                "audio/video decode requires PIL/pyav, not available in "
+                "this environment")
         return (batch.append_column("dec_width", pa.array(widths))
                 .append_column("dec_height", pa.array(heights))
                 .append_column("dec_frames", pa.array(frames))
+                .append_column("dec_format",
+                               pa.array(fmt, type=pa.string()))
                 .append_column("decoded", pa.array(ok)))
 
 
