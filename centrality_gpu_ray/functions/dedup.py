@@ -558,9 +558,191 @@ def ngram_jaccard_pairs(ds, pairs_ds, ngram: int = 3, concurrency: int = 2,
         batch_size=4096)
 
 
+def _cross_pairs(tbl: pa.Table, cap: int = BUCKET_CAP):
+    """All (new id, old id) pairs within each (band, band_hash) bucket
+    of one reduce partition, fully vectorized. Only new×old pairs are
+    emitted — old×old was settled by previous runs and new×new by this
+    run's internal dedup. Buckets with more than ``cap`` ids on a side
+    are truncated to their first cap sorted ids and logged."""
+    z = np.empty(0, dtype=np.int64)
+    if tbl.num_rows == 0:
+        return pa.table({"a": pa.array(z), "b": pa.array(z)})
+    band = tbl.column("band").to_numpy(zero_copy_only=False)
+    bh = tbl.column("band_hash").to_numpy(zero_copy_only=False)
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    is_new = tbl.column("is_new").to_numpy(zero_copy_only=False)
+    # old rows sort before new rows within a bucket; ids ascending
+    order = np.lexsort((ids, is_new, bh, band))
+    ids_s = ids[order]
+    new_s = is_new[order]
+    b_s, h_s = band[order], bh[order]
+    n = ids_s.size
+    grp = np.zeros(n, dtype=bool)
+    grp[0] = True
+    grp[1:] = (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])
+    starts = np.flatnonzero(grp)
+    counts = np.diff(np.r_[starts, n])
+    g = starts.size
+    # per bucket: old segment [start, start+o), new segment after it
+    olds = np.add.reduceat((~new_s).astype(np.int64), starts)
+    news = counts - olds
+    if (np.maximum(olds, news) > cap).any():
+        logger.warning(
+            "incremental LSH bucket cap hit: truncating %d bucket "
+            "side(s) past %d ids",
+            int(((olds > cap) | (news > cap)).sum()), cap)
+    o_eff = np.minimum(olds, cap)
+    n_eff = np.minimum(news, cap)
+    per = o_eff * n_eff
+    total = int(per.sum())
+    if total == 0:
+        return pa.table({"a": pa.array(z), "b": pa.array(z)})
+    # expand: for bucket j, each of its n_eff new ids pairs with each
+    # of its o_eff old ids (both sides take their first sorted ids)
+    new_start = starts + olds
+    a_idx = (np.repeat(new_start, per)
+             + _ragged_arange_u(per) // np.repeat(
+                 np.maximum(o_eff, 1), per))
+    b_idx = (np.repeat(starts, per)
+             + _ragged_arange_u(per) % np.repeat(
+                 np.maximum(o_eff, 1), per))
+    return pa.table({"a": pa.array(ids_s[a_idx]),
+                     "b": pa.array(ids_s[b_idx])})
+
+
+def _sig_match_fraction(batch: pa.Table) -> pa.Table:
+    """Per-pair MinHash agreement fraction — the unbiased estimator of
+    Jaccard similarity (E[frac] = J; σ² = J(1−J)/num_perm)."""
+    a = batch.column("a").to_numpy()
+    b = batch.column("b").to_numpy()
+    if a.size == 0:
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "est_jaccard": pa.array(
+                             np.empty(0, dtype=np.float64))})
+    sa = np.stack([np.asarray(v) for v in
+                   batch.column("_sig_a").to_pylist()])
+    sb = np.stack([np.asarray(v) for v in
+                   batch.column("_sig_b").to_pylist()])
+    frac = (sa == sb).mean(axis=1)
+    return pa.table({"a": pa.array(a), "b": pa.array(b),
+                     "est_jaccard": pa.array(frac)})
+
+
+def minhash_dedup_incremental(ds, state_dir: str, threshold: float = 0.7,
+                              num_perm: int = 64, bands: int = 16,
+                              shingle_k: int = 5, ngram: int = 3,
+                              num_partitions: int = 16):
+    """Cross-RUN near-dedup for continuous ingestion — the MinHash
+    counterpart of :func:`exact_dedup_incremental`. Within the new
+    batch the full exact-verify funnel runs (`minhash_dedup`); against
+    PREVIOUS runs, the persisted state is the survivors' MinHash
+    signatures: new docs LSH-bucket against prior band rows (derived
+    from the stored signatures — new×old pairs only) and a pair is a
+    cross-run duplicate when the signature agreement fraction reaches
+    ``threshold`` (the unbiased Jaccard estimator — prior TEXT is
+    never persisted, so state is ~num_perm·8 bytes/doc, not a corpus
+    copy; borderline pairs carry the estimator's J(1−J)/num_perm
+    variance, documented trade-off). Returns
+    ``(survivors_ds, new_run_dir)``.
+
+    State layout mirrors the exact family: ``state_dir/run=<k>/``
+    parquet of ``(doc_id, signature)`` — append-only immutable run
+    partitions, staged in ``_tmp_run_*`` and atomically renamed so a
+    crashed run's partial files are never read as seen state. Re-
+    ingesting an already-seen batch drops every row (estimator 1.0 on
+    identical signatures)."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data
+
+    from centrality_gpu_ray.stages.shuffle import (hash_distinct,
+                                                   hash_lookup_join,
+                                                   hash_partition_apply,
+                                                   hash_semi_join)
+
+    rows = num_perm // bands
+    sigs_new = minhash_signatures(ds, num_perm=num_perm,
+                                  shingle_k=shingle_k).materialize()
+
+    # internal (within-batch) near-dedup: exact-verified funnel,
+    # reusing the materialized signatures (no second signature pass)
+    clusters = minhash_dedup(ds, threshold=threshold, num_perm=num_perm,
+                             bands=bands, shingle_k=shingle_k,
+                             ngram=ngram, num_partitions=num_partitions,
+                             sigs=sigs_new)
+    keepers = clusters.map_batches(
+        lambda t: t.filter(t.column("keep")).select(["doc_id"]),
+        batch_format="pyarrow")
+
+    os.makedirs(state_dir, exist_ok=True)
+    run_dirs = _glob.glob(os.path.join(state_dir, "run=*"))
+    prior = [p for d in run_dirs
+             for p in _glob.glob(os.path.join(d, "*.parquet"))]
+    if prior:
+        sigs_old = ray.data.read_parquet(
+            prior, columns=["doc_id", "signature"])
+
+        def bands_flagged(flag):
+            def fn(t: pd.DataFrame) -> pd.DataFrame:
+                out = _band_rows(t, bands, rows)
+                out["is_new"] = np.full(len(out), flag)
+                return out
+            fn.__name__ = f"band_rows_new{int(flag)}"
+            return fn
+
+        both = sigs_new.map_batches(
+            bands_flagged(True), batch_format="pandas").union(
+            sigs_old.map_batches(bands_flagged(False),
+                                 batch_format="pandas"))
+        cand = hash_distinct(
+            hash_partition_apply(both, ["band", "band_hash"],
+                                 _cross_pairs,
+                                 num_partitions=num_partitions),
+            ["a", "b"], num_partitions=num_partitions)
+        with_a = hash_lookup_join(cand, sigs_new, "a", "doc_id",
+                                  {"signature": "_sig_a"},
+                                  num_partitions=num_partitions)
+        with_b = hash_lookup_join(with_a, sigs_old, "b", "doc_id",
+                                  {"signature": "_sig_b"},
+                                  num_partitions=num_partitions)
+        est = with_b.map_batches(_sig_match_fraction,
+                                 batch_format="pyarrow")
+        cross_dups = est.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["est_jaccard"], threshold))
+            .select(["a"]).rename_columns(["doc_id"]),
+            batch_format="pyarrow")
+        keepers = hash_semi_join(keepers, cross_dups, on="doc_id",
+                                 anti=True,
+                                 num_partitions=num_partitions)
+    keepers = keepers.materialize()
+
+    # persist the SURVIVORS' signatures as the next immutable run
+    surv_sigs = hash_semi_join(sigs_new, keepers, on="doc_id",
+                               num_partitions=num_partitions)
+    tmp_dir = tempfile.mkdtemp(dir=state_dir, prefix="_tmp_run_")
+    surv_sigs.write_parquet(tmp_dir)
+    k = 1 + max((int(os.path.basename(d).split("=", 1)[1])
+                 for d in run_dirs), default=-1)
+    while True:  # claim the next run index via atomic rename
+        new_dir = os.path.join(state_dir, f"run={k}")
+        try:
+            if not os.path.exists(new_dir):
+                os.rename(tmp_dir, new_dir)
+                break
+        except OSError:
+            pass  # a concurrent run claimed this index
+        k += 1
+
+    survivors = hash_semi_join(ds, keepers, on="doc_id",
+                               num_partitions=num_partitions)
+    return survivors, new_dir
+
+
 def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
                   bands: int = 16, shingle_k: int = 5, ngram: int = 3,
-                  num_partitions: int = 16):
+                  num_partitions: int = 16, sigs=None):
     """Full near-dup pipeline; returns a Dataset of
     ``(doc_id, cluster, keep)``.
 
@@ -569,9 +751,13 @@ def minhash_dedup(ds, threshold: float = 0.7, num_perm: int = 64,
     components of that graph, and CC's min-label semantics give the
     deterministic keeper (min doc_id). All-id rows come from a
     distributed distinct + left-outer join (no driver id vector) —
-    see :func:`pairs_to_clusters`."""
+    see :func:`pairs_to_clusters`. ``sigs``: precomputed
+    ``minhash_signatures`` output (the incremental wrapper reuses its
+    materialized signatures — skips a second full signature pass)."""
     rows = num_perm // bands
-    sigs = minhash_signatures(ds, num_perm=num_perm, shingle_k=shingle_k)
+    if sigs is None:
+        sigs = minhash_signatures(ds, num_perm=num_perm,
+                                  shingle_k=shingle_k)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows,
                                 num_partitions=num_partitions)
     verified = ngram_jaccard_pairs(ds, cands, ngram=ngram,

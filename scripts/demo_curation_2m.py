@@ -151,6 +151,49 @@ def main() -> dict:
                           - int(n_keep)})
     _mark("minhash_near_dup")
 
+    # incremental (cross-RUN) near-dedup over the same diverse corpus:
+    # run 1 ingests the 2M docs (state = survivors' signatures); run 2
+    # ingests n_plant near-dup companions of run-1 docs + n_plant
+    # genuinely fresh docs — EXACT arithmetic: every companion dies
+    # against the persisted state (signature agreement ≈ 0.97 ≫ 0.7),
+    # every fresh doc survives (diverse synthesis: no natural J≥0.7)
+    import shutil
+    import tempfile
+
+    from centrality_gpu_ray.functions.dedup import \
+        minhash_dedup_incremental
+
+    inc_state = tempfile.mkdtemp(prefix="mh_inc_")
+    try:
+        surv_r1, _ = minhash_dedup_incremental(nd_docs, inc_state)
+        n_r1 = surv_r1.count()
+        assert n_r1 == n_rows  # diverse corpus: no internal near-dups
+        _mark("incremental_run1_ingest")
+
+        rng_f = np.random.default_rng(4242)
+        fresh_toks = rng_f.integers(0, 50_000, size=(n_plant, 25))
+        fresh_ids = np.arange(n_plant, dtype=np.int64) + 2 ** 42
+        run2 = pa.table({
+            "doc_id": pa.array(np.concatenate([
+                seed_pd["doc_id"].to_numpy() + 2 ** 41, fresh_ids])),
+            "text": pa.array(
+                (seed_pd["text"] + " zqv").tolist()
+                + [" ".join(map(str, row)) for row in fresh_toks],
+                type=pa.string()),
+        })
+        surv_r2, _ = minhash_dedup_incremental(
+            ray.data.from_arrow(run2), inc_state)
+        ids_r2 = surv_r2.to_pandas()["doc_id"].to_numpy()
+        assert ids_r2.size == n_plant  # exactly the fresh docs
+        assert (ids_r2 >= 2 ** 42).all()
+        out["counts"].update({
+            "incremental_state_docs": int(n_r1),
+            "incremental_run2_in": int(run2.num_rows),
+            "incremental_run2_survivors": int(ids_r2.size)})
+    finally:
+        shutil.rmtree(inc_state, ignore_errors=True)
+    _mark("incremental_run2_crossdup")
+
     tok = hash_aggregate(
         token_stats(survivors).map_batches(
             lambda t: pa.table({
