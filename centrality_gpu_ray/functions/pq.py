@@ -151,7 +151,8 @@ def ann_ivfpq_topk(emb_ds, queries: np.ndarray, k: int = 10,
                    kmeans_iters: int = 10, pq_iters: int = 15,
                    seed: int = 17, id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   query_ids: np.ndarray | None = None):
+                   query_ids: np.ndarray | None = None,
+                   num_partitions: int = 32):
     """IVF-PQ cosine top-k — the two scale levers composed: the IVF
     coarse quantizer prunes WHICH lists a query scans
     (``similarity.ann_ivf``'s shape), PQ compresses WHAT each list
@@ -243,7 +244,7 @@ def ann_ivfpq_topk(emb_ds, queries: np.ndarray, k: int = 10,
     assigned = emb_ds.select_columns([id_col, vec_col]).map_batches(
         assign_encode, batch_format="pyarrow", batch_size=4096)
     scored = hash_partition_apply(assigned, ["list"], score_partition,
-                                  num_partitions=16)
+                                  num_partitions=num_partitions)
     return _merge_topk(scored, k)
 
 

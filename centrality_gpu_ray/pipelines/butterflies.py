@@ -27,7 +27,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from centrality_gpu_ray.nputil import ragged_arange as _ragged
 from centrality_gpu_ray.stages.shuffle import hash_aggregate, hash_partition_apply
+
+# per-center pair generation is tiled so no single temp allocation is
+# quadratic in one hub's degree: a deg-100k center has ~5e9 pairs, and
+# np.triu_indices would allocate them all at once (ADVICE r4)
+_PAIR_TILE = 4_000_000
 
 
 def _distinct_edges(edges_ds, left_col: str, right_col: str,
@@ -86,8 +92,10 @@ def butterfly_count(edges_ds, left_col: str = "src",
 
     def pairs(t: pa.Table) -> pa.Table:
         """One partition of a center's full adjacency → neighbor-pair
-        rows (pre-aggregated: same pair from one center appears once by
-        construction — edges are distinct)."""
+        rows, combined per (a, b) within the partition before the
+        exchange. Pair generation is TILED over the triangular index
+        space (≤ ``_PAIR_TILE`` pairs per temp) so a high-degree hub
+        never triggers one quadratic allocation."""
         if t.num_rows == 0:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
@@ -103,17 +111,41 @@ def butterfly_count(edges_ds, left_col: str = "src",
             if sz < 2:
                 continue
             nb = o_s[lo:lo + sz]
-            iu = np.triu_indices(sz, k=1)
-            aa.append(nb[iu[0]])
-            bb.append(nb[iu[1]])
+            if sz * (sz - 1) // 2 <= _PAIR_TILE:
+                iu = np.triu_indices(sz, k=1)
+                aa.append(nb[iu[0]])
+                bb.append(nb[iu[1]])
+                continue
+            i = 0
+            while i < sz - 1:
+                # greedy anchor-row block whose pair volume fits the
+                # tile (a single anchor row is at most sz-1 pairs —
+                # linear, always emitted whole)
+                j, cnt = i + 1, sz - 1 - i
+                while j < sz - 1 and cnt + (sz - 1 - j) <= _PAIR_TILE:
+                    cnt += sz - 1 - j
+                    j += 1
+                rows = np.arange(i, j, dtype=np.int64)
+                reps = sz - 1 - rows
+                aa.append(np.repeat(nb[rows], reps))
+                bb.append(nb[np.repeat(rows + 1, reps) + _ragged(reps)])
+                i = j
         if not aa:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64()),
                              "n": pa.array([], type=pa.int64())})
         a = np.concatenate(aa)
         b = np.concatenate(bb)
-        return pa.table({"a": pa.array(a), "b": pa.array(b),
-                         "n": pa.array(np.ones(a.size, dtype=np.int64))})
+        # within-partition combine: the same (a, b) pair from multiple
+        # centers of this partition folds to one row before shipping
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        head = np.ones(a.size, dtype=bool)
+        head[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        idx = np.flatnonzero(head)
+        n = np.diff(np.r_[idx, a.size])
+        return pa.table({"a": pa.array(a[idx]), "b": pa.array(b[idx]),
+                         "n": pa.array(n.astype(np.int64))})
 
     wedge_rows = hash_partition_apply(dist, [center], pairs,
                                       num_partitions=num_partitions)

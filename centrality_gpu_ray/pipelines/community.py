@@ -65,8 +65,30 @@ def community_stats(edges_ds, labels_ds, weighted: bool = False,
         labels_ds = ray.data.from_arrow(labels_ds)
     labels_ds = labels_ds.map_batches(
         lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
-                            "label": t.column("label").cast(pa.int64())}),
+                            "label": t.column("label").cast(pa.int64()),
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    dtype=np.int64))}),
         batch_format="pyarrow")
+    # loud duplicate-node guard (ADVICE r4): hash_lookup_join attaches
+    # an arbitrary first match for a duplicated node, which would yield
+    # a plausible but contract-violating Q — match the partial-coverage
+    # guard's fail-loud convention. One aggregate pass; the deduped
+    # (node, label) rows then serve as the join dictionary.
+    counted = hash_aggregate(labels_ds, keys=["node"],
+                             aggs=[("label", "min"), ("one", "sum")],
+                             num_partitions=num_partitions)
+
+    def dedup_guard(t: pa.Table) -> pa.Table:
+        ones = t.column("one").to_numpy()
+        if (ones > 1).any():
+            dup = t.column("node").to_numpy()[ones > 1]
+            raise ValueError(
+                "community_stats: labels_ds holds multiple rows for "
+                f"{dup.size} node(s) (e.g. {dup[:5].tolist()}) — a "
+                "(node, label) partition must label each node once")
+        return t.select(["node", "label"])
+
+    labels_ds = counted.map_batches(dedup_guard, batch_format="pyarrow")
     ew = _with_weight(edges_ds, weighted)
 
     # intra-community edge weight: label both endpoints in-shuffle.

@@ -52,3 +52,22 @@ def test_matches_duckdb(ray_session):
 def test_multi_edges_collapse_and_empty(ray_session):
     assert _count(_ds([1, 1, 1, 2, 2, 2], [7, 8, 7, 7, 8, 8])) == 1
     assert _count(_ds([1, 2, 3], [7, 8, 9])) == 0  # matching: no wedges
+
+
+def test_tiled_pair_generation_matches(ray_session, monkeypatch):
+    """Hub centers past _PAIR_TILE take the tiled path — counts must
+    be identical to the one-shot triu path."""
+    from centrality_gpu_ray.pipelines import butterflies as bf
+
+    rng = np.random.default_rng(3)
+    # one deg-40 hub on the right side + random background
+    src = np.concatenate([rng.integers(0, 30, 120), np.arange(40)])
+    dst = np.concatenate([rng.integers(0, 12, 120), np.full(40, 99)])
+    t = pa.table({"src": pa.array(src.astype(np.int64)),
+                  "dst": pa.array(dst.astype(np.int64))})
+    full = int(butterfly_count(ray.data.from_arrow(t))
+               .column("butterflies")[0].as_py())
+    monkeypatch.setattr(bf, "_PAIR_TILE", 7)  # force tiling everywhere
+    tiled = int(butterfly_count(ray.data.from_arrow(t))
+                .column("butterflies")[0].as_py())
+    assert tiled == full

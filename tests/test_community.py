@@ -144,3 +144,19 @@ def test_partial_labels_raise(ray_session):
                        "label": pa.array([0, 0], type=pa.int64())})
     with pytest.raises(Exception, match="cover every edge endpoint"):
         _stats_dict(community_stats(_ds(edges), labels))
+
+
+def test_community_stats_rejects_duplicate_node_labels(ray_session):
+    import pytest as _pytest
+    import ray.data as _rd
+
+    from centrality_gpu_ray.pipelines.community import community_stats
+
+    edges = _rd.from_arrow(pa.table({
+        "src": pa.array([1, 2], type=pa.int64()),
+        "dst": pa.array([2, 3], type=pa.int64())}))
+    labels = pa.table({
+        "node": pa.array([1, 2, 2, 3], type=pa.int64()),
+        "label": pa.array([0, 0, 1, 1], type=pa.int64())})
+    with _pytest.raises(Exception, match="multiple rows"):
+        community_stats(edges, labels).to_pandas()
