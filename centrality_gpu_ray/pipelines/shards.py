@@ -125,6 +125,13 @@ def _shard_class():
         def ready(self) -> int:
             return self.num_edges
 
+        def pid(self) -> int:
+            """OS pid of this actor's worker process (chaos tests kill
+            one mid-superstep to exercise checkpoint recovery)."""
+            import os
+
+            return os.getpid()
+
         def load_alt_edges(self, *tables: pa.Table) -> int:
             """Load a SECONDARY edge set (e.g. the BiCC auxiliary
             graph) so iterative supersteps can run over it on the SAME
