@@ -380,6 +380,45 @@ def run_bench() -> dict:
           lambda: modularity_score(community_stats(
               g.canonical_edges(), lp_out["labels"]))["q_micro"])
 
+    # 6M-vertex owner-resident symmetry-breaking rows — the
+    # demo_symmetry_6m workload recorded as bench rows (sharded vertex
+    # dictionary, change-driven JP rounds, results consumed as
+    # Datasets)
+    from centrality_gpu_ray.pipelines.coloring import greedy_coloring
+    from centrality_gpu_ray.pipelines.mis import maximal_independent_set
+
+    N_SYM, SYM_BLOCK = 6_000_000, 500_000
+
+    @ray.remote
+    def _sym_block(lo: int, hi: int) -> "_pa.Table":
+        i = _np.arange(lo, hi, dtype=_np.int64)
+        src = _np.concatenate([i, i])
+        dst = _np.concatenate([(i + 1) % N_SYM, (i * i + 3) % N_SYM])
+        return _pa.table({
+            "src": _pa.array(src * 13 + 5),
+            "dst": _pa.array(dst * 13 + 5),
+            "weight": _pa.array(_np.ones(src.size, dtype=_np.int64)),
+        })
+
+    sym_holder = {}
+
+    def _sym_build():
+        edges6 = _rd.from_arrow_refs(
+            [_sym_block.remote(lo, min(lo + SYM_BLOCK, N_SYM))
+             for lo in range(0, N_SYM, SYM_BLOCK)])
+        sym_holder["g"] = _Graph(edges6, config=EngineConfig(),
+                                 mode="distributed")
+        assert sym_holder["g"].sharded
+        return sym_holder["g"].num_edges
+
+    timed("symmetry6m_graph_build", _sym_build)
+    timed("mis_6m_sharded",
+          lambda: maximal_independent_set(sym_holder["g"],
+                                          seed=0).count())
+    timed("coloring_6m_sharded",
+          lambda: greedy_coloring(sym_holder["g"], seed=0).count())
+    sym_holder["g"].pool.shutdown()
+
     return {
         "metric": "pagerank_supersteps_to_1e-6_sec",
         "value": round(headline, 3),
@@ -527,6 +566,48 @@ def run_scaling_job() -> dict:
     ann_sec = time.perf_counter() - t0
     assert n_rows == NQ * 10
 
+    # round-5 operator probes: change-driven labelprop (owner-resident
+    # count state) over the sf0.1 lineitem graph, and owner-resident
+    # sharded JP coloring over a deterministic 1M-vertex ring+chord
+    # graph (low skew → ~20 rounds of real adjacency work; the skewed
+    # lineitem graph's 280+ tail rounds would only measure fixed task
+    # RTT). Warm-up run first (pool spawn / remote-fn export), timed
+    # second — same discipline as the headline.
+    from centrality_gpu_ray.pipelines.labelprop import label_propagation
+
+    label_propagation(g)  # warm-up (spawns g.pool)
+    t0 = time.perf_counter()
+    lp_m: dict = {}
+    label_propagation(g, metrics=lp_m)
+    lp_sec = time.perf_counter() - t0
+
+    from centrality_gpu_ray.pipelines.coloring import greedy_coloring
+
+    N_C = int(os.environ.get("GRAFT_COLOR_N", "1000000"))
+
+    @ray.remote
+    def _color_block(lo: int, hi: int) -> pa.Table:
+        i = np.arange(lo, hi, dtype=np.int64)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([(i + 1) % N_C, (i * 7 + 3) % N_C])
+        return pa.table({"src": pa.array(src * 13 + 5),
+                         "dst": pa.array(dst * 13 + 5),
+                         "weight": pa.array(np.ones(src.size,
+                                                    dtype=np.int64))})
+
+    edges_c = ray.data.from_arrow_refs(
+        [_color_block.remote(lo, min(lo + 250_000, N_C))
+         for lo in range(0, N_C, 250_000)])
+    g_c = Graph(edges_c, config=EngineConfig(dense_vertex_limit=N_C - 1),
+                mode="distributed")
+    assert g_c.sharded
+    greedy_coloring(g_c, seed=0).count()  # warm-up
+    t0 = time.perf_counter()
+    col_m: dict = {}
+    greedy_coloring(g_c, seed=0, metrics=col_m).count()
+    color_sec = time.perf_counter() - t0
+    g_c.pool.shutdown()
+
     return {"sec": round(sec, 3), "edges": num_edges,
             "supersteps": m.get("supersteps"),
             "edges_per_sec": round(m.get("edges_per_sec", 0)),
@@ -536,6 +617,10 @@ def run_scaling_job() -> dict:
             "bc_sources_per_sec": round(bc_m["sources_per_sec"], 1),
             "ann_sec": round(ann_sec, 3),
             "ann_queries_per_sec": round(NQ / ann_sec, 1),
+            "lp_sec": round(lp_sec, 3),
+            "lp_supersteps": lp_m.get("supersteps"),
+            "color_sec": round(color_sec, 3),
+            "color_rounds": col_m.get("rounds"),
             "num_cpus": num_cpus}
 
 
@@ -555,15 +640,18 @@ def run_scaling() -> dict:
         # 10-100x off. The least-stolen window is the machine's actual
         # capability; all raw attempts are reported alongside.
         best = dict(min(attempts, key=lambda r: r["sec"]))
-        for key in ("bc_sec", "ann_sec"):
-            k_rate = {"bc_sec": "bc_sources_per_sec",
-                      "ann_sec": "ann_queries_per_sec"}[key]
+        for key in ("bc_sec", "ann_sec", "lp_sec", "color_sec"):
             b = min(attempts, key=lambda r: r[key])
             best[key] = b[key]
-            best[k_rate] = b[k_rate]
+            k_rate = {"bc_sec": "bc_sources_per_sec",
+                      "ann_sec": "ann_queries_per_sec"}.get(key)
+            if k_rate:
+                best[k_rate] = b[k_rate]
         best["attempts_sec"] = [r["sec"] for r in attempts]
         best["attempts_bc_sec"] = [r["bc_sec"] for r in attempts]
         best["attempts_ann_sec"] = [r["ann_sec"] for r in attempts]
+        best["attempts_lp_sec"] = [r["lp_sec"] for r in attempts]
+        best["attempts_color_sec"] = [r["color_sec"] for r in attempts]
         return best
 
     cpus_env = os.environ.get("GRAFT_SCALE_CPUS", "2,8")
@@ -579,7 +667,8 @@ def run_scaling() -> dict:
         lo_attempts.append(run_once(lo))
         hi_attempts.append(run_once(hi))
     for name, key in (("pagerank", "sec"), ("brandes_bc", "bc_sec"),
-                      ("ann_topk", "ann_sec")):
+                      ("ann_topk", "ann_sec"), ("labelprop", "lp_sec"),
+                      ("jp_coloring", "color_sec")):
         effs = [round((a[key] / b[key]) / (hi / lo), 3)
                 for a, b in zip(lo_attempts, hi_attempts)]
         pair_eff[name] = {"per_pair": effs, "best_pair": max(effs),
@@ -629,6 +718,24 @@ def run_scaling() -> dict:
                 (r_lo["ann_sec"] / r_hi["ann_sec"]) / (hi / lo), 3),
             "note": "FLOP-dense probe (BLAS matmul ANN) — not "
                     "bandwidth-capped, the cleanest CPU-count scaling signal",
+        },
+        "labelprop": {
+            f"sec_{lo}": r_lo.get("lp_sec"), f"sec_{hi}": r_hi.get("lp_sec"),
+            "speedup": round(r_lo["lp_sec"] / r_hi["lp_sec"], 3),
+            "scaling_efficiency": round(
+                (r_lo["lp_sec"] / r_hi["lp_sec"]) / (hi / lo), 3),
+            "note": "change-driven LP (round-5): superstep 0 is one "
+                    "full-count gather (bandwidth-bound on this box), "
+                    "later supersteps decay to fixed task cost",
+        },
+        "jp_coloring": {
+            f"sec_{lo}": r_lo.get("color_sec"),
+            f"sec_{hi}": r_hi.get("color_sec"),
+            "speedup": round(r_lo["color_sec"] / r_hi["color_sec"], 3),
+            "scaling_efficiency": round(
+                (r_lo["color_sec"] / r_hi["color_sec"]) / (hi / lo), 3),
+            "note": "owner-resident sharded JP coloring (round-5) over "
+                    "a 1M-vertex ring+chord graph",
         },
     }
 
