@@ -267,49 +267,9 @@ def _coloring_sharded(graph: Graph, seed: int, cfg: EngineConfig,
 def _collect_residual(graph: Graph, cfg: EngineConfig,
                       colors: np.ndarray):
     """Uncolored-induced edges + fixed boundary (uncolored vertex,
-    colored-neighbor color) pairs, one pass."""
-    import ray
+    colored-neighbor color) pairs, one pass — the shared localization
+    helper with colors as the decided-neighbor values."""
+    from centrality_gpu_ray.pipelines.localize import collect_induced
 
-    ref = ray.put(colors)
-
-    def pick(t: pa.Table, _ref=ref) -> pa.Table:
-        # one schema, two row kinds: 0 = uncolored-induced edge (a, b),
-        # 1 = fixed boundary pair (uncolored vertex, neighbor color)
-        cl = ray.get(_ref)
-        unc = cl < 0
-        s = t.column("s").to_numpy()
-        d = t.column("d").to_numpy()
-        keep = unc[s] & unc[d]
-        bv, bc = _array_pairs(s, d, unc, cl)
-        if bv.size:
-            # per-block dedup (the _ReadyColorPairs key): the boundary
-            # pair volume is otherwise O(edges with one colored
-            # endpoint) — unbounded by the induced-edge trigger on
-            # hub-heavy graphs
-            uniq = np.unique(bv * (np.int64(cl.size) + 1) + bc)
-            bv = uniq // (np.int64(cl.size) + 1)
-            bc = uniq % (np.int64(cl.size) + 1)
-        return pa.table({
-            "a": pa.array(np.concatenate([s[keep], bv]).astype(np.int64)),
-            "b": pa.array(np.concatenate([d[keep], bc]).astype(np.int64)),
-            "kind": pa.array(np.concatenate(
-                [np.zeros(int(keep.sum()), np.int8),
-                 np.ones(bv.size, np.int8)])),
-        })
-
-    ss, dd, bvs, bcs = [], [], [], []
-    for b in graph.edges.map_batches(
-            pick, batch_format="pyarrow",
-            batch_size=cfg.batch_size).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        a = b.column("a").to_numpy()
-        bb = b.column("b").to_numpy()
-        kind = b.column("kind").to_numpy()
-        e = kind == 0
-        ss.append(a[e])
-        dd.append(bb[e])
-        bvs.append(a[~e])
-        bcs.append(bb[~e])
-    cat = (lambda xs: np.concatenate(xs) if xs
-           else np.empty(0, np.int64))
-    return cat(ss), cat(dd), cat(bvs), cat(bcs)
+    return collect_induced(graph, cfg, colors < 0,
+                           decided_values=colors)

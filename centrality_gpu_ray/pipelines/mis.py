@@ -144,54 +144,17 @@ def _masked_min_gather(graph: Graph, cfg: EngineConfig, mask: np.ndarray,
 # parallel rounds are a pure function of the undecided-INDUCED
 # subgraph, collecting that subgraph once it is small and continuing
 # the identical round loop in numpy yields bit-identical output
-# (parity-tested) at driver-array cost.
-_LOCAL_FINISH_EDGES = 4_000_000
-
-
-def _induced_edge_count(graph: Graph, cfg: EngineConfig,
-                        und: np.ndarray) -> int:
-    import ray
-
-    und_ref = ray.put(und)
-
-    def cnt(t: pa.Table, _ref=und_ref) -> pa.Table:
-        m = ray.get(_ref)
-        s = t.column("s").to_numpy()
-        d = t.column("d").to_numpy()
-        return pa.table({"c": pa.array(
-            [int((m[s] & m[d]).sum())], type=pa.int64())})
-
-    total = 0
-    for b in graph.edges.map_batches(
-            cnt, batch_format="pyarrow",
-            batch_size=cfg.batch_size).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        total += int(b.column("c").to_numpy().sum())
-    return total
+# (parity-tested) at driver-array cost.  The gate + collection live in
+# ``pipelines/localize.py`` (shared with coloring); the module-level
+# rebindings keep the call sites monkeypatchable per operator.
+from centrality_gpu_ray.pipelines.localize import (  # noqa: E402
+    LOCAL_FINISH_EDGES as _LOCAL_FINISH_EDGES, collect_induced,
+    induced_edge_count as _induced_edge_count)
 
 
 def _collect_induced(graph: Graph, cfg: EngineConfig,
                      und: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    import ray
-
-    und_ref = ray.put(und)
-
-    def pick(t: pa.Table, _ref=und_ref) -> pa.Table:
-        m = ray.get(_ref)
-        s = t.column("s").to_numpy()
-        d = t.column("d").to_numpy()
-        keep = m[s] & m[d]
-        return pa.table({"s": pa.array(s[keep]), "d": pa.array(d[keep])})
-
-    ss, dd = [], []
-    for b in graph.edges.map_batches(
-            pick, batch_format="pyarrow",
-            batch_size=cfg.batch_size).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        ss.append(b.column("s").to_numpy())
-        dd.append(b.column("d").to_numpy())
-    return (np.concatenate(ss) if ss else np.empty(0, np.int64),
-            np.concatenate(dd) if dd else np.empty(0, np.int64))
+    return collect_induced(graph, cfg, und)
 
 
 def maximal_independent_set(graph: Graph, seed: int = 0,
