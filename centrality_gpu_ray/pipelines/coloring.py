@@ -44,7 +44,6 @@ import pyarrow as pa
 from centrality_gpu_ray.config import EngineConfig
 from centrality_gpu_ray.pipelines.graph import Graph
 from centrality_gpu_ray.pipelines.mis import (_LOCAL_FINISH_EDGES,
-                                              _array_min_gather,
                                               _induced_edge_count,
                                               _masked_min_gather,
                                               mis_priorities)
@@ -99,6 +98,82 @@ def _array_pairs(s: np.ndarray, d: np.ndarray, ready: np.ndarray,
             np.concatenate([colors[s[m1]], colors[d[m2]]]))
 
 
+def _jp_local_rounds(s: np.ndarray, d: np.ndarray, n: int,
+                     pri: np.ndarray, colors: np.ndarray,
+                     colored_round: np.ndarray, rnd0: int,
+                     bnd_v: np.ndarray, bnd_c: np.ndarray,
+                     cap: int) -> int:
+    """Change-driven Jones–Plassmann rounds on driver arrays — the
+    counter algorithm the owner-resident sharded path runs, locally:
+    per uncolored vertex a resident count of uncolored lower-priority
+    neighbors (ready ⟺ 0); when a vertex colors, it decrements its
+    higher-priority uncolored neighbors, so each edge is touched O(1)
+    times TOTAL across all rounds (the per-round full-edge
+    gather/scatter loop cost O(alive·rounds) — 284 rounds × 3.6M
+    scatter elements ≈ 11 s at sf0.1; this kernel is ~0.3 s). Round
+    numbering is identical: a counter hits 0 exactly the round after
+    its last lower-priority neighbor colors, which is exactly when
+    ``pri < minnbr(uncolored)`` first holds. Colors every uncolored
+    vertex; returns the final round number. ``bnd_v/bnd_c``: static
+    (uncolored vertex, colored-neighbor color) boundary pairs from a
+    mid-run localization (deduped or not — mex tolerates repeats)."""
+    from centrality_gpu_ray.nputil import ragged_arange as _rg
+
+    v_all = np.concatenate([d, s])
+    u_all = np.concatenate([s, d])
+    order = np.argsort(v_all, kind="stable")
+    v_s, u_s = v_all[order], u_all[order]
+    offs = np.searchsorted(v_s, np.arange(n + 1, dtype=np.int64))
+    unc = colors < 0
+    # residual edges have both endpoints uncolored by construction;
+    # full-graph calls start all-uncolored — either way cnt counts
+    # uncolored lower-pri neighbors
+    cnt = np.bincount(v_s, weights=(pri[u_s] < pri[v_s]),
+                      minlength=n).astype(np.int64)
+    if bnd_v.size:
+        bo = np.argsort(bnd_v, kind="stable")
+        bnd_v, bnd_c = bnd_v[bo], bnd_c[bo]
+    remaining = int(unc.sum())
+    ready = np.flatnonzero(unc & (cnt == 0))
+    rnd = rnd0
+    while remaining:
+        rnd += 1
+        if rnd > cap:
+            raise RuntimeError(
+                f"greedy_coloring: {remaining} vertices uncolored "
+                f"after max_rounds={cap}")
+        if ready.size == 0:
+            raise AssertionError(
+                "greedy_coloring: no ready vertices but "
+                f"{remaining} uncolored — counter invariant broken")
+        counts = offs[ready + 1] - offs[ready]
+        idx = np.repeat(offs[ready], counts) + _rg(counts)
+        nbr = u_s[idx]
+        rankv = np.repeat(np.arange(ready.size), counts)
+        ncol = colors[nbr]
+        km = ncol >= 0
+        mv, mc = rankv[km], ncol[km]
+        if bnd_v.size:
+            lo_b = np.searchsorted(bnd_v, ready)
+            hi_b = np.searchsorted(bnd_v, ready, side="right")
+            bc_counts = hi_b - lo_b
+            bidx = np.repeat(lo_b, bc_counts) + _rg(bc_counts)
+            mv = np.concatenate([
+                mv, np.repeat(np.arange(ready.size), bc_counts)])
+            mc = np.concatenate([mc, bnd_c[bidx]])
+        mex = _mex_compact(mv, mc, ready.size, n + 1)
+        colors[ready] = mex
+        colored_round[ready] = rnd
+        remaining -= ready.size
+        rrep = np.repeat(ready, counts)
+        dec = (pri[rrep] < pri[nbr]) & (colors[nbr] < 0)
+        tg = nbr[dec]
+        np.subtract.at(cnt, tg, 1)
+        cand = np.unique(tg)
+        ready = cand[cnt[cand] == 0]  # cand is uncolored by the dec mask
+    return rnd
+
+
 class _ReadyColorPairs:
     """Per-block distinct (ready vertex, colored-neighbor color) rows."""
 
@@ -150,58 +225,50 @@ def greedy_coloring(graph: Graph, seed: int = 0,
     t0 = time.perf_counter()
     rnd = 0
     s_loc = d_loc = None
-    if graph.mode == "local":
+    if graph.mode == "local" \
+            or graph.num_edges <= _LOCAL_FINISH_EDGES:
+        # whole graph already fits the residual budget: start on driver
+        # arrays instead of paying 4 Ray Data executor launches
+        # (~1.5 s fixed each) for round 1's gathers + gate + collection
         s_loc, d_loc, _w = graph.local_arrays()
     bnd_v = np.empty(0, dtype=np.int64)
     bnd_c = np.empty(0, dtype=np.int64)
     while (colors < 0).any():
+        if s_loc is not None:
+            # localized: the change-driven counter kernel colors every
+            # remaining vertex (each residual edge touched O(1) times
+            # total — not O(rounds))
+            rnd = _jp_local_rounds(s_loc, d_loc, n, pri, colors,
+                                   colored_round, rnd, bnd_v, bnd_c,
+                                   cap)
+            continue
         rnd += 1
         if rnd > cap:
             raise RuntimeError(
                 f"greedy_coloring: {int((colors < 0).sum())} vertices "
                 f"uncolored after max_rounds={cap}")
         unc = colors < 0
-        if s_loc is not None:
-            minnbr = _array_min_gather(s_loc, d_loc, n, unc, pri)
-            ready = unc & (pri < minnbr)  # +inf where no unc neighbor
-            pv, pc = _array_pairs(s_loc, d_loc, ready, colors)
-            keep_b = ready[bnd_v] if bnd_v.size else np.empty(0, bool)
-            pv = np.concatenate([pv, bnd_v[keep_b]])
-            pc = np.concatenate([pc, bnd_c[keep_b]])
-        else:
-            minnbr = _masked_min_gather(graph, cfg, unc, pri)
-            ready = unc & (pri < minnbr)
-            state_ref = ray.put((ready, colors))
-            pvs, pcs = [], []
-            for b in graph.edges.map_batches(
-                    _ReadyColorPairs(state_ref), batch_format="pyarrow",
-                    batch_size=cfg.batch_size).iter_batches(
-                    batch_size=None, batch_format="pyarrow"):
-                pvs.append(b.column("v").to_numpy())
-                pcs.append(b.column("c").to_numpy())
-            pv = (np.concatenate(pvs) if pvs else
-                  np.empty(0, dtype=np.int64))
-            pc = (np.concatenate(pcs) if pcs else
-                  np.empty(0, dtype=np.int64))
+        minnbr = _masked_min_gather(graph, cfg, unc, pri)
+        ready = unc & (pri < minnbr)
+        state_ref = ray.put((ready, colors))
+        pvs, pcs = [], []
+        for b in graph.edges.map_batches(
+                _ReadyColorPairs(state_ref), batch_format="pyarrow",
+                batch_size=cfg.batch_size).iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            pvs.append(b.column("v").to_numpy())
+            pcs.append(b.column("c").to_numpy())
+        pv = (np.concatenate(pvs) if pvs else
+              np.empty(0, dtype=np.int64))
+        pc = (np.concatenate(pcs) if pcs else
+              np.empty(0, dtype=np.int64))
         colors[ready] = _mex_per_vertex(pv, pc, n)[ready]
         colored_round[ready] = rnd
-        if (graph.mode != "local" and s_loc is None
-                and (colors < 0).any()
+        if ((colors < 0).any()
                 and _induced_edge_count(graph, cfg, colors < 0)
                 <= _LOCAL_FINISH_EDGES):
             s_loc, d_loc, bnd_v, bnd_c = _collect_residual(graph, cfg,
                                                            colors)
-        elif s_loc is not None and s_loc.size:
-            # compact: an edge with BOTH endpoints colored is dead for
-            # every future gather/pair pass — tail rounds then run over
-            # the shrinking residual, not the whole edge set
-            unc2 = colors < 0
-            alive = unc2[s_loc] | unc2[d_loc]
-            if 2 * int(alive.sum()) < s_loc.size:
-                s_loc, d_loc = s_loc[alive], d_loc[alive]
-                if bnd_v.size:
-                    keep = unc2[bnd_v]
-                    bnd_v, bnd_c = bnd_v[keep], bnd_c[keep]
     if metrics is not None:
         metrics.update({
             "rounds": rnd, "sec": time.perf_counter() - t0,

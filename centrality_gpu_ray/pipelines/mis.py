@@ -176,6 +176,12 @@ def maximal_independent_set(graph: Graph, seed: int = 0,
     t0 = time.perf_counter()
     rnd = 0
     s_loc = d_loc = None  # set once the residual problem is localized
+    if graph.mode != "local" \
+            and graph.num_edges <= _LOCAL_FINISH_EDGES:
+        # whole graph already fits the residual budget: skip straight
+        # to driver arrays (saves the round-1 distributed gathers +
+        # gate + collection, each a fixed-cost Ray Data execution)
+        s_loc, d_loc, _w = graph.local_arrays()
     zeros = np.zeros(n, dtype=np.float64)
     while und.any():
         rnd += 1
