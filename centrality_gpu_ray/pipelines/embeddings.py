@@ -483,17 +483,13 @@ def node2vec_embeddings(graph, dim: int = 32, walk_length: int = 20,
 
     node_ids = getattr(graph, "node_ids", None)
     if node_ids is None:
-        # sharded graphs (> dense_vertex_limit) keep ids in the
-        # VertexDict; the dense (n, d) model matrices would not fit
-        # the driver there anyway. Train those with
-        # ``sgns_train_sharded`` (owner-resident matrix chunks) over a
-        # dense-id pair Dataset and emit with
-        # ``sgns_embeddings_dataset(pool, graph.vdict)``; the walk
-        # stage's original→dense remap is the caller's choice of
-        # start set, so this convenience wrapper stays dense-only
-        raise ValueError(
-            "node2vec_embeddings: dense path only (graph is sharded); "
-            "use sgns_train_sharded + sgns_embeddings_dataset")
+        # sharded graphs (> dense_vertex_limit): walks already run
+        # sharded; pairs remap original→dense through the VertexDict
+        # and the OWNER-RESIDENT trainer holds the model chunks —
+        # the dense (n, d) driver matrices never exist
+        return _node2vec_sharded(graph, dim, walk_length,
+                                 walks_per_node, window, neg, iters,
+                                 lr, seed, p, q)
     ids = np.asarray(node_ids, dtype=np.int64)
     walks = random_walks(graph, walk_length=walk_length,
                          walks_per_node=walks_per_node, seed=seed,
@@ -514,3 +510,44 @@ def node2vec_embeddings(graph, dim: int = 32, walk_length: int = 20,
     fit = sgns_train(pairs, graph.num_vertices, dim=dim, neg=neg,
                      iters=iters, lr=lr, seed=seed)
     return embedding_table(fit["w_in"], ids)
+
+
+class _PairRemapSharded:
+    """map_batches callable: (center, context) original ids → dense,
+    via worker-cached zero-copy VertexDict block views."""
+
+    def __init__(self, dict_meta):
+        self._meta = dict_meta
+        self._reader = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from centrality_gpu_ray.pipelines.vertexdict import _DictReader
+
+        if self._reader is None:
+            self._reader = _DictReader(self._meta)
+        c = self._reader.to_dense(t.column("center").to_numpy())
+        x = self._reader.to_dense(t.column("context").to_numpy())
+        return pa.table({"center": pa.array(c), "context": pa.array(x)})
+
+
+def _node2vec_sharded(graph, dim, walk_length, walks_per_node, window,
+                      neg, iters, lr, seed, p, q):
+    """node2vec for >``dense_vertex_limit`` graphs: sharded walks →
+    skip-gram pairs (original ids) → VertexDict dense remap →
+    owner-resident SGNS on the graph's own shard pool (no second actor
+    spawn) → (node, embedding) Dataset in ORIGINAL ids."""
+    from centrality_gpu_ray.pipelines.walks import (random_walks,
+                                                    skipgram_pairs)
+
+    walks = random_walks(graph, walk_length=walk_length,
+                         walks_per_node=walks_per_node, seed=seed,
+                         p=p, q=q)
+    pairs = skipgram_pairs(walks, window=window)
+    vd = graph.vdict
+    dict_meta = (vd.mins, vd.offsets, vd.block_refs)
+    pairs = pairs.map_batches(_PairRemapSharded(dict_meta),
+                              batch_format="pyarrow")
+    fit = sgns_train_sharded(pairs, graph.num_vertices, dim=dim,
+                             neg=neg, iters=iters, lr=lr, seed=seed,
+                             pool=graph.pool)
+    return sgns_embeddings_dataset(fit["pool"], vd)

@@ -147,16 +147,36 @@ def test_noise_cdf_and_sigmoid(ray_session):
     np.testing.assert_allclose(s[1], 1 / (1 + np.e), rtol=1e-12)
 
 
-def test_sharded_graph_rejected(ray_session):
+def test_sharded_node2vec_matches_dense(ray_session):
+    """The full loop on a sharded graph (sharded walks → VertexDict
+    remap → owner-resident SGNS) must match the dense loop to float
+    association: walks are mode-invariant and the trainers share the
+    math, init and update rule."""
     from centrality_gpu_ray.config import EngineConfig
     from centrality_gpu_ray.pipelines.graph import Graph
 
-    t = pa.table({"src": pa.array([0, 1], type=pa.int64()),
-                  "dst": pa.array([1, 2], type=pa.int64())})
-    g = Graph(rd.from_arrow(t),
-              config=EngineConfig(dense_vertex_limit=1))
-    with pytest.raises(ValueError, match="dense path only"):
-        node2vec_embeddings(g, dim=4, iters=1)
+    rng = np.random.RandomState(3)
+    n = 40
+    s = rng.randint(0, n, 160)
+    d = rng.randint(0, n, 160)
+    keep = s != d
+    t = pa.table({"src": pa.array((s[keep] * 9 + 4).astype(np.int64)),
+                  "dst": pa.array((d[keep] * 9 + 4).astype(np.int64))})
+    g_dense = Graph(rd.from_arrow(t))
+    g_sh = Graph(rd.from_arrow(t),
+                 config=EngineConfig(dense_vertex_limit=10))
+    assert g_sh.sharded
+    kw = dict(dim=6, walk_length=8, walks_per_node=2, window=2, neg=2,
+              iters=3, lr=0.4, seed=4)
+    a = node2vec_embeddings(g_dense, **kw)
+    b = node2vec_embeddings(g_sh, **kw).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    an = np.argsort(a.column("node").to_numpy())
+    aw = np.vstack([np.asarray(v) for v in
+                    a.column("embedding").to_pylist()])[an]
+    assert b["node"].tolist() == sorted(a.column("node").to_pylist())
+    bw = np.stack(b["embedding"].to_numpy())
+    np.testing.assert_allclose(bw, aw, atol=1e-9)
 
 
 def test_node2vec_embeddings_nondense_ids_and_pq(ray_session):
