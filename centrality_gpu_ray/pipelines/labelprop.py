@@ -215,9 +215,19 @@ def _labelprop_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
     pool = graph.pool
     t0 = time.perf_counter()
     step, changed = 0, True
+    resumed_from = None
     if getattr(pool, "_frontier_capable", True):
         pool.setup_owner_ranges(n)
         pool.reset_labels()
+        if cfg.checkpoint_dir is not None:
+            # per-owner sharded checkpoints (same discipline as sharded
+            # PageRank); a resume loads the label chunks and the first
+            # superstep's full-count build re-derives the resident
+            # count tables exactly
+            resumed_from = pool.resume_owners(cfg.checkpoint_dir,
+                                              "labelprop")
+            if resumed_from is not None:
+                step = resumed_from + 1
         triple_ref = None
         while changed and step < max_supersteps:
             if triple_ref is None:
@@ -225,6 +235,10 @@ def _labelprop_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
             else:
                 nch, triple_ref = pool.lp_delta_step(triple_ref, weighted)
             changed = nch > 0
+            if cfg.checkpoint_dir is not None \
+                    and step % cfg.checkpoint_every == 0:
+                pool.checkpoint_owners(cfg.checkpoint_dir, "labelprop",
+                                       step, {"changed": int(nch)})
             step += 1
     else:
         pool.setup_owners_sharded(n, weighted)
@@ -236,6 +250,8 @@ def _labelprop_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
     if metrics is not None:
         metrics.update({"supersteps": step, "sec": elapsed,
                         "mode": "sharded", "converged": not changed})
+        if resumed_from is not None:
+            metrics["resumed_from"] = resumed_from
     return scores_dataset(graph.vdict, pool, "label",
                           to_original_values=True)
 

@@ -206,3 +206,28 @@ def test_node2vec_embeddings_nondense_ids_and_pq(ray_session):
     b = np.vstack([np.asarray(v) for v in
                    emb_pq.column("embedding").to_pylist()])
     assert not np.allclose(a, b)
+
+
+def test_node2vec_trainer_backends_agree(ray_session):
+    from centrality_gpu_ray.pipelines.graph import Graph
+
+    rng = np.random.RandomState(8)
+    n = 30
+    s = rng.randint(0, n, 120)
+    d = rng.randint(0, n, 120)
+    keep = s != d
+    t = pa.table({"src": pa.array((s[keep] * 3).astype(np.int64)),
+                  "dst": pa.array((d[keep] * 3).astype(np.int64))})
+    g = Graph(rd.from_arrow(t))
+    kw = dict(dim=5, walk_length=6, walks_per_node=2, window=2, neg=2,
+              iters=3, lr=0.4, seed=6)
+    a = node2vec_embeddings(g, trainer="dense", **kw)
+    b = node2vec_embeddings(g, trainer="owners", **kw)
+    assert a.column("node").to_pylist() == b.column("node").to_pylist()
+    aw = np.vstack([np.asarray(v) for v in
+                    a.column("embedding").to_pylist()])
+    bw = np.vstack([np.asarray(v) for v in
+                    b.column("embedding").to_pylist()])
+    np.testing.assert_allclose(aw, bw, atol=1e-9)
+    with pytest.raises(ValueError, match="unknown trainer"):
+        node2vec_embeddings(g, trainer="nope", **kw)

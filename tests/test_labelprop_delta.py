@@ -91,3 +91,27 @@ def test_dense_resident_checkpoint_resume(ray_session, tmp_path):
     merged = resumed.merge(fresh, on="node", suffixes=("_r", "_f"))
     assert len(merged) == g3.num_vertices
     assert (merged["label_r"] == merged["label_f"]).all()
+
+
+def test_sharded_resident_checkpoint_resume(ray_session, tmp_path):
+    # sharded LP: interrupted (3 supersteps, per-owner checkpoints) +
+    # resumed == uninterrupted, exactly
+    import ray.data
+
+    tbl = _rand_edges(seed=17)
+    ck = str(tmp_path / "ck")
+    cfg_part = EngineConfig(dense_vertex_limit=80, checkpoint_dir=ck)
+    g = Graph(ray.data.from_arrow(tbl), config=cfg_part)
+    assert g.sharded
+    label_propagation(g, cfg_part, max_supersteps=3)
+    m = {}
+    cfg_full = EngineConfig(dense_vertex_limit=80, checkpoint_dir=ck)
+    g2 = Graph(ray.data.from_arrow(tbl), config=cfg_full)
+    resumed = label_propagation(g2, cfg_full, metrics=m).to_pandas()
+    assert m["resumed_from"] == 2
+    g3 = Graph(ray.data.from_arrow(tbl),
+               config=EngineConfig(dense_vertex_limit=80))
+    fresh = label_propagation(g3).to_pandas()
+    merged = resumed.merge(fresh, on="node", suffixes=("_r", "_f"))
+    assert len(merged) == g3.num_vertices
+    assert (merged["label_r"] == merged["label_f"]).all()
