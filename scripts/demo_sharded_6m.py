@@ -1,6 +1,7 @@
 """Sharded-state demo at real scale: PageRank + connected components
 + eigenvector centrality + personalized PageRank + biconnectivity
-(articulation points) + batched sampled betweenness on a synthetic
+(articulation points) + batched sampled betweenness + change-driven
+label propagation on a synthetic
 6M-vertex graph — past ``dense_vertex_limit`` (5M), so
 the vertex dictionary, per-vertex state, and results all stay
 distributed (no driver O(n) vector anywhere; see
@@ -102,6 +103,26 @@ def main():
     n_ppr = ppr.count()
     ppr_sec = time.perf_counter() - t0
 
+    # change-driven label propagation (round 5): owner-resident count
+    # tables, only changed vertices ship per superstep. Cross-machinery
+    # verification: when the run reports convergence, one FULL-count
+    # legacy superstep (lp_step) over the same owner state must find
+    # zero changes — the delta-maintained fixpoint satisfies the
+    # full-recompute fixpoint exactly.
+    from centrality_gpu_ray.pipelines.labelprop import label_propagation
+
+    m_lp: dict = {}
+    t0 = time.perf_counter()
+    lp = label_propagation(g, EngineConfig(), max_supersteps=30,
+                           metrics=m_lp)
+    n_lp = lp.count()
+    lp_sec = time.perf_counter() - t0
+    lp_full_changed = None
+    if m_lp.get("converged"):
+        lp_full_changed = g.pool.lp_step(weighted=True)
+        assert lp_full_changed == 0, \
+            "converged LP fails the full-recompute fixpoint check"
+
     # distributed BiCC (round 3): owner-exchange Tarjan–Vishkin + a
     # recursive sharded aux-graph CC — the chorded ring is biconnected,
     # so the expected articulation count is 0 (the work is real: full
@@ -149,6 +170,12 @@ def main():
         "personalized_pagerank": {"sec": round(ppr_sec, 2),
                                   "supersteps": m_ppr.get("supersteps"),
                                   "result_rows": n_ppr},
+        "labelprop_change_driven": {
+            "sec": round(lp_sec, 2),
+            "supersteps": m_lp.get("supersteps"),
+            "converged": m_lp.get("converged"),
+            "full_recompute_changed": lp_full_changed,
+            "result_rows": n_lp},
         "biconnectivity": {"sec": round(bicc_sec, 2),
                            "bfs_depth": m_bicc.get("bfs_depth"),
                            "num_aux_edges": m_bicc.get("num_aux_edges"),
