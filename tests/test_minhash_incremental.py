@@ -80,3 +80,34 @@ def test_first_run_no_state(ray_session, tmp_path):
         num_partitions=4)
     assert sorted(surv.to_pandas()["doc_id"]) == [5]
     assert os.path.isdir(run_dir)
+
+
+def test_cross_pairs_unit():
+    """_cross_pairs: new×old only, per-bucket, deterministic cap."""
+    import pyarrow as pa
+
+    from centrality_gpu_ray.functions.dedup import _cross_pairs
+
+    t = pa.table({
+        "band": pa.array([0] * 5 + [1] * 3, type=pa.int64()),
+        "band_hash": pa.array([7] * 5 + [9] * 3, type=pa.int64()),
+        "doc_id": pa.array([1, 2, 10, 11, 12, 3, 20, 21],
+                           type=pa.int64()),
+        "is_new": pa.array([False, False, True, True, True,
+                            False, True, True]),
+    })
+    out = _cross_pairs(t)
+    pairs = sorted(zip(out.column("a").to_pylist(),
+                       out.column("b").to_pylist()))
+    # bucket (0,7): new {10,11,12} x old {1,2}; bucket (1,9):
+    # new {20,21} x old {3}
+    assert pairs == [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1),
+                     (12, 2), (20, 3), (21, 3)]
+    # cap=2: only the first 2 sorted ids per side
+    capped = _cross_pairs(t, cap=2)
+    cp = sorted(zip(capped.column("a").to_pylist(),
+                    capped.column("b").to_pylist()))
+    assert cp == [(10, 1), (10, 2), (11, 1), (11, 2), (20, 3), (21, 3)]
+    # empty input keeps the schema
+    empty = _cross_pairs(t.slice(0, 0))
+    assert empty.num_rows == 0 and empty.column_names == ["a", "b"]
