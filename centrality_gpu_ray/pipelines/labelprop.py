@@ -185,12 +185,19 @@ def _lp_resident_loop(graph: Graph, labels0: np.ndarray, start_step: int,
     invariant + the same `_pick_labels` decide), so checkpoints and the
     converged flag compare exactly."""
     pool = graph.pool
-    pool.setup_owner_ranges(graph.num_vertices)
+    n = graph.num_vertices
+    pool.setup_owner_ranges(n)
     pool.set_state(labels0.astype(np.float64))
     step, changed = start_step, True
-    triple_ref = None
+    triple_ref, nch = None, n
     while changed and step < max_supersteps:
-        if triple_ref is None:
+        # adaptive push/pull: while most labels still churn, a full
+        # count-table rebuild is ~2× cheaper than shipping ±w deltas
+        # for nearly every edge (delta volume is 2× the count volume);
+        # once changes localize the delta superstep wins by orders of
+        # magnitude. Both are exact supersteps — the switch cannot
+        # change any decision.
+        if triple_ref is None or nch * 2 > n:
             nch, triple_ref = pool.lp_init_resident(weighted)
         else:
             nch, triple_ref = pool.lp_delta_step(triple_ref, weighted)
@@ -228,9 +235,10 @@ def _labelprop_sharded(graph: Graph, cfg: EngineConfig, weighted: bool,
                                               "labelprop")
             if resumed_from is not None:
                 step = resumed_from + 1
-        triple_ref = None
+        triple_ref, nch = None, n
         while changed and step < max_supersteps:
-            if triple_ref is None:
+            # adaptive push/pull — see _lp_resident_loop
+            if triple_ref is None or nch * 2 > n:
                 nch, triple_ref = pool.lp_init_resident(weighted)
             else:
                 nch, triple_ref = pool.lp_delta_step(triple_ref, weighted)
