@@ -2,7 +2,8 @@ from centrality_gpu_ray.functions.text import (
     TextAnalyzer, token_stats, quality_scores, language_id, fingerprints,
     corpus_report)
 from centrality_gpu_ray.functions.dedup import (
-    exact_dedup, exact_dedup_best, minhash_dedup, simhash_signatures,
+    exact_dedup, exact_dedup_best, exact_dedup_incremental,
+    minhash_dedup, minhash_dedup_incremental, simhash_signatures,
     simhash_dedup, ngram_jaccard_pairs, embedding_near_dup,
     remove_repeated_paragraphs)
 from centrality_gpu_ray.functions.similarity import ann_brute_force, ann_lsh
@@ -27,7 +28,8 @@ from centrality_gpu_ray.functions.clustering import (
 
 __all__ = [
     "TextAnalyzer", "token_stats", "quality_scores", "language_id", "fingerprints",
-    "exact_dedup", "minhash_dedup", "simhash_signatures", "simhash_dedup",
+    "exact_dedup", "exact_dedup_incremental", "minhash_dedup",
+    "minhash_dedup_incremental", "simhash_signatures", "simhash_dedup",
     "ngram_jaccard_pairs", "embedding_near_dup",
     "ann_brute_force", "ann_lsh",
     "synth_media_table", "decode_media", "extract_features", "sample_frames",

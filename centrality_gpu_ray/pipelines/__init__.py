@@ -20,8 +20,9 @@ from centrality_gpu_ray.pipelines.coloring import greedy_coloring
 from centrality_gpu_ray.pipelines.community import (community_stats,
                                                     modularity_score)
 from centrality_gpu_ray.pipelines.walks import random_walks, skipgram_pairs
-from centrality_gpu_ray.pipelines.embeddings import (node2vec_embeddings,
-                                                     sgns_train)
+from centrality_gpu_ray.pipelines.embeddings import (
+    node2vec_embeddings, sgns_embeddings_dataset, sgns_train,
+    sgns_train_sharded)
 
 __all__ = [
     "Graph",
@@ -50,4 +51,6 @@ __all__ = [
     "skipgram_pairs",
     "node2vec_embeddings",
     "sgns_train",
+    "sgns_train_sharded",
+    "sgns_embeddings_dataset",
 ]
