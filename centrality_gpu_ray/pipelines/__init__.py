@@ -17,7 +17,7 @@ from centrality_gpu_ray.pipelines.hits import hits_fixed
 from centrality_gpu_ray.pipelines.butterflies import butterfly_count
 from centrality_gpu_ray.pipelines.mis import maximal_independent_set
 from centrality_gpu_ray.pipelines.coloring import greedy_coloring
-from centrality_gpu_ray.pipelines.louvain import louvain
+from centrality_gpu_ray.pipelines.louvain import louvain, louvain_coarse
 from centrality_gpu_ray.pipelines.community import (community_stats,
                                                     modularity_score)
 from centrality_gpu_ray.pipelines.walks import random_walks, skipgram_pairs
@@ -47,6 +47,7 @@ __all__ = [
     "maximal_independent_set",
     "greedy_coloring",
     "louvain",
+    "louvain_coarse",
     "community_stats",
     "modularity_score",
     "random_walks",

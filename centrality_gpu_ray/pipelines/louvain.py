@@ -46,7 +46,7 @@ from centrality_gpu_ray.pipelines.coloring import _jp_local_rounds
 from centrality_gpu_ray.pipelines.graph import Graph
 from centrality_gpu_ray.pipelines.localize import LOCAL_FINISH_EDGES
 
-__all__ = ["louvain", "modularity_of_labels"]
+__all__ = ["louvain", "louvain_coarse", "modularity_of_labels"]
 
 
 def _dense_pri(n: int, seed: int) -> np.ndarray:
@@ -260,3 +260,153 @@ def louvain(graph: Graph, config: EngineConfig | None = None,
         "node": pa.array(node_ids, type=pa.int64()),
         "community": pa.array(rep[assign], type=pa.int64()),
     })
+
+
+def louvain_coarse(graph: Graph, config: EngineConfig | None = None,
+                   seed: int = 0, lp_supersteps: int = 10,
+                   max_levels: int = 12,
+                   max_rounds_per_level: int = 8,
+                   num_partitions: int = 32,
+                   metrics: dict | None = None):
+    """Louvain past the local-move envelope — the standard practical
+    composition for web-scale graphs: (1) owner-resident label
+    propagation pre-clusters distributed (any graph size the engine
+    handles), (2) ONE distributed contraction aggregates the LP
+    partition into a super-graph (edge weights summed per community
+    pair, intra-community weight into self-loops — two lookup joins +
+    one hash_aggregate, no driver O(n) work), (3) the multi-level
+    exact-int64 Louvain kernel optimizes the contracted graph (LP
+    partitions collapse scale by orders of magnitude), (4) final
+    communities broadcast back over the LP labels in one map. Returns
+    a Dataset of ``(node, community)`` in original ids.
+
+    Quality note: level-0 granularity is the LP partition, so
+    ``louvain_coarse`` refines BETWEEN LP clusters, not within them —
+    the deliberate scale trade-off (Q ≥ the LP partition's Q by
+    construction, since contraction preserves Q and every accepted
+    move improves it)."""
+    import ray
+    import ray.data
+
+    from centrality_gpu_ray.pipelines.labelprop import label_propagation
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_lookup_join)
+
+    cfg = config or graph.config
+    t0 = time.perf_counter()
+    lp_m: dict = {}
+    labels = label_propagation(graph, cfg, max_supersteps=lp_supersteps,
+                               metrics=lp_m)
+    if isinstance(labels, pa.Table):
+        labels_ds = ray.data.from_arrow(labels)
+    else:
+        labels_ds = labels
+    labels_ds = labels_ds.materialize()
+
+    # distributed contraction: canonical original-id edges → labeled →
+    # (community_a, community_b, Σw) rows (+ self-loop rows a == b)
+    _MISSING = -(1 << 62)
+    ew = graph.canonical_edges().map_batches(
+        lambda t: pa.table({
+            "src": t.column("src").cast(pa.int64()),
+            "dst": t.column("dst").cast(pa.int64()),
+            "w": (t.column("weight").cast(pa.int64())
+                  if "weight" in t.column_names
+                  else pa.array(np.ones(t.num_rows, dtype=np.int64)))}),
+        batch_format="pyarrow")
+    la = hash_lookup_join(ew, labels_ds, row_key="src",
+                          dict_key="node", attach={"label": "ls"},
+                          outer_fill={"ls": _MISSING},
+                          num_partitions=num_partitions)
+    lb = hash_lookup_join(la, labels_ds, row_key="dst",
+                          dict_key="node", attach={"label": "ld"},
+                          outer_fill={"ld": _MISSING},
+                          num_partitions=num_partitions)
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        ls = t.column("ls").to_numpy()
+        ld = t.column("ld").to_numpy()
+        if ((ls == _MISSING) | (ld == _MISSING)).any():
+            raise AssertionError("louvain_coarse: LP labels missed an "
+                                 "edge endpoint")
+        return pa.table({
+            "a": pa.array(np.minimum(ls, ld)),
+            "b": pa.array(np.maximum(ls, ld)),
+            "w": t.column("w")})
+
+    agg = hash_aggregate(lb.map_batches(pair_rows,
+                                        batch_format="pyarrow"),
+                         keys=["a", "b"], aggs=[("w", "sum")],
+                         num_partitions=num_partitions)
+    parts = [b for b in agg.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")]
+    coarse = pa.concat_tables(parts) if parts else None
+    if coarse is None or coarse.num_rows == 0:
+        if metrics is not None:
+            metrics.update({"lp_supersteps": lp_m.get("supersteps"),
+                            "coarse_vertices": 0, "levels": 0,
+                            "sec": time.perf_counter() - t0})
+        return labels_ds.map_batches(
+            lambda t: t.rename_columns(["node", "community"]),
+            batch_format="pyarrow")
+    a = coarse.column("a").to_numpy()
+    b = coarse.column("b").to_numpy()
+    cw = coarse.column("w").to_numpy().astype(np.int64)
+    comm_ids = np.unique(np.concatenate([a, b]))
+    k = comm_ids.size
+    if coarse.num_rows > LOCAL_FINISH_EDGES:
+        raise ValueError(
+            f"louvain_coarse: contracted graph still has "
+            f"{coarse.num_rows} edges (> {LOCAL_FINISH_EDGES}); raise "
+            "lp_supersteps so the pre-clustering coarsens further")
+    da = np.searchsorted(comm_ids, a)
+    db = np.searchsorted(comm_ids, b)
+    self_m = da == db
+    selfw = np.zeros(k, dtype=np.int64)
+    np.add.at(selfw, da[self_m], cw[self_m])
+    s_c, d_c, w_c = da[~self_m], db[~self_m], cw[~self_m]
+    m2 = 2 * int(cw.sum())
+
+    # multi-level kernel on the contracted graph
+    assign = np.arange(k, dtype=np.int64)
+    nl = k
+    levels = 0
+    s2, d2, w2, sw2 = s_c, d_c, w_c, selfw
+    for _ in range(max_levels):
+        comm, moves, _r = _local_moves(s2, d2, w2, sw2, nl, m2, seed,
+                                       max_rounds_per_level)
+        if moves == 0:
+            break
+        s2, d2, w2, sw2, k2, dense = _contract(s2, d2, w2, sw2, comm,
+                                               nl)
+        assign = dense[assign]
+        nl = k2
+        levels += 1
+    final_q = modularity_of_labels(s2, d2, w2, sw2, np.arange(nl), m2)
+    # community id = min LP-label member (LP labels are original ids)
+    rep = np.full(nl, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(rep, assign, comm_ids)
+    lp_to_comm = rep[assign]  # per contracted vertex
+
+    # broadcast the tiny (lp label → community) map; one streaming map
+    lut_ref = ray.put((comm_ids, lp_to_comm))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(lut_ref)
+        lab = t.column("label").to_numpy()
+        pos = np.searchsorted(keys, lab)
+        return pa.table({"node": t.column("node"),
+                         "community": pa.array(vals[pos])})
+
+    out = labels_ds.map_batches(relabel, batch_format="pyarrow")
+    if metrics is not None:
+        metrics.update({
+            "lp_supersteps": lp_m.get("supersteps"),
+            "coarse_vertices": int(k),
+            "coarse_edges": int(coarse.num_rows),
+            "levels": levels,
+            "communities": int(np.unique(lp_to_comm).size),
+            "modularity": final_q,
+            "sec": time.perf_counter() - t0,
+        })
+    return out

@@ -120,3 +120,44 @@ def test_sharded_rejected(ray_session):
               config=EngineConfig(dense_vertex_limit=4))
     with pytest.raises(ValueError, match="dense envelope"):
         louvain(g)
+
+
+def test_louvain_coarse_sharded_planted(ray_session):
+    """Scale path on a SHARDED planted graph: LP pre-clusters the
+    cliques, the contracted super-graph gets the exact kernel, final
+    communities keep every clique together with high Q."""
+    from centrality_gpu_ray.pipelines.community import (community_stats,
+                                                        modularity_score)
+    from centrality_gpu_ray.pipelines.louvain import louvain_coarse
+
+    tbl = _ring_of_cliques(k=10, size=5)
+    g = Graph(ray.data.from_arrow(tbl),
+              config=EngineConfig(dense_vertex_limit=10))
+    assert g.sharded
+    m = {}
+    out = louvain_coarse(g, metrics=m).to_pandas()
+    assert m["coarse_vertices"] <= 10  # LP collapsed the cliques
+    # every clique stays within one community
+    for c in range(10):
+        members = out[out["node"].isin(range(c * 5, (c + 1) * 5))]
+        assert members["community"].nunique() == 1
+    q = modularity_score(community_stats(
+        g.canonical_edges(),
+        pa.table({"node": pa.array(out["node"], type=pa.int64()),
+                  "label": pa.array(out["community"],
+                                    type=pa.int64())}),
+        weighted=True))
+    assert q["q_micro"] / 1e6 > 0.5
+    assert abs(q["q_micro"] / 1e6 - m["modularity"]) < 2e-6
+
+
+def test_louvain_coarse_matches_dense_quality(ray_session):
+    """On the dense path's own input the coarse composition must not
+    lose (much) modularity vs full Louvain."""
+    from centrality_gpu_ray.pipelines.louvain import louvain_coarse
+
+    tbl = _ring_of_cliques(k=8, size=5)
+    m_full, m_coarse = {}, {}
+    louvain(_graph(tbl), metrics=m_full)
+    louvain_coarse(_graph(tbl), metrics=m_coarse)
+    assert m_coarse["modularity"] >= m_full["modularity"] - 0.05
