@@ -2,8 +2,8 @@ from centrality_gpu_ray.pipelines.graph import Graph
 from centrality_gpu_ray.pipelines.pagerank import pagerank
 from centrality_gpu_ray.pipelines.components import connected_components
 from centrality_gpu_ray.pipelines.labelprop import label_propagation
-from centrality_gpu_ray.pipelines.triangles import (edge_support,
-                                                    triangle_counts)
+from centrality_gpu_ray.pipelines.triangles import (
+    clustering_coefficients, edge_support, triangle_counts)
 from centrality_gpu_ray.pipelines.truss import ktruss
 from centrality_gpu_ray.pipelines.brandes import betweenness_centrality
 from centrality_gpu_ray.pipelines.bc_decomp import betweenness_decomposed
@@ -31,6 +31,7 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_counts",
+    "clustering_coefficients",
     "edge_support",
     "ktruss",
     "betweenness_centrality",

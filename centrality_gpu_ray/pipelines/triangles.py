@@ -548,3 +548,95 @@ def _wedge_credit_packed(n: int):
                          "c": pa.array(cnt.astype(np.int64))})
 
     return fn
+
+
+def clustering_coefficients(graph: Graph,
+                            config: EngineConfig | None = None,
+                            metrics: dict | None = None):
+    """Local clustering coefficients — ``(node, triangles,
+    clustering)`` with ``clustering = triangles(v) / C(deg(v), 2)``
+    (0 where deg < 2). Derived from :func:`triangle_counts` plus the
+    degree vector; ``metrics`` gains ``avg_clustering`` (mean over
+    all vertices — Watts–Strogatz) and ``transitivity`` (global
+    3·triangles / wedges). Dense graphs return a ``pa.Table``;
+    sharded graphs compute the degree attach distributed
+    (hash-aggregated degrees + one lookup join) and return a Dataset,
+    with the two scalar metrics folded from per-block partials."""
+    cfg = config or graph.config
+    tri = triangle_counts(graph, cfg, metrics=metrics)
+    if isinstance(tri, pa.Table):
+        deg = graph.out_degree.astype(np.float64)
+        t = tri.column("triangles").to_numpy().astype(np.float64)
+        poss = deg * (deg - 1.0) / 2.0
+        c = np.divide(t, poss, out=np.zeros_like(t), where=poss > 0)
+        if metrics is not None:
+            metrics.update({
+                "avg_clustering": float(c.mean()) if c.size else 0.0,
+                "transitivity": (float(t.sum() / poss.sum())
+                                 if poss.sum() > 0 else 0.0),
+            })
+        return tri.append_column("clustering", pa.array(c))
+
+    from centrality_gpu_ray.stages.shuffle import (hash_aggregate,
+                                                   hash_lookup_join)
+
+    def explode_deg(tb: pa.Table) -> pa.Table:
+        s = tb.column("src").to_numpy()
+        d = tb.column("dst").to_numpy()
+        return pa.table({
+            "node": pa.array(np.concatenate([s, d]).astype(np.int64)),
+            "c": pa.array(np.ones(2 * len(tb), dtype=np.int64))})
+
+    deg_ds = hash_aggregate(
+        graph.canonical_edges().map_batches(explode_deg,
+                                            batch_format="pyarrow"),
+        keys=["node"], aggs=[("c", "sum")],
+        num_partitions=cfg.num_partitions)
+    joined = hash_lookup_join(tri, deg_ds, row_key="node",
+                              dict_key="node", attach={"c": "deg"},
+                              outer_fill={"deg": 0},
+                              num_partitions=cfg.num_partitions)
+
+    def finish(tb: pa.Table) -> pa.Table:
+        t = tb.column("triangles").to_numpy().astype(np.float64)
+        dg = tb.column("deg").to_numpy().astype(np.float64)
+        poss = dg * (dg - 1.0) / 2.0
+        c = np.divide(t, poss, out=np.zeros_like(t), where=poss > 0)
+        return pa.table({"node": tb.column("node"),
+                         "triangles": tb.column("triangles"),
+                         "clustering": pa.array(c)})
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    if metrics is not None:
+        out = out.materialize()
+        # scalar folds for the two global metrics (one tiny row per
+        # block to the driver)
+        sums = joined.map_batches(
+            lambda tb: pa.table({
+                "t": pa.array([float(tb.column("triangles").to_numpy()
+                               .sum())]),
+                "p": pa.array([float((lambda g: (g * (g - 1) / 2.0)
+                                      .sum())(
+                    tb.column("deg").to_numpy().astype(np.float64)))]),
+                "csum": pa.array([float(np.divide(
+                    tb.column("triangles").to_numpy()
+                    .astype(np.float64),
+                    (lambda g: g * (g - 1) / 2.0)(
+                        tb.column("deg").to_numpy()
+                        .astype(np.float64)),
+                    out=np.zeros(len(tb)),
+                    where=tb.column("deg").to_numpy() > 1).sum())]),
+                "n": pa.array([float(len(tb))]),
+            }), batch_format="pyarrow")
+        tt = pp = cs = nn = 0.0
+        for b in sums.iter_batches(batch_size=None,
+                                   batch_format="pyarrow"):
+            tt += float(b.column("t").to_numpy().sum())
+            pp += float(b.column("p").to_numpy().sum())
+            cs += float(b.column("csum").to_numpy().sum())
+            nn += float(b.column("n").to_numpy().sum())
+        metrics.update({
+            "avg_clustering": cs / nn if nn else 0.0,
+            "transitivity": tt / pp if pp else 0.0,
+        })
+    return out
