@@ -17,6 +17,7 @@ from centrality_gpu_ray.pipelines.hits import hits_fixed
 from centrality_gpu_ray.pipelines.butterflies import butterfly_count
 from centrality_gpu_ray.pipelines.mis import maximal_independent_set
 from centrality_gpu_ray.pipelines.coloring import greedy_coloring
+from centrality_gpu_ray.pipelines.gnn_sampling import neighbor_sample
 from centrality_gpu_ray.pipelines.louvain import louvain, louvain_coarse
 from centrality_gpu_ray.pipelines.community import (community_stats,
                                                     modularity_score)
@@ -47,6 +48,7 @@ __all__ = [
     "butterfly_count",
     "maximal_independent_set",
     "greedy_coloring",
+    "neighbor_sample",
     "louvain",
     "louvain_coarse",
     "community_stats",

@@ -533,6 +533,25 @@ def _shard_class():
             return tuple((vd[cuts[i]:cuts[i + 1]], dc[cuts[i]:cuts[i + 1]])
                          for i in range(len(bounds) - 1))
 
+        def shard_sample_nbrs(self, ids: np.ndarray, f: int,
+                              seed: int, layer: int):
+            """This shard's per-source top-``f`` sampled neighbor
+            candidates for the frontier (GNN neighbor sampling):
+            content-keyed edge ranks, so the driver's cross-shard
+            merge is deterministic and equals the dense path."""
+            from centrality_gpu_ray.pipelines.gnn_sampling import (
+                _edge_rank, _topf_per_src)
+
+            z = np.empty(0, dtype=np.int64)
+            if self.u.size == 0 or ids.size == 0:
+                return z, z, np.empty(0, dtype=np.uint64)
+            nbr, counts, hit, _ = self._frontier_segments(ids)
+            if nbr.size == 0:
+                return z, z, np.empty(0, dtype=np.uint64)
+            src = np.repeat(ids[hit], counts)
+            return _topf_per_src(src, nbr,
+                                 _edge_rank(src, nbr, seed, layer), f)
+
         def shard_nbr_ids(self, bounds: np.ndarray, ids: np.ndarray):
             """Per-range distinct neighbor ids of the given vertices
             (MIS winner→exclusion marking)."""
