@@ -394,7 +394,16 @@ def louvain_coarse(graph: Graph, config: EngineConfig | None = None,
     def relabel(t: pa.Table) -> pa.Table:
         keys, vals = ray.get(lut_ref)
         lab = t.column("label").to_numpy()
-        pos = np.searchsorted(keys, lab)
+        pos = np.minimum(np.searchsorted(keys, lab),
+                         max(keys.size - 1, 0))
+        if lab.size and (keys.size == 0
+                         or not (keys[pos] == lab).all()):
+            # every vertex has an edge (the vertex set IS the edge
+            # endpoints), so every LP label must appear in the
+            # contracted vertex set — anything else is corruption
+            raise AssertionError(
+                "louvain_coarse: LP label absent from the contracted "
+                "vertex set")
         return pa.table({"node": t.column("node"),
                          "community": pa.array(vals[pos])})
 
