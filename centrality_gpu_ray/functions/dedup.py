@@ -277,6 +277,12 @@ def exact_dedup_incremental(ds, state_dir: str, text_col: str = "text",
     tmp_dir = tempfile.mkdtemp(dir=state_dir, prefix="_tmp_run_")
     winners.map_batches(lambda t: t.select(["_h"]),
                         batch_format="pyarrow").write_parquet(tmp_dir)
+    # manifest = non-empty-dir guarantee: rename() silently replaces
+    # an EMPTY destination directory, so without it a racing claim of
+    # the same run index could clobber an already-claimed empty run
+    import json as _json
+    with open(os.path.join(tmp_dir, "_manifest.json"), "w") as fh:
+        _json.dump({"kind": "exact_dedup_hashes"}, fh)
     k = 1 + max((int(os.path.basename(d).split("=", 1)[1])
                  for d in run_dirs), default=-1)
     while True:  # claim the next run index via atomic rename
@@ -610,6 +616,28 @@ def _cross_pairs(tbl: pa.Table, cap: int = BUCKET_CAP):
                      "b": pa.array(ids_s[b_idx])})
 
 
+def _sig_matrix(col, n: int) -> np.ndarray:
+    """Fixed-width list<int64> column → (n, num_perm) matrix as ONE
+    flat-buffer view (the zero-copy discipline — a per-row to_pylist
+    here was the round-3 'never hash per row' trap on the cross-pair
+    hot path; review finding r5)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+        else col
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray Data stores uniform list-of-array columns as its tensor
+        # extension type; the storage is a fixed-size list
+        arr = arr.storage
+    if pa.types.is_fixed_size_list(arr.type):
+        # flatten() (not .values) so a SLICED array windows correctly
+        return np.asarray(arr.flatten()).reshape(n, -1)
+    offs = np.asarray(arr.offsets)
+    widths = np.diff(offs)
+    if widths.size and not (widths == widths[0]).all():
+        raise ValueError("signature column is not fixed-width")
+    vals = np.asarray(arr.values)[offs[0]:offs[-1]]
+    return vals.reshape(n, int(widths[0]) if widths.size else 0)
+
+
 def _sig_match_fraction(batch: pa.Table) -> pa.Table:
     """Per-pair MinHash agreement fraction — the unbiased estimator of
     Jaccard similarity (E[frac] = J; σ² = J(1−J)/num_perm)."""
@@ -619,10 +647,8 @@ def _sig_match_fraction(batch: pa.Table) -> pa.Table:
         return pa.table({"a": pa.array(a), "b": pa.array(b),
                          "est_jaccard": pa.array(
                              np.empty(0, dtype=np.float64))})
-    sa = np.stack([np.asarray(v) for v in
-                   batch.column("_sig_a").to_pylist()])
-    sb = np.stack([np.asarray(v) for v in
-                   batch.column("_sig_b").to_pylist()])
+    sa = _sig_matrix(batch.column("_sig_a"), a.size)
+    sb = _sig_matrix(batch.column("_sig_b"), b.size)
     frac = (sa == sb).mean(axis=1)
     return pa.table({"a": pa.array(a), "b": pa.array(b),
                      "est_jaccard": pa.array(frac)})
@@ -661,7 +687,32 @@ def minhash_dedup_incremental(ds, state_dir: str, threshold: float = 0.7,
                                                    hash_partition_apply,
                                                    hash_semi_join)
 
+    import json as _json
+
     rows = num_perm // bands
+    os.makedirs(state_dir, exist_ok=True)
+    run_dirs0 = _glob.glob(os.path.join(state_dir, "run=*"))
+    # parameter manifest: signatures are only comparable under the
+    # SAME (num_perm, shingle_k, bands) — a mismatched later run would
+    # silently miss every cross-run duplicate (different hash family,
+    # different band slicing) or crash on shape broadcast (review
+    # finding r5). Every run dir carries its params; validate against
+    # any prior run before touching the state.
+    params = {"num_perm": num_perm, "shingle_k": shingle_k,
+              "bands": bands}
+    for dpath in run_dirs0:
+        ppath = os.path.join(dpath, "_params.json")
+        if not os.path.exists(ppath):
+            continue
+        with open(ppath) as fh:
+            stored = _json.load(fh)
+        prior_p = {k: stored.get(k) for k in params}
+        if prior_p != params:
+            raise ValueError(
+                f"minhash_dedup_incremental: state at {dpath} was "
+                f"written with {prior_p}, this run uses {params} — "
+                "signatures are not comparable across parameter "
+                "changes; use a fresh state_dir")
     sigs_new = minhash_signatures(ds, num_perm=num_perm,
                                   shingle_k=shingle_k).materialize()
 
@@ -723,6 +774,14 @@ def minhash_dedup_incremental(ds, state_dir: str, threshold: float = 0.7,
                                num_partitions=num_partitions)
     tmp_dir = tempfile.mkdtemp(dir=state_dir, prefix="_tmp_run_")
     surv_sigs.write_parquet(tmp_dir)
+    # the manifest doubles as the non-empty-dir guarantee: POSIX
+    # rename() silently REPLACES an empty destination directory, so a
+    # concurrently-claimed (but empty) run could be clobbered — with
+    # the manifest inside, every claimed run dir is non-empty and a
+    # racing rename fails with ENOTEMPTY, advancing to the next index
+    # (review finding r5)
+    with open(os.path.join(tmp_dir, "_params.json"), "w") as fh:
+        _json.dump(params, fh)
     k = 1 + max((int(os.path.basename(d).split("=", 1)[1])
                  for d in run_dirs), default=-1)
     while True:  # claim the next run index via atomic rename

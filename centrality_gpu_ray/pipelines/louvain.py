@@ -41,7 +41,6 @@ import numpy as np
 import pyarrow as pa
 
 from centrality_gpu_ray.config import EngineConfig
-from centrality_gpu_ray.functions.sketch import _splitmix
 from centrality_gpu_ray.pipelines.coloring import _jp_local_rounds
 from centrality_gpu_ray.pipelines.graph import Graph
 from centrality_gpu_ray.pipelines.localize import LOCAL_FINISH_EDGES
@@ -50,14 +49,14 @@ __all__ = ["louvain", "louvain_coarse", "modularity_of_labels"]
 
 
 def _dense_pri(n: int, seed: int) -> np.ndarray:
-    """Deterministic priority permutation over dense ids 0..n−1 (the
-    `mis_priorities` construction on the level graph's own ids)."""
-    h = _splitmix(np.arange(n, dtype=np.int64).view(np.uint64)
-                  ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
-    order = np.lexsort((np.arange(n), h))
-    pri = np.empty(n, dtype=np.float64)
-    pri[order] = np.arange(n, dtype=np.float64)
-    return pri
+    """Deterministic priority permutation over dense ids 0..n−1 — the
+    ONE `mis_priorities` construction applied to the level graph's own
+    ids (a re-implementation here could drift from the sharded-JP
+    parity argument; review finding r5)."""
+    from centrality_gpu_ray.pipelines.mis import mis_priorities
+
+    return mis_priorities(np.arange(n, dtype=np.int64),
+                          seed).astype(np.float64)
 
 
 def _color_classes(s: np.ndarray, d: np.ndarray, n: int,
@@ -366,6 +365,14 @@ def louvain_coarse(graph: Graph, config: EngineConfig | None = None,
     np.add.at(selfw, da[self_m], cw[self_m])
     s_c, d_c, w_c = da[~self_m], db[~self_m], cw[~self_m]
     m2 = 2 * int(cw.sum())
+    if m2 > 3_000_000_000:
+        # same exact-int64 scoring envelope the dense entry enforces —
+        # the coarse path is the LARGE-graph path, so the silent-wrap
+        # hazard is bigger here, not smaller (review finding r5)
+        raise ValueError(
+            f"louvain_coarse: total edge weight 2m={m2} exceeds the "
+            "exact int64 scoring envelope (3e9); rescale weights "
+            "first")
 
     # multi-level kernel on the contracted graph
     assign = np.arange(k, dtype=np.int64)

@@ -111,3 +111,19 @@ def test_cross_pairs_unit():
     # empty input keeps the schema
     empty = _cross_pairs(t.slice(0, 0))
     assert empty.num_rows == 0 and empty.column_names == ["a", "b"]
+
+
+def test_param_mismatch_rejected(ray_session, tmp_path):
+    state = str(tmp_path / "mh_state")
+    minhash_dedup_incremental(
+        ray.data.from_arrow(_tbl([_doc(1, _BASE)])), state,
+        num_partitions=4)
+    with pytest.raises(ValueError, match="not comparable"):
+        minhash_dedup_incremental(
+            ray.data.from_arrow(_tbl([_doc(2, _ALT)])), state,
+            num_perm=128, num_partitions=4)
+    # matching params keep working
+    surv, _ = minhash_dedup_incremental(
+        ray.data.from_arrow(_tbl([_doc(2, _ALT)])), state,
+        num_partitions=4)
+    assert sorted(surv.to_pandas()["doc_id"]) == [2]
