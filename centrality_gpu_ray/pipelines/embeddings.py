@@ -528,9 +528,14 @@ def node2vec_embeddings(graph, dim: int = 32, walk_length: int = 20,
                   or (trainer == "auto"
                       and pairs.count() >= _OWNER_TRAINER_PAIRS))
     if use_owners:
+        # reuse the graph's pool only if it ALREADY exists — touching
+        # graph.pool lazily spawns a full edge-sharded pool (seconds of
+        # actor spawn + doubled message layouts) that SGNS never uses;
+        # otherwise sgns_train_sharded spawns cheap state-only owners
         fit = sgns_train_sharded(pairs, graph.num_vertices, dim=dim,
                                  neg=neg, iters=iters, lr=lr,
-                                 seed=seed, pool=graph.pool)
+                                 seed=seed,
+                                 pool=getattr(graph, "_pool", None))
         w_in, _ = sgns_collect(fit["pool"])
     else:
         w_in = sgns_train(pairs, graph.num_vertices, dim=dim, neg=neg,

@@ -97,6 +97,26 @@ def _out_table(layers, srcs, dsts) -> pa.Table:
     })
 
 
+def _cached_csr(graph: Graph):
+    """Doubled, destination-sorted adjacency (neighbors array + per-
+    vertex offsets) — a pure function of the graph, built ONCE and
+    cached on the Graph object (the `_local`/`_out_degree` discipline;
+    a GNN trainer calls neighbor_sample per minibatch, thousands of
+    times — an O(m log m) rebuild per call was review finding r5)."""
+    cached = getattr(graph, "_sample_csr", None)
+    if cached is None:
+        s, d, _w = graph.local_arrays()
+        n = graph.num_vertices
+        v_all = np.concatenate([s, d])
+        u_all = np.concatenate([d, s])
+        order = np.argsort(v_all, kind="stable")
+        v_s = v_all[order]
+        offs = np.searchsorted(v_s, np.arange(n + 1, dtype=np.int64))
+        cached = (u_all[order], offs)
+        graph._sample_csr = cached
+    return cached
+
+
 def _sample_dense(graph: Graph, seeds: np.ndarray, fanouts,
                   seed: int) -> pa.Table:
     ids = graph.node_ids
@@ -106,13 +126,7 @@ def _sample_dense(graph: Graph, seeds: np.ndarray, fanouts,
         missing = seeds if ids.size == 0 else seeds[ids[pos] != seeds]
         raise ValueError(
             f"neighbor_sample: seeds not in graph: {missing[:5]}")
-    s, d, _w = graph.local_arrays()
-    n = graph.num_vertices
-    v_all = np.concatenate([s, d])
-    u_all = np.concatenate([d, s])
-    order = np.argsort(v_all, kind="stable")
-    v_s, u_s = v_all[order], u_all[order]
-    offs = np.searchsorted(v_s, np.arange(n + 1, dtype=np.int64))
+    u_s, offs = _cached_csr(graph)
     frontier = pos
     layers, srcs, dsts = [], [], []
     for layer, f in enumerate(fanouts):

@@ -90,9 +90,14 @@ def _local_moves(s: np.ndarray, d: np.ndarray, w: np.ndarray,
     # change-driven active set (the classic Louvain work queue): a
     # vertex is re-examined only while its neighborhood's community
     # assignment may have changed — considered vertices deactivate,
-    # movers reactivate their neighbors. Work per sweep decays with
-    # the move frontier instead of staying O(n + m)·colors·rounds.
+    # movers reactivate their neighbors. ΔQ also depends on Σtot of
+    # NON-neighbor communities, so an idle vertex can become
+    # improvable without any neighbor moving; before declaring a
+    # fixpoint, one CONFIRMATION sweep re-examines every vertex — the
+    # phase ends only when a full sweep moves nothing (so the
+    # docstring's "no improving move remains" claim is real).
     active = np.ones(n, dtype=bool)
+    confirming = False
     while rounds < max_rounds and active.any():
         rounds += 1
         moved_round = 0
@@ -149,7 +154,12 @@ def _local_moves(s: np.ndarray, d: np.ndarray, w: np.ndarray,
                 active[d[touch]] = True
         total_moves += moved_round
         if moved_round == 0:
-            break
+            if confirming:
+                break
+            confirming = True
+            active[:] = True
+        else:
+            confirming = False
     return comm, total_moves, rounds
 
 
@@ -336,7 +346,16 @@ def louvain_coarse(graph: Graph, config: EngineConfig | None = None,
     agg = hash_aggregate(lb.map_batches(pair_rows,
                                         batch_format="pyarrow"),
                          keys=["a", "b"], aggs=[("w", "sum")],
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions).materialize()
+    # envelope gate BEFORE the driver collection — counting is one
+    # distributed scalar; collecting an under-coarsened table first
+    # would pay the very blow-up the guard exists to prevent
+    n_coarse = agg.count()
+    if n_coarse > LOCAL_FINISH_EDGES:
+        raise ValueError(
+            f"louvain_coarse: contracted graph still has {n_coarse} "
+            f"edges (> {LOCAL_FINISH_EDGES}); raise lp_supersteps so "
+            "the pre-clustering coarsens further")
     parts = [b for b in agg.iter_batches(batch_size=None,
                                          batch_format="pyarrow")]
     coarse = pa.concat_tables(parts) if parts else None
@@ -353,11 +372,6 @@ def louvain_coarse(graph: Graph, config: EngineConfig | None = None,
     cw = coarse.column("w").to_numpy().astype(np.int64)
     comm_ids = np.unique(np.concatenate([a, b]))
     k = comm_ids.size
-    if coarse.num_rows > LOCAL_FINISH_EDGES:
-        raise ValueError(
-            f"louvain_coarse: contracted graph still has "
-            f"{coarse.num_rows} edges (> {LOCAL_FINISH_EDGES}); raise "
-            "lp_supersteps so the pre-clustering coarsens further")
     da = np.searchsorted(comm_ids, a)
     db = np.searchsorted(comm_ids, b)
     self_m = da == db

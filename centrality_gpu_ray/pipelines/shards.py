@@ -462,10 +462,22 @@ def _shard_class():
             self.jp_pri_chunk = pri
             return pri
 
+        # heap-copy the priority vector below this size: plasma-view
+        # random reads are ~2.6× slower than heap in hot gather loops
+        # (CLAUDE.md r2), and jp_pri is fancy-indexed in the cnt-init
+        # full pass and every round's delta gathers. Above the
+        # threshold the per-actor copies (n×8 bytes × P actors) cost
+        # more than the view penalty — and on a multi-node cluster the
+        # view is the design (ONE physical copy per node).
+        _JP_PRI_COPY_LIMIT = 8_000_000
+
         def shard_jp_load_pri(self, pri_full: np.ndarray) -> bool:
             """Cache the assembled priority vector shard-resident
-            (zero-copy plasma view; static across all rounds)."""
-            self.jp_pri = pri_full
+            (heap copy for hot-gather speed when small, zero-copy
+            plasma view past the per-actor-copy budget)."""
+            self.jp_pri = (np.array(pri_full)
+                           if pri_full.size <= self._JP_PRI_COPY_LIMIT
+                           else pri_full)
             return True
 
         def shard_jp_cnt_init(self, bounds: np.ndarray):
