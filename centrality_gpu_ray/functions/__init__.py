@@ -6,6 +6,8 @@ from centrality_gpu_ray.functions.dedup import (
     minhash_dedup, minhash_dedup_incremental, simhash_signatures,
     simhash_dedup, ngram_jaccard_pairs, embedding_near_dup,
     remove_repeated_paragraphs)
+from centrality_gpu_ray.functions.decomposition import (pca_fit,
+                                                        pca_transform)
 from centrality_gpu_ray.functions.similarity import ann_brute_force, ann_lsh
 from centrality_gpu_ray.functions.vectorize import (document_frequencies,
                                                     hashed_tfidf)
@@ -41,4 +43,5 @@ __all__ = [
     "remove_repeated_paragraphs", "repetition_stats", "repetition_filter", "dsir_fit", "dsir_weights", "dsir_select",
     "hashed_tfidf", "document_frequencies", "pq_train", "pq_encode",
     "ann_pq_topk", "ann_ivfpq_topk", "exact_dedup_best",
+    "pca_fit", "pca_transform",
 ]
