@@ -205,6 +205,31 @@ def main() -> dict:
         [gen_vec.remote(c) for c in range(CHUNKS)]).materialize()
     _mark("synthesize_embeddings")
 
+    # --- distributed exact PCA + whitening over the 500k vectors ---
+    # One streaming pass of (count, Σx, ΣxxT) block partials; the
+    # 8-blob mixture has ≤ 8-dimensional between-cluster structure, so
+    # the top components must carry the blob variance (≫ the unit
+    # noise floor) and whitening must land every kept coordinate at
+    # exactly unit variance — both asserted from a second streaming
+    # moment pass over the projected Dataset.
+    from centrality_gpu_ray.functions.decomposition import (pca_fit,
+                                                            pca_transform)
+
+    pfit = pca_fit(emb, n_components=16)
+    assert pfit["n_rows"] == n_vecs
+    ev = pfit["explained_variance"]
+    assert ev[0] > 10.0 and (np.diff(ev) <= 1e-9).all()
+    white = pca_transform(emb, pfit, whiten=True).materialize()
+    wfit = pca_fit(white.map_batches(
+        lambda t: pa.table({"vec_id": t.column("vec_id"),
+                            "embedding": t.column("pca")}),
+        batch_format="pyarrow"), n_components=16)
+    # whitened variances are exactly 1 in EVERY kept direction
+    assert np.abs(wfit["explained_variance"] - 1.0).max() < 1e-6
+    out["counts"]["pca_top4_variance"] = [round(float(v), 2)
+                                          for v in ev[:4]]
+    _mark("pca_whiten_500k")
+
     fit = kmeans_fit(emb, k=64, iters=4, tol=0.0)
     h = fit["inertia_history"]
     assert all(h[i + 1] <= h[i] + 1e-6 for i in range(len(h) - 1))
