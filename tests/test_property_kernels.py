@@ -100,3 +100,29 @@ def test_jp_local_rounds_vs_sequential_greedy(edge_list, rnd):
     # properness
     for a, b in edges:
         assert colors[a] != colors[b]
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)),
+                min_size=1, max_size=50),
+       st.integers(1, 6))
+@settings(**SETTINGS)
+def test_topf_per_src_vs_brute(rows, f):
+    """GNN per-source top-f selection vs a brute per-source sort;
+    neighbor values double as deterministic ranks."""
+    from centrality_gpu_ray.pipelines.gnn_sampling import _topf_per_src
+
+    src = np.array([r[0] for r in rows], dtype=np.int64)
+    nbr = np.array([r[1] for r in rows], dtype=np.int64)
+    # make (src, nbr) distinct like real edges, rank = hash-free value
+    key = np.unique(src * 64 + nbr)
+    src, nbr = key // 64, key % 64
+    h = nbr.astype(np.uint64) * np.uint64(2654435761)
+    ks, kn, kh = _topf_per_src(src, nbr, h, f)
+    for v in np.unique(src):
+        mine = sorted(h[src == v])
+        got = sorted(kh[ks == v])
+        assert got == mine[:f]
+    # winners carry consistent (src, nbr, rank) triples
+    lut = {(int(a), int(b)): int(r) for a, b, r in zip(src, nbr, h)}
+    for a, b, r in zip(ks, kn, kh):
+        assert lut[(int(a), int(b))] == int(r)
