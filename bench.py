@@ -380,6 +380,18 @@ def run_bench() -> dict:
           lambda: modularity_score(community_stats(
               g.canonical_edges(), lp_out["labels"]))["q_micro"])
 
+    # distributed exact PCA + whitening over the driver embeddings
+    # table (one streaming moment pass + a stateless projection map)
+    from centrality_gpu_ray.functions.decomposition import (pca_fit,
+                                                            pca_transform)
+
+    def _pca_row():
+        emb = _rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        pfit = pca_fit(emb, n_components=16)
+        return pca_transform(emb, pfit, whiten=True).count()
+
+    timed("pca_whiten_embeddings", _pca_row)
+
     # Louvain multi-level modularity optimization over a 250k-vertex
     # planted-community graph (10k ring-linked 25-cliques): the
     # operator's intended regime — structured graph, local moves
