@@ -19,6 +19,7 @@ from centrality_gpu_ray.pipelines.mis import maximal_independent_set
 from centrality_gpu_ray.pipelines.coloring import greedy_coloring
 from centrality_gpu_ray.pipelines.gnn_sampling import neighbor_sample
 from centrality_gpu_ray.pipelines.louvain import louvain, louvain_coarse
+from centrality_gpu_ray.pipelines.subgraph import induced_subgraph
 from centrality_gpu_ray.pipelines.community import (community_stats,
                                                     modularity_score)
 from centrality_gpu_ray.pipelines.walks import random_walks, skipgram_pairs
@@ -51,6 +52,7 @@ __all__ = [
     "neighbor_sample",
     "louvain",
     "louvain_coarse",
+    "induced_subgraph",
     "community_stats",
     "modularity_score",
     "random_walks",
