@@ -72,3 +72,17 @@ def test_community_extraction_composition(ray_session):
     # community 0 is the first clique: K5 — 10 edges, 5 vertices
     assert sub.num_vertices == 5
     assert sub.num_edges == 10
+
+
+def test_sharded_parent_graph(ray_session):
+    tbl = _edges(seed=11)
+    g = Graph(ray.data.from_arrow(tbl),
+              config=EngineConfig(dense_vertex_limit=10))
+    assert g.sharded
+    g_dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
+    ids = list(g_dense.node_ids[::4])
+    want = _oracle_edges(tbl, ids)
+    sub = induced_subgraph(g, ids)
+    got = _oracle_edges(sub.canonical_edges().to_pandas()
+                        .pipe(pa.Table.from_pandas), sub.node_ids)
+    assert got == want
