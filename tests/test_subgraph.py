@@ -82,7 +82,9 @@ def test_sharded_parent_graph(ray_session):
     g_dense = Graph(ray.data.from_arrow(tbl), config=EngineConfig())
     ids = list(g_dense.node_ids[::4])
     want = _oracle_edges(tbl, ids)
-    sub = induced_subgraph(g, ids)
-    got = _oracle_edges(sub.canonical_edges().to_pandas()
-                        .pipe(pa.Table.from_pandas), sub.node_ids)
+    # the subgraph rebuilds under ITS OWN config — give it the default
+    # dense limit so the result is driver-inspectable here
+    sub = induced_subgraph(g, ids, config=EngineConfig())
+    sub_tbl = pa.Table.from_pandas(sub.canonical_edges().to_pandas())
+    got = _oracle_edges(sub_tbl, sub.node_ids)
     assert got == want
